@@ -1,0 +1,122 @@
+"""Centralized configuration.
+
+The reference scatters its constants through the code (defaults at reference
+gibbs.py:133-141, gibbs.py:144, gibbs.py:173-174, gibbs.py:285-286,
+gibbs.py:296, contacts.py:51-52, kinetics.py:167-168). Here every knob lives
+in one typed, hashable config object so it can be closed over by jitted
+functions and serialized next to artifacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsConfig:
+    """Configuration of the exponential-mixture Gibbs sampler.
+
+    Defaults reproduce the reference exactly:
+
+    - ``ncomp=15`` mixture components, ``niter=110000`` sweeps
+      (reference gibbs.py:133).
+    - thinning interval ``g=100``, burn-in 10,000 sweeps
+      (reference gibbs.py:140-141).
+    - Dirichlet prior ``alpha = 1/ncomp`` per component
+      (reference gibbs.py:173).
+    - Gamma prior shape ``a=1``, rate ``b=3`` on component rates
+      (reference gibbs.py:174).
+    - noise-cluster indicator cutoff 0.4 (reference gibbs.py:144).
+    - weight cutoff rule ``wcutoff = weight_cut_events / N`` with
+      ``weight_cut_events=10`` (reference gibbs.py:285-286).
+    - Gaussian-mixture clustering restarts ``gmm_n_init=117``
+      (reference gibbs.py:296).
+    """
+
+    ncomp: int = 15
+    niter: int = 110_000
+    g: int = 100                      # thinning interval
+    burnin: int = 10_000              # sweeps discarded before analysis
+    alpha: Optional[float] = None     # Dirichlet prior; None -> 1/ncomp
+    gamma_shape: float = 1.0          # Gamma prior shape a
+    gamma_rate: float = 3.0           # Gamma prior rate b
+    noise_cutoff: float = 0.4         # pindicator max below this -> noise
+    weight_cut_events: float = 10.0   # wcutoff = weight_cut_events / N
+    gmm_n_init: int = 117             # GMM restarts during clustering
+    gmm_max_iter: int = 100           # EM iterations per restart
+    gmm_tol: float = 1e-3             # EM convergence tolerance
+    n_chains: int = 1                 # independent chains per residue
+    seed: int = 0
+
+    @property
+    def n_samples(self) -> int:
+        """Number of thinned posterior samples kept per chain.
+
+        The reference allocates ``(niter+1)//g`` rows (gibbs.py:167-170) but
+        only ever writes ``niter//g`` of them (saves at sweeps g, 2g, ...,
+        niter; gibbs.py:214-217); we keep exactly the written rows.
+        """
+        return self.niter // self.g
+
+    @property
+    def burnin_samples(self) -> int:
+        return self.burnin // self.g
+
+    @property
+    def alpha_eff(self) -> float:
+        return (1.0 / self.ncomp) if self.alpha is None else self.alpha
+
+    def wcutoff(self, n_events: int) -> float:
+        return self.weight_cut_events / float(n_events)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "GibbsConfig":
+        return cls(**json.loads(s))
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactConfig:
+    """Configuration of contact-map extraction and event merging.
+
+    Defaults reproduce the reference: primary (map) cutoff 10.0 A
+    (reference contacts.py:51), analysis cutoff typically 7.0 A
+    (reference docs/source/tutorial.rst, scripts/setup.py:6), and trajectory
+    chunking as a memory valve (reference contacts.py:52 uses 100 slices; we
+    express it as frames per device batch instead).
+    """
+
+    map_cutoff: float = 10.0     # primary contact-map cutoff [A]
+    cutoff: float = 7.0          # analysis cutoff imposed on the map [A]
+    frames_per_batch: int = 32   # trajectory frames per device batch
+    use_pbc: bool = True         # minimum-image convention (orthorhombic)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "ContactConfig":
+        return cls(**json.loads(s))
+
+
+@dataclasses.dataclass(frozen=True)
+class DensityConfig:
+    """Weighted-density grid configuration (reference kinetics.py:167-168:
+    40x40x40 A box, delta=1.0 A per wdensity.py:183)."""
+
+    xdim: float = 40.0
+    ydim: float = 40.0
+    zdim: float = 40.0
+    delta: float = 1.0
+    padding: float = 2.0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "DensityConfig":
+        return cls(**json.loads(s))

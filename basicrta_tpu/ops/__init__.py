@@ -1,0 +1,25 @@
+"""Numerics shared across pipeline stages (host + device helpers)."""
+
+from basicrta_tpu.ops.surv import (
+    survival_function,
+    survival_bins,
+    empirical_ci,
+    ci_bars,
+    infer_timestep,
+    decimals_of,
+    start_stop_frames,
+    simulate_hyperexp,
+    unique_rate_count,
+)
+
+__all__ = [
+    "survival_function",
+    "survival_bins",
+    "empirical_ci",
+    "ci_bars",
+    "infer_timestep",
+    "decimals_of",
+    "start_stop_frames",
+    "simulate_hyperexp",
+    "unique_rate_count",
+]

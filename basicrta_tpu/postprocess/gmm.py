@@ -1,0 +1,152 @@
+"""Full-covariance Gaussian-mixture EM in JAX with vmapped restarts.
+
+Replaces the reference's ``sklearn.mixture.GaussianMixture(n_init=117, ...)``
+call (reference gibbs.py:229-257, 296). The reference runs 117 sequential
+C-implemented EM fits; here the restarts are a ``vmap`` axis, so all 117 fits
+run as one fused device program and the best lower bound wins. Initialization
+is kmeans++ seeding plus a few Lloyd iterations per restart (sklearn's
+default init is a full k-means; with 117 restarts the abbreviated variant is
+statistically equivalent — the selection over restarts dominates).
+
+Supports per-sample weights so padded batches can be clustered without
+recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GMMParams(NamedTuple):
+    means: jax.Array       # (C, D)
+    chols: jax.Array       # (C, D, D) Cholesky factors of covariances
+    log_weights: jax.Array  # (C,)
+    lower_bound: jax.Array  # () final mean log-likelihood
+
+
+def _component_log_prob(X, means, chols):
+    """Log N(x | mu_c, Sigma_c) for all points/components: (N, C)."""
+    D = X.shape[-1]
+    diff = X[:, None, :] - means[None, :, :]                     # (N, C, D)
+    # Solve L y = diff  ->  y = L^-1 diff; mahalanobis = |y|^2
+    y = jax.vmap(
+        lambda Lc, dc: jax.scipy.linalg.solve_triangular(Lc, dc.T, lower=True),
+        in_axes=(0, 1))(chols, diff)                              # (C, D, N)
+    maha = jnp.sum(y ** 2, axis=1).T                              # (N, C)
+    logdet = jnp.sum(jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)), axis=-1)
+    return -0.5 * (maha + D * jnp.log(2 * jnp.pi)) - logdet[None, :]
+
+
+def _kmeanspp_init(key, X, sw, n_components, lloyd_iters=10):
+    """kmeans++ seeding + Lloyd refinement; returns centers (C, D)."""
+    N = X.shape[0]
+    k0, key = jax.random.split(key)
+    first = jax.random.choice(k0, N, p=sw / jnp.sum(sw))
+    centers0 = jnp.tile(X[first], (n_components, 1))
+
+    def seed_step(carry, key_c):
+        centers, c_idx = carry
+        d2 = jnp.min(
+            jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+            + jnp.where(jnp.arange(n_components)[None, :] < c_idx, 0.0,
+                        jnp.inf),
+            axis=1)
+        p = sw * d2
+        p = jnp.where(jnp.isfinite(p), p, 0.0)
+        nxt = jax.random.choice(key_c, N, p=p / jnp.maximum(jnp.sum(p), 1e-30))
+        centers = centers.at[c_idx].set(X[nxt])
+        return (centers, c_idx + 1), None
+
+    keys = jax.random.split(key, n_components - 1)
+    (centers, _), _ = jax.lax.scan(seed_step, (centers0, 1), keys)
+
+    def lloyd(centers, _):
+        d2 = jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, n_components, dtype=X.dtype)
+        onehot = onehot * sw[:, None]
+        Nk = jnp.maximum(jnp.sum(onehot, axis=0), 1e-12)
+        new = (onehot.T @ X) / Nk[:, None]
+        # keep old center for empty clusters
+        new = jnp.where(jnp.sum(onehot, axis=0)[:, None] > 0, new, centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=lloyd_iters)
+    return centers
+
+
+def _m_step(X, sw, resp, reg_covar):
+    """Weighted M-step; returns (means, chols, log_weights)."""
+    D = X.shape[-1]
+    wresp = resp * sw[:, None]                                    # (N, C)
+    Nk = jnp.maximum(jnp.sum(wresp, axis=0), 10 * jnp.finfo(X.dtype).eps)
+    means = (wresp.T @ X) / Nk[:, None]                           # (C, D)
+    diff = X[:, None, :] - means[None, :, :]                      # (N, C, D)
+    covs = jnp.einsum("nc,ncd,nce->cde", wresp, diff, diff) / Nk[:, None, None]
+    covs = covs + reg_covar * jnp.eye(D, dtype=X.dtype)[None]
+    chols = jnp.linalg.cholesky(covs)
+    log_w = jnp.log(Nk / jnp.sum(Nk))
+    return means, chols, log_w
+
+
+def _em_single(key, X, sw, n_components, max_iter, tol, reg_covar):
+    """One EM restart with convergence freezing; returns GMMParams."""
+    centers = _kmeanspp_init(key, X, sw, n_components)
+    # one-hot responsibilities from the kmeans assignment seed the first M-step
+    d2 = jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    resp0 = jax.nn.one_hot(jnp.argmin(d2, axis=1), n_components, dtype=X.dtype)
+    means, chols, log_w = _m_step(X, sw, resp0, reg_covar)
+    total_w = jnp.sum(sw)
+
+    def em_iter(carry, _):
+        means, chols, log_w, prev_lb, done = carry
+        logp = _component_log_prob(X, means, chols) + log_w[None, :]
+        lse = jax.scipy.special.logsumexp(logp, axis=1)
+        lb = jnp.sum(sw * lse) / total_w
+        resp = jnp.exp(logp - lse[:, None])
+        n_means, n_chols, n_log_w = _m_step(X, sw, resp, reg_covar)
+        now_done = done | (jnp.abs(lb - prev_lb) < tol)
+        keep = lambda new, old: jnp.where(done, old, new)
+        carry = (keep(n_means, means), keep(n_chols, chols),
+                 keep(n_log_w, log_w), jnp.where(done, prev_lb, lb), now_done)
+        return carry, None
+
+    init = (means, chols, log_w, jnp.asarray(-jnp.inf, X.dtype),
+            jnp.asarray(False))
+    (means, chols, log_w, lb, _), _ = jax.lax.scan(
+        em_iter, init, None, length=max_iter)
+    lb = jnp.where(jnp.isnan(lb), -jnp.inf, lb)
+    return GMMParams(means, chols, log_w, lb)
+
+
+@functools.partial(jax.jit, static_argnames=("n_components", "n_init",
+                                             "max_iter"))
+def gmm_fit_predict(key: jax.Array, train: jax.Array, data: jax.Array,
+                    n_components: int, n_init: int = 117,
+                    max_iter: int = 100, tol: float = 1e-3,
+                    reg_covar: float = 1e-6, train_weights=None):
+    """Fit a full-covariance GMM on ``train`` and label ``data``.
+
+    Mirrors the reference's fit-on-train / predict-on-all pattern
+    (gibbs.py:255-257). All ``n_init`` restarts run under one vmap; the
+    restart with the best weighted mean log-likelihood provides the labels.
+
+    Returns:
+        (labels (M,) int32, params GMMParams of the winning restart)
+    """
+    train = train.astype(jnp.float32)
+    data = data.astype(jnp.float32)
+    sw = (jnp.ones(train.shape[0], train.dtype) if train_weights is None
+          else train_weights.astype(train.dtype))
+    keys = jax.random.split(key, n_init)
+    fits = jax.vmap(lambda k: _em_single(k, train, sw, n_components,
+                                         max_iter, tol, reg_covar))(keys)
+    best = jnp.argmax(fits.lower_bound)
+    params = jax.tree.map(lambda a: a[best], fits)
+    logp = (_component_log_prob(data, params.means, params.chols)
+            + params.log_weights[None, :])
+    return jnp.argmax(logp, axis=1).astype(jnp.int32), params

@@ -1,0 +1,191 @@
+"""High-level per-residue Gibbs sampler driver.
+
+API-parity layer over the jitted kernels, mirroring the reference ``Gibbs``
+class surface (reference gibbs.py:91-381): construct with residence times,
+``run()`` the sampler, ``process_gibbs()`` the posterior, ``estimate_tau()``
+the slowest process, ``save()``/``load()`` artifacts. Differences by design:
+
+- results persist as NPZ + JSON metadata under the same
+  ``basicrta-{cutoff}/{residue}/`` tree (no pickled class instances,
+  cf. gibbs.py:336-381);
+- multiple chains per residue are supported (``cfg.n_chains``);
+- the per-event indicator is not stored during sampling; membership
+  probabilities are regenerated conditionally during post-processing
+  (sanctioned by the reference's ``_sample_indicator``, gibbs.py:321-334).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.ops.surv import infer_timestep, survival_function
+from basicrta_tpu.postprocess.clustering import process_samples, ClusterResult
+from basicrta_tpu.postprocess.tau import (estimate_params, estimate_tau,
+                                          AllNoiseError)
+from basicrta_tpu.sampler.kernels import dedup_times, run_chains
+
+
+class Gibbs:
+    """Gibbs sampler for the exponential mixture of one residue's times.
+
+    Example (mirrors reference gibbs.py:112-120)::
+
+        g = Gibbs(times, residue='W313', cutoff=7.0)
+        g.run()
+        g.process_gibbs()
+        lo, tau, hi = g.estimate_tau()
+    """
+
+    def __init__(self, times: Optional[np.ndarray] = None,
+                 residue: Optional[str] = None, cutoff: Optional[float] = None,
+                 cfg: GibbsConfig = GibbsConfig(), root: str = "."):
+        self.cfg = cfg
+        self.residue = residue
+        self.cutoff = cutoff
+        self.root = root
+        self.times = None if times is None else np.asarray(times, np.float64)
+        self.ts = infer_timestep(self.times) if times is not None else None
+        self.mcweights: Optional[np.ndarray] = None  # (chains, S, K)
+        self.mcrates: Optional[np.ndarray] = None
+        self.t = self.s = None
+        self.processed: Optional[ClusterResult] = None
+        self.parameters = None          # (lmode, 2) point estimates
+        self.intervals = None           # (2, lmode, 2) CIs
+        self.tau = None                 # (lo, max, hi)
+        if self.times is not None:
+            self.t, self.s = survival_function(self.times, self.ts)
+            self._values, self._counts = dedup_times(self.times)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def savedir(self) -> str:
+        return os.path.join(self.root, f"basicrta-{self.cutoff}",
+                            str(self.residue))
+
+    def run(self, mode: str = "collapsed", save: bool = True) -> "Gibbs":
+        """Execute the sampler (reference gibbs.py:176-219)."""
+        key = jax.random.fold_in(jax.random.key(self.cfg.seed),
+                                 hash(str(self.residue)) & 0x7FFFFFFF)
+        if mode == "collapsed":
+            data = jnp.asarray(self._values, jnp.float32)
+            aux = jnp.asarray(self._counts, jnp.float32)
+        else:
+            data = jnp.asarray(self.times, jnp.float32)
+            aux = None
+        W, R = run_chains(key, data, aux, self.cfg, mode,
+                          n_chains=self.cfg.n_chains)
+        self.mcweights = np.asarray(W)
+        self.mcrates = np.asarray(R)
+        if save:
+            self.save()
+        return self
+
+    # ------------------------------------------------------------------ #
+    def process_gibbs(self, chain: int = 0, save: bool = True) -> "Gibbs":
+        """Posterior filtering, clustering, and parameter estimation
+        (reference gibbs.py:275-308)."""
+        key = jax.random.fold_in(jax.random.key(self.cfg.seed + 1),
+                                 hash(str(self.residue)) & 0x7FFFFFFF)
+        self.processed = process_samples(
+            key, self.mcweights[chain], self.mcrates[chain],
+            self._values, self._counts, self.cfg)
+        self.parameters, self.intervals = estimate_params(self.processed)
+        if save:
+            self.save()
+        return self
+
+    def estimate_tau(self):
+        """(ci_lo, tau_max, ci_hi) of the slowest non-noise process
+        (reference gibbs.py:691-715)."""
+        if self.processed is None:
+            self.process_gibbs()
+        self.tau = estimate_tau(self.processed, self.cfg.noise_cutoff,
+                                self.parameters)
+        return list(self.tau)
+
+    def pindicator_per_event(self) -> np.ndarray:
+        """(N, lmode) membership probabilities broadcast from unique values
+        back to events (rows of equal residence time are exchangeable)."""
+        pv = self.processed.pindicator_values
+        idx = np.searchsorted(self._values, self.times)
+        return pv[idx]
+
+    # ------------------------------------------------------------------ #
+    def save(self) -> str:
+        """Persist raw + processed state as NPZ (+ ``.bak`` rotation,
+        matching reference gibbs.py:336-349)."""
+        os.makedirs(self.savedir, exist_ok=True)
+        path = os.path.join(self.savedir, f"gibbs_{self.cfg.niter}.npz")
+        if os.path.exists(path):
+            os.replace(path, path + ".bak")
+        arrays = {
+            "times": self.times,
+            "mcweights": self.mcweights if self.mcweights is not None
+            else np.zeros(0),
+            "mcrates": self.mcrates if self.mcrates is not None
+            else np.zeros(0),
+        }
+        if self.processed is not None:
+            p = self.processed
+            arrays.update(
+                proc_labels=p.labels, proc_data=p.data,
+                proc_inds_row=p.inds[0], proc_inds_col=p.inds[1],
+                proc_pindicator=p.pindicator_values,
+                proc_presorts=p.presorts,
+                parameters=self.parameters, intervals=self.intervals)
+            if self.tau is not None:
+                arrays["tau"] = np.asarray(self.tau)
+        meta = {"residue": self.residue, "cutoff": self.cutoff,
+                "ts": self.ts, "cfg": self.cfg.to_json(),
+                "lmode": None if self.processed is None
+                else int(self.processed.lmode)}
+        np.savez_compressed(path, _meta=json.dumps(meta), **arrays)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "Gibbs":
+        """Rehydrate from :meth:`save` output (reference gibbs.py:351-381)."""
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["_meta"]))
+            g = cls(times=z["times"], residue=meta["residue"],
+                    cutoff=meta["cutoff"], cfg=GibbsConfig.from_json(
+                        meta["cfg"]),
+                    root=os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(path)))))
+            if z["mcweights"].size:
+                g.mcweights = z["mcweights"]
+                g.mcrates = z["mcrates"]
+            if "proc_labels" in z:
+                g.processed = ClusterResult(
+                    lmode=meta["lmode"], labels=z["proc_labels"],
+                    inds=(z["proc_inds_row"], z["proc_inds_col"]),
+                    data=z["proc_data"],
+                    pindicator_values=z["proc_pindicator"],
+                    presorts=z["proc_presorts"])
+                g.parameters = z["parameters"]
+                g.intervals = z["intervals"]
+            if "tau" in z:
+                g.tau = tuple(z["tau"])
+        return g
+
+
+def run_residue(times, residue, cutoff, cfg: GibbsConfig = GibbsConfig(),
+                root: str = ".", mode: str = "collapsed") -> Gibbs:
+    """Construct, run, and post-process one residue (the unit of work the
+    reference fans out per process; util.py:475-485)."""
+    g = Gibbs(times, residue=residue, cutoff=cutoff, cfg=cfg, root=root)
+    g.run(mode=mode)
+    g.process_gibbs()
+    try:
+        g.estimate_tau()
+    except AllNoiseError:
+        g.tau = (0.0, 0.0, 0.0)
+    g.save()
+    return g

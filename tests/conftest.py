@@ -1,0 +1,34 @@
+"""Test harness: force a virtual 8-device CPU platform.
+
+Tests must run without TPU hardware and must exercise multi-chip sharding;
+an 8-way host-platform device count provides a real ``jax.sharding.Mesh``
+for the sharded code paths.
+"""
+
+import os
+
+# The session environment pins JAX_PLATFORMS to the TPU tunnel; tests always
+# run on the virtual CPU platform, so override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="session")
+def synthetic_times(rng):
+    """Discretized hyperexponential dataset with known parameters."""
+    from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
+    weights = np.array([0.85, 0.13, 0.02])
+    rates = np.array([4.0, 0.2, 0.01])
+    x = simulate_hyperexp(20000, weights, rates, rng)
+    return discretize_times(x, 0.1), weights, rates

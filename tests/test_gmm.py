@@ -1,0 +1,62 @@
+"""Tests of the JAX EM Gaussian mixture against sklearn."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _blobs(rng, n_per=300):
+    means = np.array([[0.0, 0.0], [4.0, 4.0], [-4.0, 5.0]])
+    covs = [np.array([[0.3, 0.1], [0.1, 0.2]]),
+            np.array([[0.5, -0.2], [-0.2, 0.4]]),
+            np.diag([0.2, 0.6])]
+    X = np.concatenate([rng.multivariate_normal(m, c, n_per)
+                        for m, c in zip(means, covs)])
+    y = np.repeat(np.arange(3), n_per)
+    return X.astype(np.float32), y
+
+
+def _label_agreement(a, b, k):
+    """Best-permutation agreement between two labelings."""
+    from itertools import permutations
+    best = 0.0
+    for perm in permutations(range(k)):
+        mapped = np.asarray(perm)[a]
+        best = max(best, float(np.mean(mapped == b)))
+    return best
+
+
+def test_gmm_separates_blobs(rng):
+    from basicrta_tpu.postprocess.gmm import gmm_fit_predict
+    X, y = _blobs(rng)
+    labels, params = gmm_fit_predict(jax.random.key(0), jnp.asarray(X),
+                                     jnp.asarray(X), n_components=3,
+                                     n_init=8, max_iter=60)
+    assert _label_agreement(np.asarray(labels), y, 3) > 0.98
+    assert np.isfinite(float(params.lower_bound))
+
+
+def test_gmm_matches_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn.mixture")
+    from basicrta_tpu.postprocess.gmm import gmm_fit_predict
+    X, _ = _blobs(rng)
+    ours, _ = gmm_fit_predict(jax.random.key(1), jnp.asarray(X),
+                              jnp.asarray(X), n_components=3, n_init=8)
+    sk = sklearn.GaussianMixture(n_components=3, n_init=8,
+                                 random_state=0).fit_predict(X)
+    assert _label_agreement(np.asarray(ours), sk, 3) > 0.98
+
+
+def test_gmm_sample_weights(rng):
+    """Zero-weight padding points must not affect the fit."""
+    from basicrta_tpu.postprocess.gmm import gmm_fit_predict
+    X, y = _blobs(rng)
+    pad = rng.normal(50.0, 1.0, size=(100, 2)).astype(np.float32)
+    Xp = np.concatenate([X, pad])
+    w = np.concatenate([np.ones(len(X)), np.zeros(len(pad))]).astype(
+        np.float32)
+    labels, _ = gmm_fit_predict(jax.random.key(2), jnp.asarray(Xp),
+                                jnp.asarray(X), n_components=3, n_init=8,
+                                train_weights=jnp.asarray(w))
+    assert _label_agreement(np.asarray(labels), y, 3) > 0.98
