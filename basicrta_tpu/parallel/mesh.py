@@ -1,0 +1,120 @@
+"""Multi-chip sharding of the Gibbs workload.
+
+The reference scales across machines with a Slurm array of one-residue jobs
+(reference scripts/create_jobs.sh, submit_tmp.slu); communication is the
+filesystem. The TPU-native equivalents here:
+
+- **lane (data) parallelism**: the residue x chain batch axis is sharded
+  over the mesh ('lanes'); each chip sweeps its lanes independently — no
+  collectives, matching the embarrassingly parallel structure
+  (SURVEY.md section 2, parallelism item 3/5).
+- **event (value) parallelism**: for residues too large for one chip's
+  comfort, the unique-value axis is sharded over the mesh ('events'); each
+  chip draws the multinomial counts for its value slice and the sufficient
+  statistics (N_k, T_k) are combined with ``psum`` over ICI each sweep —
+  the chain state stays replicated. This is the sequence-parallel analogue
+  for this workload (SURVEY.md section 5 'long-context').
+
+Both compose in one ``shard_map`` over a ('lanes', 'events') mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.sampler.kernels import (MixtureState, _conjugate_update,
+                                          _log_responsibilities,
+                                          _tiered_multinomial)
+
+
+def make_mesh(n_lanes: Optional[int] = None, n_events: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('lanes', 'events') mesh over the available devices."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if n_lanes is None:
+        n_lanes = n // n_events
+    assert n_lanes * n_events == n, (n_lanes, n_events, n)
+    arr = np.asarray(devices).reshape(n_lanes, n_events)
+    return Mesh(arr, ("lanes", "events"))
+
+
+def lane_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, ...) batch arrays: lanes split, rest replicated."""
+    return NamedSharding(mesh, P("lanes"))
+
+
+def event_sharded_blocks(mesh: Mesh, cfg: GibbsConfig, n_blocks: int):
+    """Build the jitted multi-chip sampler step.
+
+    Returns a function ``step(keys, state, values, counts) -> (state, W, R)``
+    where:
+
+    - ``keys``: (B,) per-lane PRNG keys,
+    - ``state``: MixtureState with (B, K) leaves, replicated over 'events',
+    - ``values``/``counts``: (B, V) with B sharded over 'lanes' and V over
+      'events' (pad V to a multiple of the events axis with zero counts).
+
+    Each sweep: every chip computes multinomial counts for its value slice,
+    ``psum('events')`` combines (N_k, T_k), and the conjugate update runs
+    identically on every chip (same key), keeping the state replicated.
+    """
+
+    def device_block(keys, w, r, values, counts):
+        ev = jax.lax.axis_index("events")
+
+        def lane(key, w0, r0, v, c):
+            def block(st, block_key):
+                sweep_keys = jax.random.split(block_key, cfg.g)
+
+                def sweep(st, k):
+                    kmult, kconj = jax.random.split(k)
+                    # per-shard multinomial randomness; shared conjugate key
+                    kmult = jax.random.fold_in(kmult, ev)
+                    logz = _log_responsibilities(st, v)
+                    probs = jax.nn.softmax(logz, axis=-1)
+                    m = _tiered_multinomial(kmult, c, probs, None)
+                    Ns = jax.lax.psum(jnp.sum(m, axis=0), "events")
+                    Ts = jax.lax.psum(v @ m, "events")
+                    return _conjugate_update(kconj, Ns, Ts, cfg.alpha_eff,
+                                             cfg.gamma_shape,
+                                             cfg.gamma_rate), None
+
+                st, _ = jax.lax.scan(sweep, st, sweep_keys)
+                return st, (st.weights, st.rates)
+
+            block_keys = jax.random.split(key, n_blocks)
+            st, (W, R) = jax.lax.scan(block, MixtureState(w0, r0), block_keys)
+            return st, W, R
+
+        st, W, R = jax.vmap(lane)(keys, w, r, values, counts)
+        return st, W, R
+
+    shard = jax.shard_map(
+        device_block, mesh=mesh,
+        in_specs=(P("lanes"), P("lanes", None), P("lanes", None),
+                  P("lanes", "events"), P("lanes", "events")),
+        out_specs=(MixtureState(P("lanes", None), P("lanes", None)),
+                   P("lanes", None, None), P("lanes", None, None)),
+        check_vma=False)
+
+    @jax.jit
+    def step(keys, state: MixtureState, values, counts):
+        st, W, R = shard(keys, state.weights, state.rates, values, counts)
+        return MixtureState(st.weights, st.rates), W, R
+
+    return step
+
+
+def sharded_training_step(mesh: Mesh, cfg: GibbsConfig, n_blocks: int = 1):
+    """The full multi-chip 'training step' used by the driver dry-run:
+    lanes (residues x chains) sharded over 'lanes', unique values sharded
+    over 'events' with per-sweep psum of the sufficient statistics."""
+    return event_sharded_blocks(mesh, cfg, n_blocks)

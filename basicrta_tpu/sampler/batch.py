@@ -1,0 +1,207 @@
+"""Batched multi-residue Gibbs sampling.
+
+The reference fans out one OS process per residue
+(reference gibbs.py:73-88, scripts/create_jobs.sh) — 300+ single-core Python
+loops. Here every residue (x every chain) is one lane of a single batched
+device program: residues are bucketed by unique-value count, padded, stacked,
+and swept together under ``vmap``; per-sweep latency is amortized across the
+whole batch and the VPU runs full.
+
+Sampling proceeds in host-level *segments* of whole thinning blocks so long
+runs can report progress and checkpoint (the reference has no mid-run
+checkpointing; a preempted 110k-sweep job restarts from zero,
+cf. SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.sampler.kernels import (MixtureState, collapsed_sweep,
+                                          compute_tiers, dedup_times,
+                                          init_mixture_params)
+
+
+def _next_pow2(n: int, floor: int = 128) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class ResidueBatch:
+    """A padded, stacked bucket of residues ready for batched sampling.
+
+    Value columns are sorted by multiplicity descending per lane so the
+    multiplicity-tiered multinomial sampler applies (kernels.SMALL_NMAX).
+    """
+    names: List[str]               # residue labels, length B
+    values: np.ndarray             # (B, V) unique residence times
+    counts: np.ndarray             # (B, V) multiplicities, 0 marks padding
+    n_events: np.ndarray           # (B,) true event count per residue
+    tiers: Tuple[int, int] = (0, 0)  # static tier boundaries
+
+    @property
+    def size(self) -> int:
+        return len(self.names)
+
+
+def bucket_residues(times_per_residue: Dict[str, np.ndarray],
+                    floor: int = 128) -> List[ResidueBatch]:
+    """Group residues into power-of-two unique-count buckets.
+
+    Residence times are multiples of the trajectory interval, so the unique
+    count V is small even for huge residues (the bundled 446,605-event W313
+    dataset has V = 870); bucketing bounds padding waste to 2x.
+    """
+    items = []
+    for name, t in times_per_residue.items():
+        if len(t) == 0:
+            continue
+        v, c = dedup_times(t)
+        items.append((name, v, c))
+    buckets: Dict[int, list] = {}
+    for name, v, c in items:
+        buckets.setdefault(_next_pow2(len(v), floor), []).append((name, v, c))
+
+    out = []
+    for V, group in sorted(buckets.items()):
+        B = len(group)
+        values = np.zeros((B, V), np.float64)
+        counts = np.zeros((B, V), np.float64)
+        names, n_events = [], []
+        for i, (name, v, c) in enumerate(group):
+            # padded rows keep value 1.0 (any positive finite) with count 0
+            values[i, :len(v)] = v
+            values[i, len(v):] = 1.0
+            counts[i, :len(c)] = c
+            names.append(name)
+            n_events.append(int(c.sum()))
+        order, tiers = compute_tiers(counts)
+        values = np.take_along_axis(values, order, axis=-1)
+        counts = np.take_along_axis(counts, order, axis=-1)
+        out.append(ResidueBatch(names, values, counts,
+                                np.asarray(n_events), tiers))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "tiers"))
+def _segment(keys: jax.Array, state: MixtureState, values: jax.Array,
+             counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
+             tiers: Optional[Tuple[int, int]] = None):
+    """Advance every lane by ``n_blocks`` thinning blocks (n_blocks*g sweeps).
+
+    keys: (B,) per-lane keys for this segment. Returns the advanced states
+    and the (B, n_blocks, K) thinned samples.
+    """
+    def lane(key, st, v, c):
+        def block(st, block_key):
+            sweep_keys = jax.random.split(block_key, cfg.g)
+            st, _ = jax.lax.scan(
+                lambda s, k: (collapsed_sweep(k, s, v, c, cfg,
+                                              tiers=tiers)[0], None),
+                st, sweep_keys)
+            return st, (st.weights, st.rates)
+
+        block_keys = jax.random.split(key, n_blocks)
+        st, (W, R) = jax.lax.scan(block, st, block_keys)
+        return st, W, R
+
+    return jax.vmap(lane)(keys, state, values, counts)
+
+
+@dataclasses.dataclass
+class BatchResult:
+    names: List[str]
+    mcweights: np.ndarray   # (B, S, K)
+    mcrates: np.ndarray     # (B, S, K)
+    n_events: np.ndarray    # (B,)
+
+
+def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
+              segment_blocks: int = 100,
+              checkpoint_cb=None,
+              sharding: Optional[jax.sharding.NamedSharding] = None,
+              progress_cb=None) -> BatchResult:
+    """Run full chains for one bucket of residues.
+
+    Args:
+        segment_blocks: thinning blocks per host-level segment (checkpoint /
+            progress granularity; 100 blocks = 10,000 sweeps by default).
+        checkpoint_cb: optional ``f(segment_idx, state, samples_so_far)``.
+        sharding: optional NamedSharding to lay lanes out across a mesh
+            (batch axis sharded; see basicrta_tpu.parallel).
+        progress_cb: optional ``f(done_sweeps, total_sweeps)``.
+    """
+    B = batch.size
+    values = jnp.asarray(batch.values, jnp.float32)
+    counts = jnp.asarray(batch.counts, jnp.float32)
+    if sharding is not None:
+        values = jax.device_put(values, sharding)
+        counts = jax.device_put(counts, sharding)
+
+    st0 = init_mixture_params(cfg.ncomp)
+    state = MixtureState(jnp.tile(st0.weights, (B, 1)),
+                         jnp.tile(st0.rates, (B, 1)))
+    total_blocks = cfg.niter // cfg.g
+    key = jax.random.key(cfg.seed)
+    lane_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+
+    Ws, Rs = [], []
+    done = 0
+    seg_idx = 0
+    while done < total_blocks:
+        nb = min(segment_blocks, total_blocks - done)
+        seg_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, seg_idx))(lane_keys)
+        state, W, R = _segment(seg_keys, state, values, counts, cfg, nb,
+                               batch.tiers)
+        Ws.append(np.asarray(W))
+        Rs.append(np.asarray(R))
+        done += nb
+        seg_idx += 1
+        if checkpoint_cb is not None:
+            checkpoint_cb(seg_idx, state, (Ws, Rs))
+        if progress_cb is not None:
+            progress_cb(done * cfg.g, cfg.niter)
+
+    return BatchResult(batch.names, np.concatenate(Ws, axis=1),
+                       np.concatenate(Rs, axis=1), batch.n_events)
+
+
+def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
+                 n_chains: int = 1, **kwargs) -> Dict[str, Tuple[np.ndarray,
+                                                                 np.ndarray]]:
+    """All-residue driver: bucket, batch, and sweep everything on device.
+
+    Multiple chains per residue are expressed as extra lanes (residue
+    repeated with distinct fold-in indices via lane position).
+
+    Returns:
+        {residue: (mcweights (chains, S, K), mcrates (chains, S, K))}
+    """
+    # residues with no events are omitted, matching the reference's
+    # '.dataset_too_small' skip sentinel (scripts/get_rerun_residues.py:23-34)
+    nonempty = {name: t for name, t in times_per_residue.items()
+                if len(t) > 0}
+    expanded = {}
+    for name, t in nonempty.items():
+        for ch in range(n_chains):
+            expanded[f"{name}#{ch}"] = t
+    out: Dict[str, list] = {name: [None] * n_chains for name in nonempty}
+    for batch in bucket_residues(expanded):
+        res = run_batch(batch, cfg, **kwargs)
+        for i, lane_name in enumerate(res.names):
+            name, ch = lane_name.rsplit("#", 1)
+            out[name][int(ch)] = (res.mcweights[i], res.mcrates[i])
+    return {name: (np.stack([w for w, _ in chains]),
+                   np.stack([r for _, r in chains]))
+            for name, chains in out.items()}

@@ -29,7 +29,8 @@ from basicrta_tpu.ops.surv import infer_timestep, survival_function
 from basicrta_tpu.postprocess.clustering import process_samples, ClusterResult
 from basicrta_tpu.postprocess.tau import (estimate_params, estimate_tau,
                                           AllNoiseError)
-from basicrta_tpu.sampler.kernels import dedup_times, run_chains
+from basicrta_tpu.sampler.kernels import (compute_tiers, dedup_times,
+                                           run_chains)
 
 
 class Gibbs:
@@ -73,14 +74,18 @@ class Gibbs:
         """Execute the sampler (reference gibbs.py:176-219)."""
         key = jax.random.fold_in(jax.random.key(self.cfg.seed),
                                  hash(str(self.residue)) & 0x7FFFFFFF)
+        tiers = None
         if mode == "collapsed":
-            data = jnp.asarray(self._values, jnp.float32)
-            aux = jnp.asarray(self._counts, jnp.float32)
+            # multiplicity-descending order enables the tiered sampler; the
+            # thinned (weights, rates) outputs are order-invariant
+            order, tiers = compute_tiers(self._counts)
+            data = jnp.asarray(self._values[order], jnp.float32)
+            aux = jnp.asarray(self._counts[order], jnp.float32)
         else:
             data = jnp.asarray(self.times, jnp.float32)
             aux = None
         W, R = run_chains(key, data, aux, self.cfg, mode,
-                          n_chains=self.cfg.n_chains)
+                          n_chains=self.cfg.n_chains, tiers=tiers)
         self.mcweights = np.asarray(W)
         self.mcrates = np.asarray(R)
         if save:

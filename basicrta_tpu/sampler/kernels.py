@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.ops import random as btrandom
 
 
 class MixtureState(NamedTuple):
@@ -81,52 +82,28 @@ def _log_responsibilities(state: MixtureState, values: jax.Array) -> jax.Array:
 
 
 def _conjugate_update(key: jax.Array, Ns: jax.Array, Ts: jax.Array,
-                      alpha: float, a: float, b: float) -> MixtureState:
-    """Dirichlet/Gamma conjugate posterior draws (reference gibbs.py:210-211)."""
+                      alpha: float, a: float, b: float,
+                      unroll: bool = False) -> MixtureState:
+    """Dirichlet/Gamma conjugate posterior draws (reference gibbs.py:210-211).
+
+    Uses the branch-free fixed-unroll samplers (ops.random) — the stock
+    while_loop-based jax.random rejection samplers cost ~40-100 us of
+    control-flow latency per call on TPU, which would dominate the sweep.
+    """
     kw, kr = jax.random.split(key)
-    weights = jax.random.dirichlet(kw, alpha + Ns)
-    rates = jax.random.gamma(kr, a + Ns) / (b + Ts)
+    weights = btrandom.dirichlet(kw, alpha + Ns, unroll=unroll)
+    rates = btrandom.gamma(kr, a + Ns, unroll=unroll) / (b + Ts)
     return MixtureState(weights, rates)
 
 
 def multinomial_counts(key: jax.Array, n: jax.Array, probs: jax.Array,
                        float_dtype=jnp.float32) -> jax.Array:
-    """Exact batched multinomial sampling via a binomial chain.
+    """Exact batched multinomial sampling (branch-free binomial chain).
 
-    For each row v: ``m_v ~ Multinomial(n_v, probs_v)``. Decomposed into K-1
-    sequential conditional binomials
-    ``m_k ~ Binomial(n - sum_{j<k} m_j, p_k / suffix_k)`` with the last
-    component absorbing the remainder — exact, and vectorized over V on the
-    VPU.
-
-    Args:
-        key: PRNG key.
-        n: (V,) trial counts (int32 or float).
-        probs: (V, K) row-stochastic probabilities.
-    Returns:
-        (V, K) float counts (integer-valued).
+    For each row v: ``m_v ~ Multinomial(n_v, probs_v)``; see
+    ops.random.multinomial.
     """
-    K = probs.shape[-1]
-    # suffix_k = sum_{j >= k} p_j, computed without reversal gymnastics
-    suffix = jnp.cumsum(probs[..., ::-1], axis=-1)[..., ::-1]
-    n = n.astype(float_dtype)
-
-    def step(rem, xs):
-        pk, sk, key_k = xs
-        pcond = jnp.clip(pk / jnp.maximum(sk, jnp.finfo(float_dtype).tiny),
-                         0.0, 1.0)
-        draw = jax.random.binomial(key_k, rem, pcond, dtype=float_dtype)
-        draw = jnp.minimum(draw, rem)
-        return rem - draw, draw
-
-    keys = jax.random.split(key, K - 1)
-    rem, head = jax.lax.scan(
-        step, n,
-        (jnp.moveaxis(probs, -1, 0)[:-1], jnp.moveaxis(suffix, -1, 0)[:-1],
-         keys))
-    # head: (K-1, V); remainder goes to the last component.
-    return jnp.concatenate(
-        [jnp.moveaxis(head, 0, -1), rem[..., None]], axis=-1)
+    return btrandom.multinomial(key, n, probs, float_dtype)
 
 
 def dense_sweep(key: jax.Array, state: MixtureState, times: jax.Array,
@@ -152,21 +129,69 @@ def dense_sweep(key: jax.Array, state: MixtureState, times: jax.Array,
     return new_state, None
 
 
+# Multiplicity bound of the middle tier: values with counts <= this use the
+# complete small-table inversion sampler instead of the general one.
+SMALL_NMAX = 8
+
+
+def _tiered_multinomial(key: jax.Array, counts: jax.Array, probs: jax.Array,
+                        tiers: Optional[Tuple[int, int]],
+                        unroll: bool = False) -> jax.Array:
+    """Multinomial counts over the value axis, exploiting the multiplicity
+    skew of residence-time data.
+
+    With ``tiers = (head_end, single_start)`` and value columns sorted by
+    multiplicity descending, three exact samplers split the work:
+
+    - columns [0, head_end): unbounded counts -> inversion + BTRS chain,
+    - columns [head_end, single_start): counts <= SMALL_NMAX -> complete
+      small-table inversion chain (no rejection rounds),
+    - columns [single_start, V): counts in {0, 1} -> one categorical draw.
+
+    On the bundled W313 dataset 58% of unique values occur once and 87% at
+    most 8 times, so the expensive sampler touches ~13% of columns.
+    """
+    if tiers is None:
+        return btrandom.multinomial(key, counts, probs, unroll=unroll)
+    head_end, single_start = tiers
+    V = counts.shape[-1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    parts = []
+    if head_end > 0:
+        parts.append(btrandom.multinomial(
+            k1, counts[..., :head_end], probs[..., :head_end, :],
+            unroll=unroll))
+    if single_start > head_end:
+        parts.append(btrandom.multinomial_small(
+            k2, counts[..., head_end:single_start],
+            probs[..., head_end:single_start, :], SMALL_NMAX,
+            unroll=unroll))
+    if V > single_start:
+        parts.append(btrandom.multinomial_single(
+            k3, counts[..., single_start:], probs[..., single_start:, :]))
+    return jnp.concatenate(parts, axis=-2)
+
+
 def collapsed_sweep(key: jax.Array, state: MixtureState, values: jax.Array,
                     counts: jax.Array, cfg: GibbsConfig,
-                    return_counts: bool = False):
+                    return_counts: bool = False,
+                    tiers: Optional[Tuple[int, int]] = None,
+                    unroll: bool = False):
     """One Gibbs sweep over deduplicated (value, multiplicity) pairs.
 
     Padded rows are expressed as ``counts == 0`` and contribute nothing.
+    ``tiers`` (static) enables the multiplicity-tiered sampler; it requires
+    value columns sorted by multiplicity descending (see
+    :func:`_tiered_multinomial`).
     """
     kmult, kconj = jax.random.split(key)
     logz = _log_responsibilities(state, values)                   # (V, K)
     probs = jax.nn.softmax(logz, axis=-1)
-    m = multinomial_counts(kmult, counts, probs)                  # (V, K)
+    m = _tiered_multinomial(kmult, counts, probs, tiers, unroll)  # (V, K)
     Ns = jnp.sum(m, axis=0)
     Ts = values @ m                                               # (K,)
     new_state = _conjugate_update(kconj, Ns, Ts, cfg.alpha_eff,
-                                  cfg.gamma_shape, cfg.gamma_rate)
+                                  cfg.gamma_shape, cfg.gamma_rate, unroll)
     if return_counts:
         return new_state, m
     return new_state, None
@@ -194,11 +219,33 @@ def _thinned_scan(sweep_fn, key: jax.Array, state: MixtureState,
     return W, R  # each (n_samples, K)
 
 
+def compute_tiers(counts: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Sort value columns by multiplicity descending and return the static
+    tier boundaries for :func:`_tiered_multinomial`.
+
+    Works on (V,) or (B, V) count arrays; for batched input the boundaries
+    are maxima over lanes, which keeps every lane's columns inside the
+    correct tier.
+
+    Returns:
+        (order, (head_end, single_start)): ``order`` sorts the value axis.
+    """
+    counts = np.asarray(counts)
+    order = np.argsort(-counts, axis=-1, kind="stable")
+    sorted_counts = np.take_along_axis(counts, order, axis=-1)
+    flat = sorted_counts.reshape(-1, sorted_counts.shape[-1])
+    head_end = int(np.max(np.count_nonzero(flat > SMALL_NMAX, axis=-1)))
+    single_start = int(np.max(np.count_nonzero(flat > 1, axis=-1)))
+    single_start = max(single_start, head_end)
+    return order, (head_end, single_start)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "mode"))
+                   static_argnames=("cfg", "mode", "tiers"))
 def run_chain(key: jax.Array, times_or_values: jax.Array,
               counts_or_mask: Optional[jax.Array], cfg: GibbsConfig,
-              mode: str = "collapsed"):
+              mode: str = "collapsed",
+              tiers: Optional[Tuple[int, int]] = None):
     """Run one full Gibbs chain; returns thinned (weights, rates) samples.
 
     Args:
@@ -209,6 +256,8 @@ def run_chain(key: jax.Array, times_or_values: jax.Array,
             padding); optional (N,) 0/1 mask for dense mode.
         cfg: sampler configuration (static).
         mode: 'collapsed' or 'dense' (static).
+        tiers: static multiplicity-tier boundaries (see
+            :func:`compute_tiers`); requires count-descending value order.
 
     Returns:
         (mcweights, mcrates): each (niter//g, ncomp) f32.
@@ -216,7 +265,8 @@ def run_chain(key: jax.Array, times_or_values: jax.Array,
     state = init_mixture_params(cfg.ncomp, times_or_values.dtype)
     if mode == "collapsed":
         sweep = lambda k, st: collapsed_sweep(k, st, times_or_values,
-                                              counts_or_mask, cfg)
+                                              counts_or_mask, cfg,
+                                              tiers=tiers, unroll=True)
     elif mode == "dense":
         sweep = lambda k, st: dense_sweep(k, st, times_or_values,
                                           counts_or_mask, cfg)
@@ -225,16 +275,19 @@ def run_chain(key: jax.Array, times_or_values: jax.Array,
     return _thinned_scan(sweep, key, state, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode", "n_chains"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mode", "n_chains",
+                                             "tiers"))
 def run_chains(key: jax.Array, times_or_values: jax.Array,
                counts_or_mask: Optional[jax.Array], cfg: GibbsConfig,
-               mode: str = "collapsed", n_chains: int = 1):
+               mode: str = "collapsed", n_chains: int = 1,
+               tiers: Optional[Tuple[int, int]] = None):
     """vmap ``run_chain`` over independent chains (capability upgrade over
     the reference's single chain per residue, enabling convergence
     diagnostics; SURVEY.md section 2 'chain parallelism')."""
     keys = jax.random.split(key, n_chains)
     return jax.vmap(
-        lambda k: run_chain(k, times_or_values, counts_or_mask, cfg, mode)
+        lambda k: run_chain(k, times_or_values, counts_or_mask, cfg, mode,
+                            tiers)
     )(keys)
 
 

@@ -1,0 +1,86 @@
+"""Headline benchmark: aggregated Gibbs sweeps/sec/chip on an all-residue run.
+
+Workload: a full-protein-scale batch — 300 residues whose event counts span
+1e2 .. 4.5e5 (one flagship residue matches the bundled W313 dataset's scale:
+446,605 events) with K=15 mixture components, the reference's canonical
+configuration (reference gibbs.py:133, BASELINE.md). Data is synthetic but
+matched to the real dataset's computational shape (unique-value count and
+multiplicity skew; W313 has V=870 unique times for 446k events).
+
+Baseline: 2.11 sweeps/s measured for the reference's inner loop
+(gibbs.py:196-211) on one CPU core on the flagship residue (BASELINE.md).
+``vs_baseline`` is aggregate device sweeps/s divided by that number.
+
+Prints ONE JSON line to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+
+from basicrta_tpu.config import GibbsConfig  # noqa: E402
+from basicrta_tpu.ops.surv import (discretize_times,  # noqa: E402
+                                   simulate_hyperexp)
+from basicrta_tpu.sampler.batch import bucket_residues, run_batch  # noqa: E402
+
+BASELINE_SWEEPS_PER_SEC = 2.11  # reference inner loop, 1 CPU core (BASELINE.md)
+N_RESIDUES = 300
+TIMED_SWEEPS = 1000
+
+
+def make_workload(n_residues=N_RESIDUES, seed=0):
+    """Synthetic all-residue workload matched to the W313 dataset shape."""
+    rng = np.random.default_rng(seed)
+    # W313-posterior-like mixture: concentrated, V ~ 900 at N ~ 4.5e5
+    w = np.array([0.87, 0.09, 0.03, 0.009, 0.001])
+    r = np.array([4.7, 1.3, 0.33, 0.06, 0.009])
+    residues = {}
+    sizes = np.concatenate([
+        [446605],  # flagship residue at the bundled dataset's size
+        (10 ** rng.uniform(2.0, 5.3, n_residues - 1)).astype(int)])
+    for i, n in enumerate(sizes):
+        scale = rng.uniform(0.7, 1.5)
+        residues[f"R{i}"] = discretize_times(
+            simulate_hyperexp(int(n), w, r * scale, rng), 0.1)
+    return residues
+
+
+def main():
+    residues = make_workload()
+    cfg = GibbsConfig(ncomp=15, niter=TIMED_SWEEPS, g=100)
+    batches = bucket_residues(residues, floor=1024)
+    info = [(b.values.shape, b.tiers) for b in batches]
+    print(f"buckets: {info}", file=sys.stderr)
+
+    # warmup (compiles once per bucket shape; cached across runs)
+    for b in batches:
+        run_batch(b, cfg)
+
+    t0 = time.time()
+    for b in batches:
+        run_batch(b, cfg)
+    elapsed = time.time() - t0
+
+    lanes = sum(b.size for b in batches)
+    agg = lanes * cfg.niter / elapsed
+    print(json.dumps({
+        "metric": "gibbs_sweeps_per_sec_per_chip",
+        "value": round(agg, 1),
+        "unit": "sweeps/s/chip (aggregate, 300-residue batch, K=15)",
+        "vs_baseline": round(agg / BASELINE_SWEEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

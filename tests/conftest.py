@@ -7,13 +7,19 @@ for the sharded code paths.
 
 import os
 
-# The session environment pins JAX_PLATFORMS to the TPU tunnel; tests always
-# run on the virtual CPU platform, so override rather than setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The session environment pins JAX to the TPU tunnel and its sitecustomize
+# initializes the backend at interpreter start, so env vars alone are
+# ignored; force the platform through the config API instead. XLA_FLAGS must
+# still be in the environment before the CPU backend is first created.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
