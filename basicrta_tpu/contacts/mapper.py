@@ -1,0 +1,111 @@
+"""Contact-map extraction driver (MapContacts / ProcessContacts parity).
+
+The reference forks a process pool over trajectory slices, each worker
+running a C neighbor search per frame and writing text shards that the
+parent re-parses into a memmap (reference contacts.py:57-132). Here frame
+batches stream through the device distance kernel and sparse rows accumulate
+in memory; there is no text round-trip and no fork.
+
+The trajectory source is any iterable of ``FrameBatch`` — provided by
+``basicrta_tpu.io`` readers (XTC/DCD) or synthetic generators in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from basicrta_tpu.config import ContactConfig
+from basicrta_tpu.contacts.distances import (contacts_from_batch,
+                                             gather_grouped,
+                                             group_by_residue,
+                                             min_dist_per_residue_pair)
+from basicrta_tpu.contacts.events import merge_events
+from basicrta_tpu.contacts.records import (ContactEvents, ContactMeta,
+                                           ContactRecords)
+
+
+@dataclasses.dataclass
+class FrameBatch:
+    """One streamed chunk of trajectory."""
+    frame_ids: np.ndarray   # (F,) int64
+    times: np.ndarray       # (F,) float64 [ns]
+    positions: np.ndarray   # (F, A, 3) float32 [A]
+    box: Optional[np.ndarray] = None  # (F, 3) orthorhombic box lengths [A]
+
+
+class MapContacts:
+    """Compute the primary contact map between two atom groups.
+
+    :param indices1/indices2: atom indices of the two groups (the reference's
+        ag1/ag2 AtomGroups, contacts.py:53-55).
+    :param resids1/resids2: per-atom residue ids for each group.
+    :param cfg: ContactConfig (map cutoff default 10.0 A, contacts.py:51).
+    """
+
+    def __init__(self, indices1: np.ndarray, resids1: np.ndarray,
+                 indices2: np.ndarray, resids2: np.ndarray,
+                 cfg: ContactConfig = ContactConfig(),
+                 meta: Optional[ContactMeta] = None):
+        self.indices1 = np.asarray(indices1)
+        self.indices2 = np.asarray(indices2)
+        self.cfg = cfg
+        self.meta = meta or ContactMeta()
+        self.group_idx1, self.uniq_resids1 = group_by_residue(
+            np.zeros((len(indices1), 3)), np.asarray(resids1))
+        self.group_idx2, self.uniq_resids2 = group_by_residue(
+            np.zeros((len(indices2), 3)), np.asarray(resids2))
+
+    def run(self, trajectory: Iterable[FrameBatch],
+            progress_cb=None) -> ContactRecords:
+        """Stream frame batches through the distance kernel and collect all
+        residue pairs within the map cutoff."""
+        cols = {k: [] for k in ("frames", "s1", "s2", "dist", "times")}
+        last_time = None
+        prev_time = None
+        for batch in trajectory:
+            pos = jnp.asarray(batch.positions, jnp.float32)
+            p1, m1 = gather_grouped(pos[:, self.indices1, :], self.group_idx1)
+            p2, m2 = gather_grouped(pos[:, self.indices2, :], self.group_idx2)
+            use_pbc = self.cfg.use_pbc and batch.box is not None
+            box = (jnp.asarray(batch.box, jnp.float32) if use_pbc else None)
+            dmin = np.asarray(min_dist_per_residue_pair(
+                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2))
+            f, s1, s2, dist, t = contacts_from_batch(
+                dmin, batch.frame_ids, batch.times, self.uniq_resids1,
+                self.uniq_resids2, self.cfg.map_cutoff)
+            cols["frames"].append(f)
+            cols["s1"].append(s1)
+            cols["s2"].append(s2)
+            cols["dist"].append(dist)
+            cols["times"].append(t)
+            if len(batch.times) > 0:
+                if prev_time is None and len(batch.times) > 1:
+                    prev_time = float(batch.times[1] - batch.times[0])
+                elif last_time is not None:
+                    prev_time = float(batch.times[0] - last_time)
+                last_time = float(batch.times[-1])
+            if progress_cb is not None:
+                progress_cb(int(batch.frame_ids[-1]) + 1)
+
+        meta = dataclasses.replace(self.meta, cutoff=self.cfg.map_cutoff)
+        if meta.ts is None and prev_time is not None:
+            meta.ts = prev_time
+        cat = {k: (np.concatenate(v) if v else np.zeros(0))
+               for k, v in cols.items()}
+        return ContactRecords(cat["frames"], cat["s1"], cat["s2"],
+                              cat["dist"], cat["times"], meta)
+
+
+class ProcessContacts:
+    """Impose the analysis cutoff and merge contacts into residence events
+    (reference contacts.py:135-231)."""
+
+    def __init__(self, cutoff: float = 7.0):
+        self.cutoff = cutoff
+
+    def run(self, records: ContactRecords) -> ContactEvents:
+        return merge_events(records, self.cutoff)

@@ -1,0 +1,232 @@
+"""ctypes bindings to the native MD I/O library (native/mdio.cpp).
+
+The library is built on demand with the repo Makefile (g++ only, no
+pybind11). Coordinates are exposed in Angstrom and times in ns framework-
+wide; XTC's native nm/ps are converted here.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libbasicrta_mdio.so")
+_lib = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    c = ctypes
+    lib.bmd_xtc_open.restype = c.c_void_p
+    lib.bmd_xtc_open.argtypes = [c.c_char_p]
+    lib.bmd_xtc_natoms.restype = c.c_int
+    lib.bmd_xtc_natoms.argtypes = [c.c_void_p]
+    lib.bmd_xtc_nframes.restype = c.c_long
+    lib.bmd_xtc_nframes.argtypes = [c.c_void_p]
+    lib.bmd_xtc_read.restype = c.c_long
+    lib.bmd_xtc_read.argtypes = [c.c_void_p, c.POINTER(c.c_long), c.c_long,
+                                 c.POINTER(c.c_float), c.POINTER(c.c_float),
+                                 c.POINTER(c.c_int), c.POINTER(c.c_float)]
+    lib.bmd_xtc_close.argtypes = [c.c_void_p]
+    lib.bmd_xtc_write.restype = c.c_long
+    lib.bmd_xtc_write.argtypes = [c.c_char_p, c.c_int, c.c_long,
+                                  c.POINTER(c.c_float), c.POINTER(c.c_float),
+                                  c.POINTER(c.c_int), c.POINTER(c.c_float),
+                                  c.c_float, c.c_int]
+    lib.bmd_dcd_open.restype = c.c_void_p
+    lib.bmd_dcd_open.argtypes = [c.c_char_p]
+    lib.bmd_dcd_natoms.restype = c.c_int
+    lib.bmd_dcd_natoms.argtypes = [c.c_void_p]
+    lib.bmd_dcd_nframes.restype = c.c_long
+    lib.bmd_dcd_nframes.argtypes = [c.c_void_p]
+    lib.bmd_dcd_delta.restype = c.c_float
+    lib.bmd_dcd_delta.argtypes = [c.c_void_p]
+    lib.bmd_dcd_read.restype = c.c_long
+    lib.bmd_dcd_read.argtypes = [c.c_void_p, c.POINTER(c.c_long), c.c_long,
+                                 c.POINTER(c.c_float), c.POINTER(c.c_double)]
+    lib.bmd_dcd_close.argtypes = [c.c_void_p]
+    lib.bmd_dcd_write.restype = c.c_long
+    lib.bmd_dcd_write.argtypes = [c.c_char_p, c.c_int, c.c_long,
+                                  c.POINTER(c.c_float), c.POINTER(c.c_double),
+                                  c.c_float, c.c_int, c.c_int]
+    _lib = lib
+    return lib
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class XTCReader:
+    """Random-access XTC reader (frame offsets indexed at open)."""
+
+    def __init__(self, path: str):
+        self._lib = _load()
+        self._h = self._lib.bmd_xtc_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(f"cannot open XTC file: {path}")
+        self.natoms = self._lib.bmd_xtc_natoms(self._h)
+        self.nframes = self._lib.bmd_xtc_nframes(self._h)
+
+    def read(self, frames: Optional[Sequence[int]] = None):
+        """Read frames (default all).
+
+        Returns:
+            coords (F, natoms, 3) float32 [Angstrom],
+            times (F,) float64 [ns],
+            box (F, 3, 3) float32 [Angstrom],
+            steps (F,) int32.
+        """
+        if frames is None:
+            frames = np.arange(self.nframes)
+        idx = np.ascontiguousarray(frames, dtype=np.int64)
+        F = len(idx)
+        coords = np.empty((F, self.natoms, 3), np.float32)
+        times = np.empty(F, np.float32)
+        steps = np.empty(F, np.int32)
+        box = np.empty((F, 3, 3), np.float32)
+        got = self._lib.bmd_xtc_read(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), F,
+            _fptr(coords), _fptr(times),
+            steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _fptr(box))
+        if got != F:
+            raise IOError(f"XTC read failed with code {got}")
+        return (coords * 10.0, times.astype(np.float64) / 1000.0,
+                box * 10.0, steps)
+
+    def close(self):
+        if self._h:
+            self._lib.bmd_xtc_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __len__(self):
+        return self.nframes
+
+
+class XTCWriter:
+    """XTC writer (Angstrom/ns in, nm/ps on disk; precision 1000/nm)."""
+
+    def __init__(self, path: str, precision: float = 1000.0):
+        self.path = path
+        self.precision = precision
+        self._first = True
+
+    def write(self, coords: np.ndarray, times: np.ndarray,
+              box: np.ndarray, steps: Optional[np.ndarray] = None):
+        """coords (F, A, 3) Angstrom; times (F,) ns; box (F, 3, 3) or (F, 3)
+        Angstrom (diagonal)."""
+        lib = _load()
+        coords = np.ascontiguousarray(coords, np.float32) / 10.0
+        F, A, _ = coords.shape
+        times_ps = np.ascontiguousarray(times, np.float32) * 1000.0
+        box = np.asarray(box, np.float32)
+        if box.ndim == 2:  # diagonal lengths -> full matrix
+            full = np.zeros((F, 3, 3), np.float32)
+            full[:, 0, 0] = box[:, 0]
+            full[:, 1, 1] = box[:, 1]
+            full[:, 2, 2] = box[:, 2]
+            box = full
+        box = np.ascontiguousarray(box / 10.0)
+        if steps is None:
+            steps = np.arange(F, dtype=np.int32)
+        steps = np.ascontiguousarray(steps, np.int32)
+        got = lib.bmd_xtc_write(
+            self.path.encode(), A, F, _fptr(coords), _fptr(times_ps),
+            steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _fptr(box),
+            self.precision, 0 if self._first else 1)
+        self._first = False
+        if got != F:
+            raise IOError(f"XTC write failed with code {got}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class DCDReader:
+    """Random-access DCD reader."""
+
+    def __init__(self, path: str):
+        self._lib = _load()
+        self._h = self._lib.bmd_dcd_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(f"cannot open DCD file: {path}")
+        self.natoms = self._lib.bmd_dcd_natoms(self._h)
+        self.nframes = self._lib.bmd_dcd_nframes(self._h)
+        self.delta = float(self._lib.bmd_dcd_delta(self._h))
+
+    def read(self, frames: Optional[Sequence[int]] = None):
+        """Returns coords (F, A, 3) float32 [Angstrom] and unitcell
+        (F, 6) float64 rows [A, cos(gamma), B, cos(beta), cos(alpha), C]."""
+        if frames is None:
+            frames = np.arange(self.nframes)
+        idx = np.ascontiguousarray(frames, dtype=np.int64)
+        F = len(idx)
+        coords = np.empty((F, self.natoms, 3), np.float32)
+        cell = np.empty((F, 6), np.float64)
+        got = self._lib.bmd_dcd_read(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), F,
+            _fptr(coords),
+            cell.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if got != F:
+            raise IOError(f"DCD read failed with code {got}")
+        return coords, cell
+
+    def close(self):
+        if self._h:
+            self._lib.bmd_dcd_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __len__(self):
+        return self.nframes
+
+
+class DCDWriter:
+    """One-shot DCD writer."""
+
+    def __init__(self, path: str, delta: float = 1.0, istart: int = 0,
+                 nsavc: int = 1):
+        self.path = path
+        self.delta = delta
+        self.istart = istart
+        self.nsavc = nsavc
+
+    def write(self, coords: np.ndarray, box: Optional[np.ndarray] = None):
+        """coords (F, A, 3) Angstrom; box (F, 3) diagonal lengths or None."""
+        lib = _load()
+        coords = np.ascontiguousarray(coords, np.float32)
+        F, A, _ = coords.shape
+        cell_ptr = None
+        if box is not None:
+            box = np.asarray(box, np.float64)
+            cell = np.zeros((F, 6), np.float64)
+            cell[:, 0] = box[:, 0]
+            cell[:, 2] = box[:, 1]
+            cell[:, 5] = box[:, 2]
+            cell = np.ascontiguousarray(cell)
+            cell_ptr = cell.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        got = lib.bmd_dcd_write(self.path.encode(), A, F, _fptr(coords),
+                                cell_ptr, self.delta, self.istart,
+                                self.nsavc)
+        if got != F:
+            raise IOError(f"DCD write failed with code {got}")

@@ -1,0 +1,271 @@
+"""Topology parsing (GRO/PDB) and a selection mini-language.
+
+Replaces the MDAnalysis Universe/AtomGroup machinery the reference uses for
+atom selection and PDB b-factor export (reference contacts.py:246-249,
+cluster.py:157-175). The selection grammar covers the expressions the
+pipeline needs::
+
+    protein | backbone | all
+    name CA CB ... | resname CHOL POPC ... | resid 313 | resid 100-200
+    not EXPR | EXPR and EXPR | EXPR or EXPR | ( EXPR )
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# standard amino-acid residue names (3-letter, incl. common His variants)
+PROTEIN_RESNAMES = {
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+    "HSD", "HSE", "HSP", "HID", "HIE", "HIP", "CYX", "MSE", "ASH", "GLH",
+    "LYN",
+}
+BACKBONE_NAMES = {"N", "CA", "C", "O", "BB"}
+
+AA_3TO1 = {
+    "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C", "GLN": "Q",
+    "GLU": "E", "GLY": "G", "HIS": "H", "ILE": "I", "LEU": "L", "LYS": "K",
+    "MET": "M", "PHE": "F", "PRO": "P", "SER": "S", "THR": "T", "TRP": "W",
+    "TYR": "Y", "VAL": "V", "HSD": "H", "HSE": "H", "HSP": "H", "HID": "H",
+    "HIE": "H", "HIP": "H", "CYX": "C", "MSE": "M", "ASH": "D", "GLH": "E",
+    "LYN": "K",
+}
+
+
+def convert_aa_code(resname: str) -> str:
+    """3-letter -> 1-letter code (reference uses
+    mda.lib.util.convert_aa_code, gibbs.py:64)."""
+    try:
+        return AA_3TO1[resname.upper()]
+    except KeyError:
+        raise ValueError(f"unknown residue name {resname!r}") from None
+
+
+@dataclasses.dataclass
+class Topology:
+    """Struct-of-arrays atom table."""
+    names: np.ndarray      # (A,) str
+    resids: np.ndarray     # (A,) int32
+    resnames: np.ndarray   # (A,) str
+    positions: Optional[np.ndarray] = None  # (A, 3) float32 [Angstrom]
+    box: Optional[np.ndarray] = None        # (3,) float32 [Angstrom]
+
+    @property
+    def natoms(self) -> int:
+        return len(self.names)
+
+    def select(self, expr: str) -> np.ndarray:
+        """Atom indices matching a selection expression."""
+        mask = _SelectionParser(expr).parse()(self)
+        return np.flatnonzero(mask)
+
+    def residue_resids(self, indices: np.ndarray) -> np.ndarray:
+        return np.unique(self.resids[indices])
+
+    def residue_labels(self, indices: np.ndarray) -> List[str]:
+        """Labels like 'W313' for the selected residues
+        (reference gibbs.py:62-67)."""
+        labels = []
+        for resid in self.residue_resids(indices):
+            rn = self.resnames[self.resids == resid][0]
+            labels.append(f"{convert_aa_code(str(rn))}{resid}")
+        return labels
+
+
+# --------------------------- selection grammar --------------------------- #
+
+class _SelectionParser:
+    """Recursive-descent parser producing mask functions Topology -> bool[A].
+
+    Grammar: expr := term (('and'|'or') term)* ; term := 'not' term |
+    '(' expr ')' | primitive. Keyword primitives consume their value lists.
+    """
+
+    def __init__(self, expr: str):
+        self.tokens = expr.replace("(", " ( ").replace(")", " ) ").split()
+        self.pos = 0
+
+    def parse(self):
+        fn = self._expr()
+        if self.pos != len(self.tokens):
+            raise ValueError(
+                f"trailing tokens in selection: {self.tokens[self.pos:]}")
+        return fn
+
+    def _peek(self):
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def _next(self):
+        tok = self._peek()
+        self.pos += 1
+        return tok
+
+    def _expr(self):
+        left = self._term()
+        while self._peek() in ("and", "or"):
+            op = self._next()
+            right = self._term()
+            if op == "and":
+                left = (lambda a, b: lambda t: a(t) & b(t))(left, right)
+            else:
+                left = (lambda a, b: lambda t: a(t) | b(t))(left, right)
+        return left
+
+    def _term(self):
+        tok = self._peek()
+        if tok == "not":
+            self._next()
+            inner = self._term()
+            return lambda t: ~inner(t)
+        if tok == "(":
+            self._next()
+            inner = self._expr()
+            if self._next() != ")":
+                raise ValueError("unbalanced parenthesis in selection")
+            return inner
+        return self._primitive()
+
+    def _values(self) -> List[str]:
+        vals = []
+        stop = {"and", "or", "not", "(", ")"}
+        while self._peek() is not None and self._peek() not in stop:
+            vals.append(self._next())
+        if not vals:
+            raise ValueError("selection keyword needs at least one value")
+        return vals
+
+    def _primitive(self):
+        tok = self._next()
+        if tok is None:
+            raise ValueError("unexpected end of selection")
+        if tok == "all":
+            return lambda t: np.ones(t.natoms, bool)
+        if tok == "protein":
+            return lambda t: np.isin(np.char.upper(
+                t.resnames.astype(str)), list(PROTEIN_RESNAMES))
+        if tok == "backbone":
+            prot = lambda t: np.isin(np.char.upper(  # noqa: E731
+                t.resnames.astype(str)), list(PROTEIN_RESNAMES))
+            return lambda t: prot(t) & np.isin(
+                np.char.upper(t.names.astype(str)), list(BACKBONE_NAMES))
+        if tok == "name":
+            vals = [v.upper() for v in self._values()]
+            return lambda t: np.isin(np.char.upper(t.names.astype(str)),
+                                     vals)
+        if tok == "resname":
+            vals = [v.upper() for v in self._values()]
+            return lambda t: np.isin(np.char.upper(t.resnames.astype(str)),
+                                     vals)
+        if tok == "resid":
+            vals = self._values()
+            ids: List[int] = []
+            ranges = []
+            for v in vals:
+                if "-" in v[1:] or ":" in v:
+                    sep = ":" if ":" in v else "-"
+                    lo, hi = v.split(sep)
+                    ranges.append((int(lo), int(hi)))
+                else:
+                    ids.append(int(v))
+
+            def fn(t, ids=tuple(ids), ranges=tuple(ranges)):
+                m = np.isin(t.resids, ids)
+                for lo, hi in ranges:
+                    m |= (t.resids >= lo) & (t.resids <= hi)
+                return m
+            return fn
+        raise ValueError(f"unknown selection keyword {tok!r}")
+
+
+# ------------------------------ GRO format ------------------------------- #
+
+def read_gro(path: str) -> Topology:
+    """Parse a GROMACS .gro file (fixed columns, nm -> Angstrom)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    natoms = int(lines[1])
+    names, resids, resnames = [], [], []
+    pos = np.empty((natoms, 3), np.float32)
+    for i, ln in enumerate(lines[2:2 + natoms]):
+        resids.append(int(ln[0:5]))
+        resnames.append(ln[5:10].strip())
+        names.append(ln[10:15].strip())
+        pos[i] = (float(ln[20:28]), float(ln[28:36]), float(ln[36:44]))
+    boxvals = [float(v) for v in lines[2 + natoms].split()]
+    box = np.asarray(boxvals[:3], np.float32) * 10.0
+    return Topology(np.asarray(names), np.asarray(resids, np.int32),
+                    np.asarray(resnames), pos * 10.0, box)
+
+
+def write_gro(path: str, top: Topology, positions: Optional[np.ndarray] = None,
+              box: Optional[np.ndarray] = None, title: str = "basicrta_tpu"):
+    """Write a GRO file (Angstrom -> nm)."""
+    pos = (top.positions if positions is None else positions) / 10.0
+    b = (top.box if box is None else box)
+    b = np.zeros(3, np.float32) if b is None else np.asarray(b) / 10.0
+    with open(path, "w") as f:
+        f.write(f"{title}\n{top.natoms:5d}\n")
+        for i in range(top.natoms):
+            f.write(f"{int(top.resids[i]) % 100000:5d}"
+                    f"{str(top.resnames[i])[:5]:<5s}"
+                    f"{str(top.names[i])[:5]:>5s}"
+                    f"{(i + 1) % 100000:5d}"
+                    f"{pos[i, 0]:8.3f}{pos[i, 1]:8.3f}{pos[i, 2]:8.3f}\n")
+        f.write(f"{b[0]:10.5f}{b[1]:10.5f}{b[2]:10.5f}\n")
+    return path
+
+
+# ------------------------------ PDB format ------------------------------- #
+
+def read_pdb(path: str) -> Topology:
+    """Parse ATOM/HETATM records of a PDB file (fixed columns, Angstrom)."""
+    names, resids, resnames, xyz = [], [], [], []
+    box = None
+    with open(path) as f:
+        for ln in f:
+            if ln.startswith("CRYST1"):
+                box = np.asarray([float(ln[6:15]), float(ln[15:24]),
+                                  float(ln[24:33])], np.float32)
+            if not (ln.startswith("ATOM") or ln.startswith("HETATM")):
+                continue
+            names.append(ln[12:16].strip())
+            resnames.append(ln[17:21].strip())
+            resids.append(int(ln[22:26]))
+            xyz.append((float(ln[30:38]), float(ln[38:46]),
+                        float(ln[46:54])))
+    return Topology(np.asarray(names), np.asarray(resids, np.int32),
+                    np.asarray(resnames),
+                    np.asarray(xyz, np.float32), box)
+
+
+def write_pdb(path: str, top: Topology,
+              positions: Optional[np.ndarray] = None,
+              indices: Optional[np.ndarray] = None,
+              tempfactors: Optional[Dict[int, float]] = None,
+              occupancies: Optional[Dict[int, float]] = None):
+    """Write a PDB, optionally with per-residue b-factors/occupancies —
+    the tau-coloring export (reference cluster.py:157-175)."""
+    pos = top.positions if positions is None else positions
+    idx = np.arange(top.natoms) if indices is None else np.asarray(indices)
+    tempfactors = tempfactors or {}
+    occupancies = occupancies or {}
+    with open(path, "w") as f:
+        if top.box is not None:
+            f.write(f"CRYST1{top.box[0]:9.3f}{top.box[1]:9.3f}"
+                    f"{top.box[2]:9.3f}  90.00  90.00  90.00 P 1         1\n")
+        for serial, i in enumerate(idx, start=1):
+            resid = int(top.resids[i])
+            name = str(top.names[i])[:4]
+            b = tempfactors.get(resid, 0.0)
+            occ = occupancies.get(resid, 1.0)
+            f.write(f"ATOM  {serial % 100000:5d} {name:<4s}"
+                    f"{str(top.resnames[i])[:4]:<4s} "
+                    f"{resid % 10000:4d}    "
+                    f"{pos[i, 0]:8.3f}{pos[i, 1]:8.3f}{pos[i, 2]:8.3f}"
+                    f"{occ:6.2f}{b:6.2f}\n")
+        f.write("END\n")
+    return path

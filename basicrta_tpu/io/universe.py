@@ -1,0 +1,108 @@
+"""Universe: topology + trajectory, streaming frame batches to the pipeline.
+
+The minimal analogue of the MDAnalysis Universe the reference builds at the
+top of each stage (reference contacts.py:246-249, kinetics.py:103): parse a
+topology (GRO/PDB), attach a trajectory (XTC/DCD), select atom groups, and
+iterate device-sized frame batches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from basicrta_tpu.contacts.mapper import FrameBatch
+from basicrta_tpu.io.native import DCDReader, XTCReader
+from basicrta_tpu.io.topology import Topology, read_gro, read_pdb
+
+
+def read_topology(path: str) -> Topology:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gro":
+        return read_gro(path)
+    if ext == ".pdb":
+        return read_pdb(path)
+    raise ValueError(f"unsupported topology format: {path}")
+
+
+class Universe:
+    """Topology + trajectory pair."""
+
+    def __init__(self, top_path: str, traj_path: Optional[str] = None,
+                 dcd_dt_ns: Optional[float] = None):
+        self.top_path = top_path
+        self.traj_path = traj_path
+        self.topology = read_topology(top_path)
+        self._traj = None
+        self._dcd_dt_ns = dcd_dt_ns
+        if traj_path is not None:
+            ext = os.path.splitext(traj_path)[1].lower()
+            if ext == ".xtc":
+                self._traj = XTCReader(traj_path)
+            elif ext == ".dcd":
+                self._traj = DCDReader(traj_path)
+            else:
+                raise ValueError(f"unsupported trajectory format: "
+                                 f"{traj_path}")
+            if self._traj.natoms != self.topology.natoms:
+                raise ValueError(
+                    f"topology has {self.topology.natoms} atoms but "
+                    f"trajectory has {self._traj.natoms}")
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._traj) if self._traj is not None else 1
+
+    def select_atoms(self, expr: str) -> np.ndarray:
+        return self.topology.select(expr)
+
+    def timestep_ns(self) -> float:
+        """Frame interval in ns (the reference's ts = dt/1000,
+        contacts.py:83)."""
+        if isinstance(self._traj, XTCReader) and len(self._traj) > 1:
+            _, t, _, _ = self._traj.read([0, 1])
+            return float(t[1] - t[0])
+        if isinstance(self._traj, DCDReader):
+            if self._dcd_dt_ns is not None:
+                return self._dcd_dt_ns
+            return float(self._traj.delta)
+        return 1.0
+
+    def frame_positions(self, frames: Sequence[int]) -> np.ndarray:
+        """(F, A, 3) coordinates [Angstrom] of the given frames."""
+        if self._traj is None:
+            return np.tile(self.topology.positions[None], (len(frames), 1, 1))
+        if isinstance(self._traj, XTCReader):
+            coords, _, _, _ = self._traj.read(frames)
+        else:
+            coords, _ = self._traj.read(frames)
+        return coords
+
+    def iter_batches(self, batch_size: int = 32,
+                     frames: Optional[Sequence[int]] = None
+                     ) -> Iterator[FrameBatch]:
+        """Yield FrameBatch chunks for the contact mapper."""
+        if frames is None:
+            frames = np.arange(self.n_frames)
+        frames = np.asarray(frames)
+        ts = self.timestep_ns()
+        for lo in range(0, len(frames), batch_size):
+            chunk = frames[lo:lo + batch_size]
+            if self._traj is None:
+                coords = self.frame_positions(chunk)
+                box = (np.tile(self.topology.box, (len(chunk), 1))
+                       if self.topology.box is not None else None)
+                times = chunk * ts
+            elif isinstance(self._traj, XTCReader):
+                coords, times, boxmat, _ = self._traj.read(chunk)
+                box = np.stack([boxmat[:, 0, 0], boxmat[:, 1, 1],
+                                boxmat[:, 2, 2]], axis=1)
+            else:
+                coords, cell = self._traj.read(chunk)
+                box = cell[:, [0, 2, 5]].astype(np.float32)
+                times = chunk * ts
+            yield FrameBatch(frame_ids=chunk.astype(np.int64),
+                             times=np.asarray(times, np.float64),
+                             positions=coords, box=box)

@@ -1,0 +1,180 @@
+"""Tests for contact extraction and residence-event merging."""
+
+import numpy as np
+import pytest
+
+from basicrta_tpu.config import ContactConfig
+from basicrta_tpu.contacts.records import (ContactMeta, ContactRecords,
+                                           ContactEvents)
+from basicrta_tpu.contacts.events import merge_events
+from basicrta_tpu.contacts.distances import (group_by_residue, gather_grouped,
+                                             min_dist_per_residue_pair)
+from basicrta_tpu.contacts.mapper import FrameBatch, MapContacts, \
+    ProcessContacts
+
+import jax.numpy as jnp
+
+
+def _records(rows, ts=0.1, cutoff=10.0):
+    """rows: list of (frame, s1, s2, dist)."""
+    rows = np.asarray(rows, dtype=float)
+    return ContactRecords(
+        frames=rows[:, 0].astype(np.int64),
+        sel1_resids=rows[:, 1].astype(np.int32),
+        sel2_resids=rows[:, 2].astype(np.int32),
+        min_dist=rows[:, 3].astype(np.float32),
+        times=rows[:, 0] * ts,
+        meta=ContactMeta(ts=ts, cutoff=cutoff))
+
+
+class TestMergeEvents:
+    """Golden tests of the _lipswap-equivalent merging
+    (reference contacts.py:197-231)."""
+
+    def test_single_run(self):
+        rec = _records([(5, 1, 100, 3.0), (6, 1, 100, 3.0), (7, 1, 100, 3.0)])
+        ev = merge_events(rec, 7.0)
+        assert len(ev) == 1
+        assert ev.sel1_resids[0] == 1 and ev.sel2_resids[0] == 100
+        assert ev.start_times[0] == pytest.approx(0.5)
+        assert ev.durations[0] == pytest.approx(0.3)  # 3 frames * ts
+
+    def test_isolated_single_frame(self):
+        # isolated contact -> duration ts (reference contacts.py:216-217,227)
+        rec = _records([(2, 1, 100, 3.0), (10, 1, 100, 3.0),
+                        (11, 1, 100, 3.0)])
+        ev = merge_events(rec, 7.0)
+        assert len(ev) == 2
+        assert ev.durations[0] == pytest.approx(0.1)
+        assert ev.start_times[0] == pytest.approx(0.2)
+        assert ev.durations[1] == pytest.approx(0.2)
+
+    def test_gap_breaks_run(self):
+        rec = _records([(1, 1, 100, 3.0), (2, 1, 100, 3.0),
+                        (4, 1, 100, 3.0), (5, 1, 100, 3.0)])
+        ev = merge_events(rec, 7.0)
+        assert len(ev) == 2
+        assert np.allclose(ev.start_times, [0.1, 0.4])
+        assert np.allclose(ev.durations, [0.2, 0.2])
+
+    def test_pair_change_breaks_run(self):
+        # same frames, different sel2 residue -> separate events
+        rec = _records([(1, 1, 100, 3.0), (2, 1, 101, 3.0),
+                        (3, 1, 100, 3.0)])
+        ev = merge_events(rec, 7.0)
+        assert len(ev) == 3
+
+    def test_cutoff_filter(self):
+        # distances above the analysis cutoff break the run
+        rec = _records([(1, 1, 100, 3.0), (2, 1, 100, 8.5),
+                        (3, 1, 100, 3.0)])
+        ev = merge_events(rec, 7.0)
+        assert len(ev) == 2
+        assert np.allclose(ev.durations, [0.1, 0.1])
+
+    def test_empty(self):
+        rec = _records([(1, 1, 100, 9.0)])
+        ev = merge_events(rec, 7.0)
+        assert len(ev) == 0
+
+    def test_multiple_pairs_interleaved(self):
+        rec = _records([(1, 1, 100, 3.0), (1, 2, 100, 3.0),
+                        (2, 1, 100, 3.0), (2, 2, 100, 3.0),
+                        (3, 2, 100, 3.0)])
+        ev = merge_events(rec, 7.0)
+        assert len(ev) == 2
+        d = {(int(a), int(b)): dur for a, b, dur in
+             zip(ev.sel1_resids, ev.sel2_resids, ev.durations)}
+        assert d[(1, 100)] == pytest.approx(0.2)
+        assert d[(2, 100)] == pytest.approx(0.3)
+
+    def test_roundtrip_npz(self, tmp_path):
+        rec = _records([(1, 1, 100, 3.0), (2, 1, 100, 3.0)])
+        ev = merge_events(rec, 7.0)
+        p = ev.save(str(tmp_path / "events.npz"))
+        ev2 = ContactEvents.load(p)
+        assert np.allclose(ev2.durations, ev.durations)
+        assert ev2.meta.cutoff == 7.0
+        rows = ev2.as_rows()
+        assert rows.shape == (1, 4)
+
+
+class TestDistances:
+    def test_matches_bruteforce_pbc(self, rng):
+        F, A1, A2 = 3, 17, 23
+        box = np.array([20.0, 25.0, 30.0])
+        pos = rng.uniform(0, 30, (F, A1 + A2, 3)).astype(np.float32)
+        resids1 = np.repeat(np.arange(4), [5, 4, 5, 3])
+        resids2 = np.repeat(np.arange(5) + 100, [5, 5, 5, 5, 3])
+
+        idx1, u1 = group_by_residue(pos[0, :A1], resids1)
+        idx2, u2 = group_by_residue(pos[0, A1:], resids2)
+        p1, m1 = gather_grouped(jnp.asarray(pos[:, :A1]), idx1)
+        p2, m2 = gather_grouped(jnp.asarray(pos[:, A1:]), idx2)
+        d = np.asarray(min_dist_per_residue_pair(
+            p1, p2, jnp.tile(jnp.asarray(box, jnp.float32), (F, 1)),
+            chunk=3, mask1=m1, mask2=m2))
+
+        # brute force
+        delta = pos[:, :A1, None, :] - pos[:, None, A1:, :]
+        delta -= box * np.round(delta / box)
+        dist = np.sqrt((delta ** 2).sum(-1))     # (F, A1, A2)
+        for f in range(F):
+            for i, r1 in enumerate(u1):
+                for j, r2 in enumerate(u2):
+                    ref = dist[f][np.ix_(resids1 == r1, resids2 == r2)].min()
+                    assert d[f, i, j] == pytest.approx(ref, rel=1e-4)
+
+    def test_no_pbc(self, rng):
+        pos1 = rng.uniform(0, 5, (1, 1, 1, 3)).astype(np.float32)
+        pos2 = pos1 + np.array([19.0, 0, 0], dtype=np.float32)
+        d_pbc = np.asarray(min_dist_per_residue_pair(
+            jnp.asarray(pos1), jnp.asarray(pos2),
+            jnp.full((1, 3), 20.0), use_pbc=True))
+        d_free = np.asarray(min_dist_per_residue_pair(
+            jnp.asarray(pos1), jnp.asarray(pos2), use_pbc=False))
+        assert d_pbc[0, 0, 0] == pytest.approx(1.0, abs=1e-3)
+        assert d_free[0, 0, 0] == pytest.approx(19.0, abs=1e-3)
+
+
+class TestMapContacts:
+    def test_end_to_end(self):
+        """Two 2-atom residues vs one 3-atom ligand; contact windows known."""
+        ts = 0.1
+        nframes = 12
+        A = 7  # atoms: res1(2) res2(2) lig(3)
+        pos = np.full((nframes, A, 3), 0.0, np.float32)
+        pos[:, 0:2, :] = [0.0, 0.0, 0.0]
+        pos[:, 1, 0] = 1.0
+        pos[:, 2:4, :] = [50.0, 0.0, 0.0]
+        pos[:, 3, 0] = 51.0
+        # ligand far away by default
+        pos[:, 4:7, :] = [25.0, 25.0, 25.0]
+        # frames 2-4: ligand near residue 1 (atom 0); frame 8: isolated touch
+        for f in (2, 3, 4):
+            pos[f, 4:7] = [2.0, 0.0, 0.0]
+        pos[8, 4:7] = [49.0, 0.0, 0.0]  # near residue 2
+
+        mc = MapContacts(
+            indices1=np.arange(4), resids1=np.array([1, 1, 2, 2]),
+            indices2=np.array([4, 5, 6]), resids2=np.array([9, 9, 9]),
+            cfg=ContactConfig(map_cutoff=10.0, use_pbc=False),
+            meta=ContactMeta(ts=ts, sel1="protein", sel2="resname LIG"))
+        batches = [FrameBatch(np.arange(0, 6), np.arange(0, 6) * ts,
+                              pos[:6]),
+                   FrameBatch(np.arange(6, 12), np.arange(6, 12) * ts,
+                              pos[6:])]
+        rec = mc.run(batches)
+        assert len(rec) == 4  # 3 frames near res1 + 1 near res2
+        assert rec.meta.ts == pytest.approx(ts)
+
+        ev = ProcessContacts(cutoff=7.0).run(rec)
+        assert len(ev) == 2
+        d = {(int(a), int(b)): (s, dur) for a, b, s, dur in
+             zip(ev.sel1_resids, ev.sel2_resids, ev.start_times,
+                 ev.durations)}
+        assert d[(1, 9)][0] == pytest.approx(0.2)
+        assert d[(1, 9)][1] == pytest.approx(0.3)
+        assert d[(2, 9)][1] == pytest.approx(0.1)
+        # Gibbs input extraction
+        assert np.allclose(ev.times_for_residue(1), [0.3])

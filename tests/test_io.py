@@ -1,0 +1,185 @@
+"""Tests for MD file I/O: XTC/DCD codecs, GRO/PDB topologies, selections,
+and the file -> contacts -> events integration path."""
+
+import numpy as np
+import pytest
+
+from basicrta_tpu.io.native import XTCReader, XTCWriter, DCDReader, DCDWriter
+from basicrta_tpu.io.topology import (Topology, read_gro, write_gro,
+                                      read_pdb, write_pdb, convert_aa_code)
+from basicrta_tpu.io.universe import Universe
+
+
+@pytest.fixture
+def traj_data(rng):
+    F, A = 5, 120
+    coords = rng.uniform(0, 50, (F, A, 3)).astype(np.float32)
+    times = np.arange(F) * 0.1
+    box = np.tile([50.0, 50.0, 50.0], (F, 1))
+    return coords, times, box
+
+
+class TestXTC:
+    def test_roundtrip(self, tmp_path, traj_data):
+        coords, times, box = traj_data
+        path = str(tmp_path / "t.xtc")
+        XTCWriter(path).write(coords, times, box)
+        r = XTCReader(path)
+        assert r.natoms == coords.shape[1] and r.nframes == len(coords)
+        c, t, b, s = r.read()
+        # precision 1000/nm -> max quantization error 0.005 A
+        assert np.abs(c - coords).max() < 0.006
+        assert np.allclose(t, times, atol=1e-6)
+        assert np.allclose(b[:, 0, 0], 50.0, atol=1e-3)
+        assert np.array_equal(s, np.arange(len(coords)))
+
+    def test_random_access_and_append(self, tmp_path, traj_data):
+        coords, times, box = traj_data
+        path = str(tmp_path / "t.xtc")
+        w = XTCWriter(path)
+        w.write(coords[:3], times[:3], box[:3])
+        w.write(coords[3:], times[3:], box[3:])   # append
+        r = XTCReader(path)
+        assert r.nframes == 5
+        c, t, _, _ = r.read([4, 1])
+        assert np.abs(c[0] - coords[4]).max() < 0.006
+        assert t[1] == pytest.approx(times[1], abs=1e-6)
+
+    def test_clustered_run_encoding(self, tmp_path, rng):
+        # tightly clustered atoms exercise the delta/run compression path
+        centers = rng.uniform(0, 40, (2, 30, 1, 3))
+        coords = (centers + rng.normal(0, 0.1, (2, 30, 40, 3))).reshape(
+            2, 1200, 3).astype(np.float32)
+        path = str(tmp_path / "c.xtc")
+        XTCWriter(path).write(coords, [0.0, 0.1], [[50.0] * 3] * 2)
+        c, _, _, _ = XTCReader(path).read()
+        assert np.abs(c - coords).max() < 0.006
+
+    def test_missing_file(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            XTCReader(str(tmp_path / "nope.xtc"))
+
+
+class TestDCD:
+    def test_roundtrip(self, tmp_path, traj_data):
+        coords, _, box = traj_data
+        path = str(tmp_path / "t.dcd")
+        DCDWriter(path).write(coords, box)
+        r = DCDReader(path)
+        assert r.natoms == coords.shape[1] and r.nframes == len(coords)
+        c, cell = r.read()
+        assert np.allclose(c, coords)     # DCD stores exact f32
+        assert np.allclose(cell[:, [0, 2, 5]], 50.0)
+        c2, _ = r.read([2])
+        assert np.allclose(c2[0], coords[2])
+
+
+def _make_topology():
+    # residues: 2 protein residues (3 + 2 atoms) + 2 CHOL (2 atoms each)
+    names = np.array(["N", "CA", "C", "N", "CA", "C1", "C2", "C1", "C2"])
+    resids = np.array([10, 10, 10, 11, 11, 100, 100, 101, 101], np.int32)
+    resnames = np.array(["TRP", "TRP", "TRP", "ALA", "ALA",
+                         "CHOL", "CHOL", "CHOL", "CHOL"])
+    pos = np.arange(27, dtype=np.float32).reshape(9, 3)
+    return Topology(names, resids, resnames, pos,
+                    np.array([90.0, 90.0, 90.0], np.float32))
+
+
+class TestTopologyFormats:
+    def test_gro_roundtrip(self, tmp_path):
+        top = _make_topology()
+        p = write_gro(str(tmp_path / "t.gro"), top)
+        top2 = read_gro(p)
+        assert top2.natoms == 9
+        assert np.array_equal(top2.resids, top.resids)
+        assert list(top2.resnames) == list(top.resnames)
+        assert np.allclose(top2.positions, top.positions, atol=0.05)
+        assert np.allclose(top2.box, 90.0, atol=0.01)
+
+    def test_pdb_roundtrip_with_bfactors(self, tmp_path):
+        top = _make_topology()
+        p = write_pdb(str(tmp_path / "t.pdb"), top,
+                      tempfactors={10: 42.5, 11: 7.25},
+                      occupancies={10: 0.9})
+        top2 = read_pdb(p)
+        assert top2.natoms == 9
+        assert np.allclose(top2.positions, top.positions, atol=1e-3)
+        # b-factor column round-trip
+        with open(p) as f:
+            lines = [ln for ln in f if ln.startswith("ATOM")]
+        assert " 42.50" in lines[0] and "  7.25" in lines[3]
+        assert "  0.90" in lines[0]
+
+    def test_aa_code(self):
+        assert convert_aa_code("TRP") == "W"
+        assert convert_aa_code("HSD") == "H"
+        with pytest.raises(ValueError):
+            convert_aa_code("XXX")
+
+
+class TestSelections:
+    def test_basic(self):
+        top = _make_topology()
+        assert len(top.select("protein")) == 5
+        assert len(top.select("resname CHOL")) == 4
+        assert len(top.select("name CA")) == 2
+        assert list(top.select("resid 10")) == [0, 1, 2]
+        assert len(top.select("resid 10-11")) == 5
+        assert len(top.select("protein and name CA")) == 2
+        assert len(top.select("not protein")) == 4
+        assert len(top.select("resid 10 or resid 101")) == 5
+        assert len(top.select("all")) == 9
+
+    def test_labels(self):
+        top = _make_topology()
+        assert top.residue_labels(top.select("protein")) == ["W10", "A11"]
+
+    def test_errors(self):
+        top = _make_topology()
+        with pytest.raises(ValueError):
+            top.select("bogus")
+        with pytest.raises(ValueError):
+            top.select("name")
+        with pytest.raises(ValueError):
+            top.select("( protein")
+
+
+class TestUniverseIntegration:
+    def test_files_to_events(self, tmp_path):
+        """Full path: GRO + XTC on disk -> Universe -> MapContacts ->
+        ProcessContacts -> residence events with known windows."""
+        from basicrta_tpu.config import ContactConfig
+        from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
+        from basicrta_tpu.contacts.records import ContactMeta
+
+        top = _make_topology()
+        # build a trajectory: CHOL 100 visits TRP 10 during frames 3-6
+        F = 10
+        pos = np.zeros((F, 9, 3), np.float32)
+        pos[:, 0:3] = [10.0, 10.0, 10.0]
+        pos[:, 3:5] = [40.0, 40.0, 40.0]
+        pos[:, 5:7] = [70.0, 70.0, 70.0]
+        pos[:, 7:9] = [80.0, 80.0, 80.0]
+        for f in range(3, 7):
+            pos[f, 5:7] = [12.0, 10.0, 10.0]
+        ts = 0.1
+        gro = write_gro(str(tmp_path / "top.gro"), top)
+        from basicrta_tpu.io.native import XTCWriter
+        XTCWriter(str(tmp_path / "traj.xtc")).write(
+            pos, np.arange(F) * ts, np.tile([90.0] * 3, (F, 1)))
+
+        u = Universe(gro, str(tmp_path / "traj.xtc"))
+        assert u.n_frames == F
+        assert u.timestep_ns() == pytest.approx(ts, rel=1e-4)
+        idx1 = u.select_atoms("protein")
+        idx2 = u.select_atoms("resname CHOL")
+        mc = MapContacts(idx1, u.topology.resids[idx1], idx2,
+                         u.topology.resids[idx2],
+                         cfg=ContactConfig(map_cutoff=10.0),
+                         meta=ContactMeta(top=gro, ts=ts))
+        rec = mc.run(u.iter_batches(batch_size=4))
+        ev = ProcessContacts(cutoff=7.0).run(rec)
+        assert len(ev) == 1
+        assert ev.sel1_resids[0] == 10 and ev.sel2_resids[0] == 100
+        assert ev.start_times[0] == pytest.approx(0.3, abs=1e-5)
+        assert ev.durations[0] == pytest.approx(0.4, abs=1e-5)
