@@ -1,0 +1,201 @@
+"""Command-line interface.
+
+Four subcommands mirror the reference's module entry points
+(reference contacts.py:234-252, gibbs.py:781-795, cluster.py:178-192,
+kinetics.py:207-222) so existing workflows translate one to one::
+
+    basicrta-tpu contacts --top t.gro --traj t.xtc --sel1 protein \
+        --sel2 "resname CHOL" --cutoff 7.0
+    basicrta-tpu gibbs --contacts contacts_7.0.npz [--resid 313]
+    basicrta-tpu cluster --cutoff 7.0 [--prot b2ar] [--structure s.pdb]
+    basicrta-tpu kinetics --gibbs basicrta-7.0/W313/gibbs_110000.npz \
+        --contacts contacts_7.0.npz [--top_n N] [--wdensity]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_contacts(args):
+    from basicrta_tpu.config import ContactConfig
+    from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
+    from basicrta_tpu.contacts.records import ContactMeta
+    from basicrta_tpu.io.universe import Universe
+
+    u = Universe(args.top, args.traj)
+    idx1 = u.select_atoms(args.sel1)
+    idx2 = u.select_atoms(args.sel2)
+    cfg = ContactConfig(map_cutoff=args.map_cutoff, cutoff=args.cutoff,
+                        frames_per_batch=args.batch)
+    meta = ContactMeta(top=args.top, traj=args.traj, sel1=args.sel1,
+                       sel2=args.sel2, ts=u.timestep_ns())
+    mapper = MapContacts(idx1, u.topology.resids[idx1], idx2,
+                         u.topology.resids[idx2], cfg=cfg, meta=meta)
+    t0 = time.time()
+    nframes = u.n_frames
+
+    def progress(done):
+        rate = done / max(time.time() - t0, 1e-9)
+        print(f"\rcontacts: frame {done}/{nframes} ({rate:,.0f} frames/s)",
+              end="", file=sys.stderr)
+
+    records = mapper.run(u.iter_batches(cfg.frames_per_batch),
+                         progress_cb=progress)
+    print(file=sys.stderr)
+    records.save("contacts.npz")
+    print('Saved contacts as "contacts.npz"')
+    events = ProcessContacts(cutoff=args.cutoff).run(records)
+    out = f"contacts_{args.cutoff}.npz"
+    events.save(out)
+    print(f'Saved contacts to "{out}"')
+
+
+def _cmd_gibbs(args):
+    from basicrta_tpu.config import GibbsConfig
+    from basicrta_tpu.protein.driver import ParallelGibbs
+
+    # the reference hardcodes burnin=10000 (gibbs.py:141); keep that for
+    # full-length runs but scale it down for short ones
+    burnin = args.burnin if args.burnin is not None else min(
+        10_000, max(args.g, args.niter // 10))
+    cfg = GibbsConfig(ncomp=args.ncomp, niter=args.niter, g=args.g,
+                      burnin=burnin, n_chains=args.nchains, seed=args.seed)
+    t0 = time.time()
+
+    def progress(done, total):
+        rate = done / max(time.time() - t0, 1e-9)
+        print(f"\rgibbs: sweep {done}/{total} ({rate:,.0f} sweeps/s/lane)",
+              end="", file=sys.stderr)
+
+    driver = ParallelGibbs(args.contacts, cfg=cfg)
+    results = driver.run(run_resids=args.resid, mode=args.mode,
+                         progress_cb=progress)
+    print(file=sys.stderr)
+    for label, g in results.items():
+        lo, tau, hi = g.tau
+        print(f"{label}: tau = {tau:.2f} ns  95% CI [{lo:.2f}, {hi:.2f}]")
+
+
+def _cmd_cluster(args):
+    from basicrta_tpu.config import GibbsConfig
+    from basicrta_tpu.protein.driver import ProcessProtein
+
+    cfg = GibbsConfig(niter=args.niter)
+    pp = ProcessProtein(cfg=cfg, prot=args.prot, cutoff=args.cutoff)
+    if args.reprocess:
+        pp.reprocess()
+    found = pp.collect_results()
+    if not found:
+        print(f"no residue results under basicrta-{args.cutoff}/ for "
+              f"niter={args.niter}; run the gibbs subcommand first",
+              file=sys.stderr)
+        sys.exit(1)
+    out = pp.write_data()
+    print(f"wrote {out}")
+    pp.plot_protein()
+    print("wrote figs/t_slow.png")
+    if args.structure:
+        path = pp.b_color_structure(args.structure)
+        print(f"wrote {path}")
+
+
+def _cmd_kinetics(args):
+    from basicrta_tpu.kinetics.mapper import MapKinetics
+    from basicrta_tpu.sampler.gibbs import Gibbs
+
+    g = Gibbs.load(args.gibbs)
+    mk = MapKinetics(g, args.contacts)
+    written = mk.create_traj(top_n=args.top_n)
+    for w in written:
+        print(f"wrote {w}")
+    if args.wdensity:
+        for w in mk.weighted_densities(step=args.step, top_n=args.top_n):
+            print(f"wrote {w}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="basicrta-tpu",
+        description="TPU-native Bayesian residence-time analysis")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("contacts", help="extract the contact map and "
+                       "residence events from a trajectory")
+    c.add_argument("--top", required=True)
+    c.add_argument("--traj", required=True)
+    c.add_argument("--sel1", required=True)
+    c.add_argument("--sel2", required=True)
+    c.add_argument("--cutoff", type=float, default=7.0)
+    c.add_argument("--map-cutoff", type=float, default=10.0)
+    c.add_argument("--batch", type=int, default=32,
+                   help="trajectory frames per device batch")
+    c.set_defaults(fn=_cmd_contacts)
+
+    g = sub.add_parser("gibbs", help="run Gibbs samplers for all residues")
+    g.add_argument("--contacts", required=True)
+    g.add_argument("--resid", type=int, default=None, nargs="*")
+    g.add_argument("--niter", type=int, default=110_000)
+    g.add_argument("--ncomp", type=int, default=15)
+    g.add_argument("--g", type=int, default=100, help="thinning interval")
+    g.add_argument("--burnin", type=int, default=None,
+                   help="burn-in sweeps (default: min(10000, niter/10))")
+    g.add_argument("--nchains", type=int, default=1)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--mode", choices=["batched", "sequential"],
+                   default="batched")
+    g.set_defaults(fn=_cmd_gibbs)
+
+    cl = sub.add_parser("cluster", help="aggregate tau across residues")
+    cl.add_argument("--cutoff", type=float, required=True)
+    cl.add_argument("--niter", type=int, default=110_000)
+    cl.add_argument("--prot", type=str, default=None)
+    cl.add_argument("--structure", type=str, default=None)
+    cl.add_argument("--reprocess", action="store_true")
+    cl.set_defaults(fn=_cmd_cluster)
+
+    k = sub.add_parser("kinetics", help="write component trajectories and "
+                       "weighted densities")
+    k.add_argument("--gibbs", required=True)
+    k.add_argument("--contacts", required=True)
+    k.add_argument("--top_n", type=int, default=None)
+    k.add_argument("--step", type=int, default=1)
+    k.add_argument("--wdensity", action="store_true")
+    k.set_defaults(fn=_cmd_kinetics)
+    return p
+
+
+def enable_compilation_cache():
+    """Persist XLA compilations next to the repo/package.
+
+    Device compiles through the TPU tunnel cost minutes; the cache makes
+    every CLI invocation after the first fast.
+    """
+    import os
+
+    import jax
+    cache = os.environ.get(
+        "BASICRTA_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "basicrta_tpu",
+                     "jax"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import os
+    platform = os.environ.get("BASICRTA_PLATFORM")
+    if platform:
+        # the TPU-tunnel sitecustomize pins the platform before env vars are
+        # honored, so route the override through the config API
+        import jax
+        jax.config.update("jax_platforms", platform)
+    enable_compilation_cache()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,14 +66,30 @@ class MapContacts:
         cols = {k: [] for k in ("frames", "s1", "s2", "dist", "times")}
         last_time = None
         prev_time = None
+        nominal = None
         for batch in trajectory:
-            pos = jnp.asarray(batch.positions, jnp.float32)
+            F_real = len(batch.frame_ids)
+            # pad the trailing partial batch to the first batch's size so
+            # the kernel compiles for a single shape (device compiles are
+            # expensive; the padded frames' rows are sliced off below)
+            if nominal is None:
+                nominal = F_real
+            positions = batch.positions
+            boxarr = batch.box
+            if F_real < nominal:
+                pad = nominal - F_real
+                positions = np.concatenate(
+                    [positions, np.repeat(positions[-1:], pad, axis=0)])
+                if boxarr is not None:
+                    boxarr = np.concatenate(
+                        [boxarr, np.repeat(boxarr[-1:], pad, axis=0)])
+            pos = jnp.asarray(positions, jnp.float32)
             p1, m1 = gather_grouped(pos[:, self.indices1, :], self.group_idx1)
             p2, m2 = gather_grouped(pos[:, self.indices2, :], self.group_idx2)
-            use_pbc = self.cfg.use_pbc and batch.box is not None
-            box = (jnp.asarray(batch.box, jnp.float32) if use_pbc else None)
+            use_pbc = self.cfg.use_pbc and boxarr is not None
+            box = (jnp.asarray(boxarr, jnp.float32) if use_pbc else None)
             dmin = np.asarray(min_dist_per_residue_pair(
-                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2))
+                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2))[:F_real]
             f, s1, s2, dist, t = contacts_from_batch(
                 dmin, batch.frame_ids, batch.times, self.uniq_resids1,
                 self.uniq_resids2, self.cfg.map_cutoff)

@@ -262,9 +262,11 @@ def write_pdb(path: str, top: Topology,
             name = str(top.names[i])[:4]
             b = tempfactors.get(resid, 0.0)
             occ = occupancies.get(resid, 1.0)
-            f.write(f"ATOM  {serial % 100000:5d} {name:<4s}"
-                    f"{str(top.resnames[i])[:4]:<4s} "
-                    f"{resid % 10000:4d}    "
+            # standard columns: name 13-16, altLoc 17, resname 18-21,
+            # chain 22, resid 23-26 (1-based)
+            f.write(f"ATOM  {serial % 100000:5d} {name:<4s} "
+                    f"{str(top.resnames[i])[:4]:<4s}"
+                    f"A{resid % 10000:4d}    "
                     f"{pos[i, 0]:8.3f}{pos[i, 1]:8.3f}{pos[i, 2]:8.3f}"
                     f"{occ:6.2f}{b:6.2f}\n")
         f.write("END\n")

@@ -1,0 +1,146 @@
+"""Weighted volumetric densities as device scatter-adds.
+
+The reference loops ``np.histogramdd`` per frame, adding ``w_k * h`` into
+one grid per mixture component (reference pwdensity.py:254-264 for the
+all-component variant, wdensity.py:256-264 for the single-grid variant).
+Here all frames and all components accumulate in one jitted scatter-add:
+voxelize atom positions, offset flat voxel ids per component, and
+``.at[].add()`` the frame weights — one kernel for the whole trajectory
+batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basicrta_tpu.io.dx import write_dx
+
+
+def fixedwidth_bins(delta: float, smin: np.ndarray, smax: np.ndarray):
+    """Bin layout covering [smin, smax] with exact-width delta bins,
+    centered on the range (MDAnalysis fixedwidth_bins semantics used by
+    reference wdensity.py:244-247)."""
+    length = smax - smin
+    n = np.ceil(length / delta).astype(int)
+    dx = 0.5 * (n * delta - length)
+    return n, smin - dx, smax + dx
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def _accumulate(positions: jnp.ndarray, weights: jnp.ndarray,
+                gmin: jnp.ndarray, delta: jnp.ndarray,
+                nbins: Tuple[int, int, int]) -> jnp.ndarray:
+    """(F, A, 3) positions x (F, K) frame weights -> (K, nx, ny, nz)."""
+    F, A, _ = positions.shape
+    K = weights.shape[1]
+    nx, ny, nz = nbins
+    nvox = nx * ny * nz
+    idx = jnp.floor((positions - gmin[None, None, :]) / delta).astype(
+        jnp.int32)                                        # (F, A, 3)
+    valid = jnp.all((idx >= 0) & (idx < jnp.asarray(nbins)[None, None, :]),
+                    axis=-1)
+    flat = (idx[..., 0] * (ny * nz) + idx[..., 1] * nz + idx[..., 2])
+    flat = jnp.where(valid, flat, nvox)                   # spill bin
+    # per-component offset: component k scatters into [k*(_nvox+1), ...)
+    offs = jnp.arange(K, dtype=jnp.int32) * (nvox + 1)
+    ids = flat[None, :, :] + offs[:, None, None]          # (K, F, A)
+    w = jnp.broadcast_to(weights.T[:, :, None], (K, F, A))
+    out = jnp.zeros((K * (nvox + 1),), jnp.float32)
+    out = out.at[ids.reshape(-1)].add(w.reshape(-1))
+    out = out.reshape(K, nvox + 1)[:, :nvox]
+    return out.reshape(K, nx, ny, nz)
+
+
+def weighted_histogram_3d(positions: np.ndarray, weights: np.ndarray,
+                          gridcenter=None, xdim=40.0, ydim=40.0, zdim=40.0,
+                          delta: float = 1.0, padding: float = 2.0,
+                          frame_chunk: int = 256):
+    """Per-component weighted position histograms.
+
+    Args:
+        positions: (F, A, 3) atom coordinates [Angstrom].
+        weights: (F, K) per-frame component weights.
+    Returns:
+        (grids (K, nx, ny, nz), edges [3 arrays]).
+    """
+    positions = np.asarray(positions, np.float32)
+    weights = np.asarray(weights, np.float32)
+    if weights.ndim == 1:
+        weights = weights[:, None]
+    if gridcenter is not None:
+        center = np.asarray(gridcenter, np.float64)
+        halfdim = np.asarray([xdim, ydim, zdim], np.float64) / 2
+        smin, smax = center - halfdim, center + halfdim
+    else:
+        smin = positions.reshape(-1, 3).min(axis=0) - padding
+        smax = positions.reshape(-1, 3).max(axis=0) + padding
+    nbins, gmin, gmax = fixedwidth_bins(delta, smin, smax)
+    edges = [np.linspace(gmin[d], gmax[d], nbins[d] + 1) for d in range(3)]
+
+    K = weights.shape[1]
+    grids = np.zeros((K,) + tuple(nbins), np.float32)
+    dvec = jnp.asarray((gmax - gmin) / nbins, jnp.float32)
+    gmin_j = jnp.asarray(gmin, jnp.float32)
+    for lo in range(0, len(positions), frame_chunk):
+        grids += np.asarray(_accumulate(
+            jnp.asarray(positions[lo:lo + frame_chunk]),
+            jnp.asarray(weights[lo:lo + frame_chunk]),
+            gmin_j, dvec, tuple(int(n) for n in nbins)))
+    return grids, edges
+
+
+@dataclasses.dataclass
+class Density:
+    """A scalar grid with histogram->density conversion and DX export
+    (the retained surface of the reference's vendored Density class,
+    wdensity.py:361-627)."""
+    grid: np.ndarray
+    edges: list
+    is_density: bool = False
+
+    @property
+    def delta(self) -> np.ndarray:
+        return np.asarray([e[1] - e[0] for e in self.edges])
+
+    @property
+    def origin(self) -> np.ndarray:
+        return np.asarray([0.5 * (e[0] + e[1]) for e in self.edges])
+
+    def make_density(self) -> "Density":
+        """Counts -> counts/volume (reference wdensity.py:528-552)."""
+        if self.is_density:
+            return self
+        self.grid = self.grid / np.prod(self.delta)
+        self.is_density = True
+        return self
+
+    def export(self, path: str) -> str:
+        return write_dx(path, self.grid, self.origin, self.delta)
+
+
+class WDensity:
+    """Weighted density analysis over a frame set.
+
+    One pass produces all component densities (the reference needs the
+    pwdensity fork for that, pwdensity.py:254-280); pass a (F,) weight
+    vector for the single-density wdensity variant.
+    """
+
+    def __init__(self, positions: np.ndarray, weights: np.ndarray,
+                 gridcenter=None, xdim=40.0, ydim=40.0, zdim=40.0,
+                 delta: float = 1.0, padding: float = 2.0):
+        grids, edges = weighted_histogram_3d(
+            positions, weights, gridcenter, xdim, ydim, zdim, delta, padding)
+        n_frames = len(positions)
+        grids = grids / float(n_frames)      # reference wdensity.py:268
+        self.densities = [Density(g, edges).make_density() for g in grids]
+
+    @property
+    def density(self) -> Density:
+        return self.densities[0]

@@ -1,0 +1,211 @@
+"""Kinetic mapping of posterior component probabilities onto trajectories.
+
+``MapKinetics`` (reference kinetics.py:9-204 parity) expands each residence
+event of one residue into its trajectory frame range, attaches the event's
+posterior component-membership probabilities, writes reduced per-component
+trajectories (sel1 + the contacting sel2 residue), and renders posterior-
+weighted 3D densities.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from basicrta_tpu.contacts.records import ContactEvents
+from basicrta_tpu.io.native import XTCWriter
+from basicrta_tpu.io.topology import write_gro
+from basicrta_tpu.io.universe import Universe
+from basicrta_tpu.kinetics.density import WDensity
+from basicrta_tpu.ops.surv import start_stop_frames
+from basicrta_tpu.sampler.gibbs import Gibbs
+
+
+class MapKinetics:
+    """Map per-event posterior probabilities back onto trajectory frames.
+
+    :param gibbs: processed Gibbs instance of one residue.
+    :param contacts: ContactEvents (or path) whose metadata names the
+        topology/trajectory (reference kinetics.py:22-44).
+    """
+
+    def __init__(self, gibbs: Gibbs, contacts, root: Optional[str] = None):
+        self.gibbs = gibbs
+        if isinstance(contacts, str):
+            contacts = ContactEvents.load(contacts)
+        self.events = contacts
+        self.meta = contacts.meta
+        self.root = root or gibbs.root
+        self.cutoff = gibbs.cutoff
+        self.savedir = gibbs.savedir
+        self._frame_table = None
+
+    # ------------------------------------------------------------------ #
+    def frame_table(self) -> np.ndarray:
+        """(T, 2 + ncomp) rows [frame, sel2_resid, p_0..p_k]: every frame of
+        every residence event of this residue (reference kinetics.py:46-77,
+        '_create_data' memmap)."""
+        if self._frame_table is not None:
+            return self._frame_table
+        resid = int(str(self.gibbs.residue)[1:])
+        sel = self.events.sel1_resids == resid
+        starts = self.events.start_times[sel]
+        durs = self.events.durations[sel]
+        lips = self.events.sel2_resids[sel]
+        ts = self.meta.ts or self.gibbs.ts
+        pind = self.gibbs.pindicator_per_event()   # aligned with durations
+        # times_for_residue == durations[sel], same order
+        first, last = start_stop_frames(starts, durs, ts)
+        nper = (last - first + 1).astype(np.int64)
+        total = int(nper.sum())
+        ncomp = pind.shape[1]
+        table = np.empty((total, 2 + ncomp), np.float64)
+        table[:, 0] = np.concatenate(
+            [np.arange(b, e + 1) for b, e in zip(first, last)])
+        table[:, 1] = np.repeat(lips, nper)
+        table[:, 2:] = np.repeat(pind, nper, axis=0)
+        self._frame_table = table
+        return table
+
+    # ------------------------------------------------------------------ #
+    def _open_universe(self) -> Universe:
+        if not (self.meta.top and self.meta.traj):
+            raise ValueError("contact metadata lacks top/traj paths")
+        return Universe(self.meta.top, self.meta.traj)
+
+    def create_traj(self, top_n: Optional[int] = None) -> list:
+        """Write reduced trajectories of sel1 + the contacting sel2 residue.
+
+        ``top_n=None``: one trajectory over every contact frame (a source
+        frame may repeat when multiple sel2 residues bind at once);
+        otherwise one trajectory per component over its ``top_n`` most
+        probable frames (reference kinetics.py:79-125).
+        """
+        u = self._open_universe()
+        idx1 = u.select_atoms(self.meta.sel1 or "protein")
+        idx2 = u.select_atoms(self.meta.sel2 or "not protein")
+        resids2 = u.topology.resids[idx2]
+        table = self.frame_table()
+        ncomp = table.shape[1] - 2
+
+        # reduced topology: sel1 + one sel2 residue (reference reduced.gro)
+        first_lip = resids2[0]
+        lip_idx0 = idx2[resids2 == first_lip]
+        red_idx = np.concatenate([idx1, lip_idx0])
+        os.makedirs(self.savedir, exist_ok=True)
+        topname = os.path.join(self.savedir, "reduced.gro")
+        red_top = _subset_topology(u.topology, red_idx)
+        write_gro(topname, red_top)
+
+        written = []
+        if top_n is None:
+            out = os.path.join(self.savedir, "traj_all.xtc")
+            if os.path.exists(out):
+                raise FileExistsError(f"{out} exists, remove then rerun")
+            self._write_reduced(u, idx1, idx2, table[:, 0].astype(int),
+                                table[:, 1].astype(int), out)
+            written.append(out)
+        else:
+            for k in range(ncomp):
+                order = np.argsort(table[:, 2 + k])[::-1][:top_n]
+                out = os.path.join(self.savedir,
+                                   f"traj_comp{k}_top{top_n}.xtc")
+                self._write_reduced(u, idx1, idx2,
+                                    table[order, 0].astype(int),
+                                    table[order, 1].astype(int), out)
+                written.append(out)
+        return written
+
+    def _write_reduced(self, u: Universe, idx1, idx2, frames, lipids, out,
+                       chunk: int = 256):
+        resids2 = u.topology.resids[idx2]
+        ts = self.meta.ts or self.gibbs.ts
+        writer = XTCWriter(out)
+        box = (np.tile(u.topology.box, (1, 1))
+               if u.topology.box is not None else np.full((1, 3), 1000.0))
+        for lo in range(0, len(frames), chunk):
+            fr = frames[lo:lo + chunk]
+            lp = lipids[lo:lo + chunk]
+            pos = u.frame_positions(fr)
+            sel_pos = []
+            for i, lip in enumerate(lp):
+                lip_idx = idx2[resids2 == lip]
+                sel_pos.append(np.concatenate(
+                    [pos[i, idx1], pos[i, lip_idx]], axis=0))
+            writer.write(np.stack(sel_pos), fr * ts,
+                         np.repeat(box, len(fr), axis=0))
+
+    # ------------------------------------------------------------------ #
+    def weighted_densities(self, step: int = 1, top_n: Optional[int] = None,
+                           filterP: float = 0.0, frame_chunk: int = 512):
+        """Posterior-weighted sel2 densities around the residue
+        (reference kinetics.py:127-204).
+
+        ``top_n=None``: one density per component over all contact frames
+        (pwdensity variant); otherwise per-component densities over the
+        top-N most probable frames (wdensity variant). Returns the list of
+        written .dx paths.
+        """
+        u = self._open_universe()
+        idx1 = u.select_atoms(self.meta.sel1 or "protein")
+        idx2 = u.select_atoms(self.meta.sel2 or "not protein")
+        resids2 = u.topology.resids[idx2]
+        resid = int(str(self.gibbs.residue)[1:])
+        table = self.frame_table()
+        ncomp = table.shape[1] - 2
+        wi = table[:, 2:].copy()
+        if filterP > 0:
+            wi[wi < filterP] = 0.0
+
+        # grid centered on the residue (reference kinetics.py:165-168)
+        res_idx = u.topology.select(f"resid {resid}")
+        res_idx = np.intersect1d(res_idx, idx1)
+        center = u.frame_positions([0])[0][res_idx].mean(axis=0)
+
+        frames = table[:, 0].astype(int)
+        lipids = table[:, 1].astype(int)
+        outnames = []
+        if top_n is None:
+            sel = slice(None, None, step)
+            pos = self._contact_positions(u, idx2, resids2, frames[sel],
+                                          lipids[sel])
+            d = WDensity(pos, wi[sel], gridcenter=center)
+            for k, den in enumerate(d.densities):
+                suffix = f"_step{step}" if step > 1 else ""
+                out = os.path.join(self.savedir,
+                                   f"wcomp{k}_all{suffix}.dx")
+                outnames.append(den.export(out))
+        else:
+            for k in range(ncomp):
+                order = np.argsort(wi[:, k])[::-1]
+                keep = order[wi[order, k] > 0][:top_n:step]
+                if len(keep) == 0:
+                    continue
+                pos = self._contact_positions(u, idx2, resids2,
+                                              frames[keep], lipids[keep])
+                d = WDensity(pos, wi[keep, k], gridcenter=center)
+                suffix = f"_step{step}" if step > 1 else ""
+                out = os.path.join(self.savedir,
+                                   f"wcomp{k}_top{top_n}{suffix}.dx")
+                outnames.append(d.density.export(out))
+        return outnames
+
+    def _contact_positions(self, u, idx2, resids2, frames, lipids,
+                           chunk: int = 512):
+        """Positions of the contacting sel2 residue at each table row."""
+        out = []
+        for lo in range(0, len(frames), chunk):
+            pos = u.frame_positions(frames[lo:lo + chunk])
+            for i, lip in enumerate(lipids[lo:lo + chunk]):
+                out.append(pos[i, idx2[resids2 == lip]])
+        return np.stack(out)
+
+
+def _subset_topology(top, indices):
+    from basicrta_tpu.io.topology import Topology
+    return Topology(top.names[indices], top.resids[indices],
+                    top.resnames[indices],
+                    None if top.positions is None else
+                    top.positions[indices], top.box)

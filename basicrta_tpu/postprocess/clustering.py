@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.ops.random import multinomial as multinomial_counts
 from basicrta_tpu.postprocess.gmm import gmm_fit_predict
-from basicrta_tpu.sampler.kernels import multinomial_counts
 
 
 def component_counts(weights: np.ndarray, wcutoff: float) -> np.ndarray:
@@ -180,6 +180,11 @@ def process_samples(key, mcweights, mcrates, values, counts,
     kg, kv = jax.random.split(jax.random.key(cfg.seed) if key is None else key)
     n_events = int(np.asarray(counts).sum())
     b = cfg.burnin_samples
+    if b >= len(mcweights):
+        raise ValueError(
+            f"burn-in discards all samples ({b} thinned samples of burn-in "
+            f"vs {len(mcweights)} collected); lower cfg.burnin or raise "
+            f"cfg.niter")
     W = np.asarray(mcweights)[b:]
     R = np.asarray(mcrates)[b:]
     res = cluster_samples(kg, W, R, cfg, n_events)

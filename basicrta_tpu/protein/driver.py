@@ -1,0 +1,255 @@
+"""All-residue sampling driver and cross-residue tau aggregation.
+
+``ParallelGibbs`` (reference gibbs.py:20-88 parity) consumes the residence-
+event table and runs every residue's Gibbs chains as lanes of one batched
+device program — replacing the reference's one-OS-process-per-residue pool
+and its Slurm job-array escape hatch (reference scripts/). ``ProcessProtein``
+(reference cluster.py:15-192 parity) loads per-residue results, estimates
+tau for the slowest process of each, writes the tau table, plots tau vs
+residue, and exports b-factor-colored structures.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from glob import glob
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.contacts.records import ContactEvents
+from basicrta_tpu.ops.surv import ci_bars
+from basicrta_tpu.postprocess.tau import AllNoiseError
+from basicrta_tpu.sampler.batch import run_residues
+from basicrta_tpu.sampler.gibbs import Gibbs
+
+
+def cutoff_from_filename(path: str) -> float:
+    """Parse the analysis cutoff out of a contacts filename, the reference's
+    filename-as-config convention (reference gibbs.py:35-36,
+    kinetics.py:24-25)."""
+    stem = os.path.basename(path)
+    for ext in (".npz", ".pkl", ".npy"):
+        if stem.endswith(ext):
+            stem = stem[: -len(ext)]
+    return float(stem.split("_")[-1])
+
+
+def residue_labels_for(events: ContactEvents,
+                       resids: np.ndarray) -> List[str]:
+    """Labels like 'W313' from the topology named in the metadata; falls
+    back to 'X{resid}' when no topology is available
+    (reference gibbs.py:62-67 uses pickled AtomGroups instead)."""
+    top_path = events.meta.top
+    sel1 = events.meta.sel1 or "protein"
+    if top_path and os.path.exists(top_path):
+        try:
+            from basicrta_tpu.io.topology import convert_aa_code
+            from basicrta_tpu.io.universe import read_topology
+            top = read_topology(top_path)
+            out = []
+            for resid in resids:
+                rn = top.resnames[top.resids == resid]
+                try:
+                    out.append(f"{convert_aa_code(str(rn[0]))}{resid}"
+                               if len(rn) else f"X{resid}")
+                except ValueError:
+                    out.append(f"X{resid}")
+            return out
+        except Exception:
+            pass
+        _ = sel1
+    return [f"X{r}" for r in resids]
+
+
+class ParallelGibbs:
+    """Run Gibbs samplers for every sel1 residue in a contact-event table.
+
+    :param contacts: path to a ``contacts_{cutoff}.npz`` event table or a
+        ContactEvents instance.
+    :param cfg: sampler configuration (ncomp/niter defaults match the
+        reference, gibbs.py:34).
+    """
+
+    def __init__(self, contacts: Union[str, ContactEvents],
+                 cfg: GibbsConfig = GibbsConfig(), root: str = "."):
+        if isinstance(contacts, str):
+            if not os.path.exists(contacts):
+                raise FileNotFoundError(
+                    f"contacts file not found: {contacts}")
+            self.cutoff = cutoff_from_filename(contacts)
+            self.events = ContactEvents.load(contacts)
+            if self.events.meta.cutoff is not None:
+                self.cutoff = self.events.meta.cutoff
+        else:
+            self.events = contacts
+            self.cutoff = self.events.meta.cutoff
+        self.cfg = cfg
+        self.root = root
+
+    def run(self, run_resids=None, mode: str = "batched",
+            progress_cb=None) -> Dict[str, Gibbs]:
+        """Sample all residues (or ``run_resids``) and post-process each.
+
+        ``mode='batched'`` runs every residue as device lanes of one
+        program; ``mode='sequential'`` runs one residue at a time (lower
+        peak memory, matches the single-residue code path exactly).
+        """
+        all_resids = np.unique(self.events.sel1_resids)
+        if run_resids is None:
+            resids = all_resids
+        else:
+            run_resids = np.atleast_1d(run_resids)
+            resids = all_resids[np.isin(all_resids, run_resids)]
+        labels = residue_labels_for(self.events, resids)
+        times = {lab: self.events.times_for_residue(int(r))
+                 for lab, r in zip(labels, resids)}
+
+        out: Dict[str, Gibbs] = {}
+        if mode == "batched":
+            samples = run_residues(times, self.cfg,
+                                   n_chains=self.cfg.n_chains,
+                                   progress_cb=progress_cb)
+            for lab in samples:
+                W, R = samples[lab]
+                g = Gibbs(times[lab], residue=lab, cutoff=self.cutoff,
+                          cfg=self.cfg, root=self.root)
+                g.mcweights, g.mcrates = W, R
+                self._finish(g)
+                out[lab] = g
+        else:
+            for lab in labels:
+                g = Gibbs(times[lab], residue=lab, cutoff=self.cutoff,
+                          cfg=self.cfg, root=self.root)
+                g.run(save=False)
+                self._finish(g)
+                out[lab] = g
+        return out
+
+    @staticmethod
+    def _finish(g: Gibbs):
+        g.process_gibbs(save=False)
+        try:
+            g.estimate_tau()
+        except AllNoiseError:
+            g.tau = (0.0, 0.0, 0.0)
+        g.save()
+
+
+class ProcessProtein:
+    """Collect per-residue results and aggregate tau across the protein
+    (reference cluster.py:15-192)."""
+
+    def __init__(self, cfg: GibbsConfig = GibbsConfig(),
+                 prot: Optional[str] = None, cutoff: float = 7.0,
+                 root: str = "."):
+        self.cfg = cfg
+        self.prot = prot
+        self.cutoff = cutoff
+        self.root = root
+        self.residues: Dict[str, Optional[str]] = {}
+
+    @property
+    def _basedir(self) -> str:
+        return os.path.join(self.root, f"basicrta-{self.cutoff}")
+
+    def _result_dirs(self) -> List[str]:
+        dirs = [d for d in glob(os.path.join(self._basedir, "?[0-9]*"))
+                if re.match(r"^[A-Za-z]\d+$", os.path.basename(d))]
+        return sorted(dirs, key=lambda d: int(os.path.basename(d)[1:]))
+
+    def collect_results(self) -> Dict[str, Optional[str]]:
+        """Map residue label -> result path (None when missing), sorted by
+        resid (reference cluster.py:78-94)."""
+        self.residues = {}
+        for adir in self._result_dirs():
+            label = os.path.basename(adir)
+            path = os.path.join(adir, f"gibbs_{self.cfg.niter}.npz")
+            self.residues[label] = path if os.path.exists(path) else None
+        return self.residues
+
+    def reprocess(self) -> None:
+        """Re-run posterior processing for every residue
+        (reference cluster.py:54-76)."""
+        if not self.residues:
+            self.collect_results()
+        for label, path in self.residues.items():
+            if path is None:
+                continue
+            g = Gibbs.load(path)
+            g.root = self.root
+            g.process_gibbs(save=False)
+            try:
+                g.estimate_tau()
+            except AllNoiseError:
+                g.tau = (0.0, 0.0, 0.0)
+            g.save()
+
+    def get_taus(self):
+        """(taus, bars): slowest-process tau and CI offsets per residue;
+        zeros where results are missing or degenerate
+        (reference cluster.py:96-120)."""
+        if not self.residues:
+            self.collect_results()
+        taus = []
+        for label, path in self.residues.items():
+            if path is None:
+                taus.append([0.0, 0.0, 0.0])
+                continue
+            try:
+                g = Gibbs.load(path)
+                g.root = self.root
+                if g.tau is not None:
+                    taus.append(list(g.tau))
+                else:
+                    taus.append(g.estimate_tau())
+            except (AllNoiseError, KeyError, ValueError):
+                taus.append([0.0, 0.0, 0.0])
+        taus = np.asarray(taus, np.float64).reshape(-1, 3)
+        return taus[:, 1], ci_bars(taus)
+
+    def write_data(self, fname: str = "tausout") -> str:
+        """[resid, tau, CI_lo, CI_hi] table as .npy
+        (reference cluster.py:122-134)."""
+        taus, bars = self.get_taus()
+        resids = np.array([int(label[1:]) for label in self.residues])
+        data = np.stack((resids, taus, taus - bars[0], taus + bars[1])).T
+        out = os.path.join(self.root, f"{fname}.npy")
+        np.save(out, data)
+        return out
+
+    def plot_protein(self, **kwargs):
+        """Tau vs residue figure (reference cluster.py:136-155)."""
+        from basicrta_tpu.plots import plot_protein
+        taus, bars = self.get_taus()
+        residues = np.asarray(list(self.residues.keys()))
+        exclude = np.unique(np.where(bars < 0)[1])
+        taus = np.delete(taus, exclude)
+        bars = np.delete(bars, exclude, axis=1)
+        residues = np.delete(residues, exclude)
+        basename = kwargs.pop("basename",
+                              os.path.join(self.root, "figs", "t_slow"))
+        return plot_protein(residues, taus, bars, self.prot,
+                            basename=basename, **kwargs)
+
+    def b_color_structure(self, structure: str,
+                          out: str = "tau_bcolored.pdb") -> str:
+        """Write tau into b-factors and tau/CI-width into occupancies
+        (reference cluster.py:157-175)."""
+        from basicrta_tpu.io.topology import write_pdb
+        from basicrta_tpu.io.universe import read_topology
+        taus, bars = self.get_taus()
+        widths = bars[0] + bars[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            errs = np.where(widths > 0, taus / widths, 0.0)
+        top = read_topology(structure)
+        tempfactors, occupancies = {}, {}
+        for label, tau, err in zip(self.residues, taus, errs):
+            resid = int(label[1:])
+            tempfactors[resid] = round(float(tau), 2)
+            occupancies[resid] = round(float(err), 2)
+        out_path = os.path.join(self.root, out)
+        return write_pdb(out_path, top, indices=top.select("protein"),
+                         tempfactors=tempfactors, occupancies=occupancies)

@@ -1,0 +1,92 @@
+"""End-to-end CLI test: contacts -> gibbs -> cluster -> kinetics, mirroring
+the reference's four module entry points on a synthetic system."""
+
+import os
+
+import numpy as np
+import pytest
+
+from basicrta_tpu.cli import main
+from basicrta_tpu.io.native import XTCWriter
+from basicrta_tpu.io.topology import Topology, write_gro, write_pdb
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, rng):
+    root = tmp_path_factory.mktemp("cli")
+    names = np.array(["CA", "CB", "C1", "C2"])
+    resids = np.array([7, 7, 100, 100], np.int32)
+    resnames = np.array(["TRP", "TRP", "CHOL", "CHOL"])
+    top = Topology(names, resids, resnames, np.zeros((4, 3), np.float32),
+                   np.array([60.0] * 3, np.float32))
+    F, ts = 600, 0.1
+    pos = np.zeros((F, 4, 3), np.float32)
+    pos[:, 0:2] = [10.0, 10.0, 10.0]
+    pos[:, 2:4] = [40.0, 40.0, 40.0]
+    f = 0
+    bind = False
+    while f < F - 40:
+        length = int(rng.integers(2, 35))
+        if bind:
+            for i in range(f, f + length):
+                pos[i, 2:4] = [13.0, 10.0, 10.0]
+        bind = not bind
+        f += length
+    write_gro(str(root / "top.gro"), top)
+    XTCWriter(str(root / "traj.xtc")).write(
+        pos, np.arange(F) * ts, np.tile([60.0] * 3, (F, 1)))
+    write_pdb(str(root / "struct.pdb"), top)
+    return root
+
+
+@pytest.fixture(scope="module")
+def contacts_done(workdir):
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        main(["contacts", "--top", "top.gro", "--traj", "traj.xtc",
+              "--sel1", "protein", "--sel2", "resname CHOL",
+              "--cutoff", "7.0", "--batch", "64"])
+    finally:
+        os.chdir(cwd)
+    return workdir
+
+
+def test_cli_pipeline(contacts_done, monkeypatch):
+    monkeypatch.chdir(contacts_done)
+    assert os.path.exists("contacts.npz")
+    assert os.path.exists("contacts_7.0.npz")
+
+    main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "600",
+          "--ncomp", "3"])
+    assert os.path.exists("basicrta-7.0/W7/gibbs_600.npz")
+
+    main(["cluster", "--cutoff", "7.0", "--niter", "600",
+          "--structure", "struct.pdb"])
+    assert os.path.exists("tausout.npy")
+    data = np.load("tausout.npy")
+    assert data.shape == (1, 4) and data[0, 0] == 7
+    assert os.path.exists("figs/t_slow.png")
+    assert os.path.exists("tau_bcolored.pdb")
+
+    main(["kinetics", "--gibbs", "basicrta-7.0/W7/gibbs_600.npz",
+          "--contacts", "contacts_7.0.npz", "--wdensity"])
+    assert os.path.exists("basicrta-7.0/W7/traj_all.xtc")
+    assert os.path.exists("basicrta-7.0/W7/reduced.gro")
+    assert any(f.startswith("wcomp") and f.endswith(".dx")
+               for f in os.listdir("basicrta-7.0/W7"))
+
+
+def test_cli_gibbs_specific_resid(contacts_done, monkeypatch):
+    monkeypatch.chdir(contacts_done)
+    # rerunning one residue only (reference gibbs.py --resid)
+    main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "1000",
+          "--g", "10", "--ncomp", "3", "--resid", "7",
+          "--mode", "sequential"])
+    assert os.path.exists("basicrta-7.0/W7/gibbs_1000.npz")
+
+
+def test_cli_unknown_resid(contacts_done, monkeypatch):
+    monkeypatch.chdir(contacts_done)
+    main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "300",
+          "--ncomp", "3", "--resid", "999"])  # no matching residue: no-op

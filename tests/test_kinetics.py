@@ -1,0 +1,206 @@
+"""Tests of kinetic mapping and weighted densities."""
+
+import os
+
+import numpy as np
+import pytest
+
+from basicrta_tpu.io.dx import read_dx, write_dx
+from basicrta_tpu.kinetics.density import (Density, WDensity,
+                                           weighted_histogram_3d,
+                                           fixedwidth_bins)
+
+
+class TestDX:
+    def test_roundtrip(self, tmp_path, rng):
+        grid = rng.uniform(0, 1, (5, 6, 7))
+        p = write_dx(str(tmp_path / "g.dx"), grid, origin=[1.0, 2.0, 3.0],
+                     delta=1.0)
+        g2, origin, delta = read_dx(p)
+        assert np.allclose(g2, grid, atol=1e-9)
+        assert np.allclose(origin, [1.0, 2.0, 3.0])
+        assert np.allclose(delta, 1.0)
+
+
+class TestWeightedHistogram:
+    def test_matches_histogramdd(self, rng):
+        """Cross-check against the reference's numpy histogramdd loop
+        (reference pwdensity.py:257-264 semantics)."""
+        F, A, K = 20, 30, 3
+        pos = rng.uniform(0, 40, (F, A, 3)).astype(np.float32)
+        w = rng.uniform(0, 1, (F, K)).astype(np.float32)
+        grids, edges = weighted_histogram_3d(
+            pos, w, gridcenter=[20.0, 20.0, 20.0], xdim=40, ydim=40,
+            zdim=40, delta=1.0)
+        bins = [len(e) - 1 for e in edges]
+        rng_ = [(e[0], e[-1]) for e in edges]
+        for k in range(K):
+            expect = np.zeros(bins)
+            for f in range(F):
+                h, _ = np.histogramdd(pos[f], bins=bins, range=rng_)
+                expect += h * w[f, k]
+            assert np.allclose(grids[k], expect, atol=1e-3)
+
+    def test_out_of_grid_ignored(self):
+        pos = np.array([[[100.0, 100.0, 100.0], [5.0, 5.0, 5.0]]],
+                       np.float32)
+        grids, _ = weighted_histogram_3d(
+            pos, np.ones((1, 1), np.float32), gridcenter=[5.0, 5.0, 5.0],
+            xdim=10, ydim=10, zdim=10)
+        assert grids.sum() == pytest.approx(1.0)  # only the inside atom
+
+    def test_fixedwidth_bins(self):
+        n, lo, hi = fixedwidth_bins(1.0, np.array([0.25]), np.array([9.75]))
+        assert n[0] == 10
+        assert lo[0] == pytest.approx(0.0) and hi[0] == pytest.approx(10.0)
+
+    def test_density_normalization(self, rng):
+        pos = rng.uniform(0, 10, (4, 5, 3)).astype(np.float32)
+        d = WDensity(pos, np.ones((4, 1), np.float32),
+                     gridcenter=[5.0] * 3, xdim=10, ydim=10, zdim=10,
+                     delta=0.5)
+        den = d.density
+        # sum(density * voxel_volume) = mean atoms per frame inside grid
+        total = den.grid.sum() * np.prod(den.delta)
+        assert total == pytest.approx(5.0, rel=1e-4)
+        # make_density is idempotent
+        before = den.grid.copy()
+        den.make_density()
+        assert np.allclose(den.grid, before)
+
+
+class TestMapKinetics:
+    @pytest.fixture(scope="class")
+    def system(self, tmp_path_factory, rng):
+        """Tiny system with a processed Gibbs result and real files."""
+        from basicrta_tpu.config import GibbsConfig, ContactConfig
+        from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
+        from basicrta_tpu.contacts.records import ContactMeta
+        from basicrta_tpu.io.topology import Topology, write_gro
+        from basicrta_tpu.io.native import XTCWriter
+        from basicrta_tpu.io.universe import Universe
+        from basicrta_tpu.sampler.gibbs import Gibbs
+        from basicrta_tpu.postprocess.tau import AllNoiseError
+
+        root = str(tmp_path_factory.mktemp("kin"))
+        names = np.array(["CA", "CB", "C1", "C2", "C1", "C2"])
+        resids = np.array([5, 5, 100, 100, 101, 101], np.int32)
+        resnames = np.array(["TRP", "TRP", "CHOL", "CHOL", "CHOL", "CHOL"])
+        top = Topology(names, resids, resnames,
+                       np.zeros((6, 3), np.float32),
+                       np.array([60.0] * 3, np.float32))
+        F, ts = 400, 0.1
+        pos = np.zeros((F, 6, 3), np.float32)
+        pos[:, 0:2] = [10.0, 10.0, 10.0]
+        pos[:, 1, 0] = 11.0
+        pos[:, 2:4] = [40.0, 40.0, 40.0]
+        pos[:, 4:6] = [50.0, 50.0, 50.0]
+        # CHOL 100 binds in several windows with mixed lengths
+        state = False
+        f = 0
+        windows = []
+        while f < F - 30:
+            length = int(rng.integers(1, 25))
+            if state:
+                for i in range(f, f + length):
+                    pos[i, 2:4] = [13.0, 10.0, 10.0]
+                windows.append((f, length))
+            state = not state
+            f += length
+        gro = os.path.join(root, "top.gro")
+        write_gro(gro, top)
+        xtc = os.path.join(root, "traj.xtc")
+        XTCWriter(xtc).write(pos, np.arange(F) * ts,
+                             np.tile([60.0] * 3, (F, 1)))
+
+        u = Universe(gro, xtc)
+        i1, i2 = u.select_atoms("protein"), u.select_atoms("resname CHOL")
+        meta = ContactMeta(top=gro, traj=xtc, sel1="protein",
+                           sel2="resname CHOL", ts=ts)
+        rec = MapContacts(i1, u.topology.resids[i1], i2,
+                          u.topology.resids[i2],
+                          cfg=ContactConfig(map_cutoff=10.0),
+                          meta=meta).run(u.iter_batches(64))
+        ev = ProcessContacts(7.0).run(rec)
+
+        cfg = GibbsConfig(ncomp=3, niter=600, g=10, burnin=200,
+                          gmm_n_init=4, seed=0)
+        g = Gibbs(ev.times_for_residue(5), residue="W5", cutoff=7.0,
+                  cfg=cfg, root=root)
+        g.run(save=False)
+        g.process_gibbs(save=False)
+        try:
+            g.estimate_tau()
+        except AllNoiseError:
+            g.tau = (0.0, 0.0, 0.0)
+        g.save()
+        return root, g, ev, windows
+
+    def test_frame_table(self, system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev, windows = system
+        mk = MapKinetics(g, ev)
+        table = mk.frame_table()
+        total_frames = sum(length for _, length in windows)
+        assert table.shape == (total_frames,
+                               2 + g.processed.lmode)
+        assert np.allclose(table[:, 2:].sum(axis=1), 1.0, atol=1e-4)
+        # frames listed are exactly the bound frames
+        bound = sorted(np.concatenate(
+            [np.arange(f, f + n) for f, n in windows]))
+        assert np.array_equal(np.sort(table[:, 0].astype(int)), bound)
+
+    def test_create_traj_all(self, system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        from basicrta_tpu.io.native import XTCReader
+        root, g, ev, windows = system
+        mk = MapKinetics(g, ev)
+        written = mk.create_traj()
+        assert os.path.exists(os.path.join(g.savedir, "reduced.gro"))
+        r = XTCReader(written[0])
+        assert r.natoms == 4  # 2 protein + 2 CHOL atoms
+        assert r.nframes == sum(n for _, n in windows)
+        c, _, _, _ = r.read([0])
+        # CHOL near the residue in every written frame
+        assert np.abs(c[0, 2] - [13.0, 10.0, 10.0]).max() < 0.1
+        # existing file refuses overwrite (reference kinetics.py:94-95)
+        import pytest as _pt
+        with _pt.raises(FileExistsError):
+            mk.create_traj()
+
+    def test_create_traj_topn(self, system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        from basicrta_tpu.io.native import XTCReader
+        root, g, ev, _ = system
+        mk = MapKinetics(g, ev)
+        written = mk.create_traj(top_n=5)
+        assert len(written) == g.processed.lmode
+        for w in written:
+            assert XTCReader(w).nframes == 5
+
+    def test_weighted_densities(self, system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev, _ = system
+        mk = MapKinetics(g, ev)
+        outs = mk.weighted_densities()
+        assert len(outs) == g.processed.lmode
+        grid, origin, delta = read_dx(outs[0])
+        assert grid.shape == (40, 40, 40)
+        # density mass concentrates at the binding site (13, 10, 10)
+        total = np.zeros_like(grid)
+        for o in outs:
+            gk, _, _ = read_dx(o)
+            total += gk
+        peak = np.unravel_index(np.argmax(total), total.shape)
+        peak_pos = origin + np.asarray(peak) * delta
+        assert np.abs(peak_pos - [13.0, 10.0, 10.0]).max() < 2.0
+
+    def test_weighted_densities_topn(self, system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev, _ = system
+        mk = MapKinetics(g, ev)
+        outs = mk.weighted_densities(top_n=10)
+        assert len(outs) >= 1
+        for o in outs:
+            grid, _, _ = read_dx(o)
+            assert grid.sum() > 0
