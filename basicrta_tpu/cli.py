@@ -71,8 +71,30 @@ def _cmd_gibbs(args):
               end="", file=sys.stderr)
 
     driver = ParallelGibbs(args.contacts, cfg=cfg)
-    results = driver.run(run_resids=args.resid, mode=args.mode,
-                         progress_cb=progress)
+    run_resids = args.resid
+    if args.rerun_missing:
+        # failure-detection sweep: run only residues without results
+        # (reference scripts/get_rerun_residues.py + create_jobs.sh --rerun)
+        from basicrta_tpu.protein.driver import ProcessProtein
+        pp = ProcessProtein(cfg=cfg, cutoff=driver.cutoff)
+        missing = pp.missing_residues()
+        if not missing:
+            print("no missing residues; nothing to rerun")
+            return
+        run_resids = [int(lab[1:]) for lab in missing]
+        print(f"rerunning {len(run_resids)} residues: "
+              f"{' '.join(missing)}", file=sys.stderr)
+    if args.profile:
+        # device trace viewable with TensorBoard / xprof
+        # (the reference's only observability is tqdm bars + Slurm logs,
+        # SURVEY.md section 5)
+        import jax
+        with jax.profiler.trace(args.profile):
+            results = driver.run(run_resids=run_resids, mode=args.mode,
+                                 progress_cb=progress)
+    else:
+        results = driver.run(run_resids=run_resids, mode=args.mode,
+                             progress_cb=progress)
     print(file=sys.stderr)
     for label, g in results.items():
         lo, tau, hi = g.tau
@@ -100,6 +122,25 @@ def _cmd_cluster(args):
     if args.structure:
         path = pp.b_color_structure(args.structure)
         print(f"wrote {path}")
+
+
+def _cmd_status(args):
+    """Per-residue completion report (the reference tails Slurm logs for
+    this, scripts/status_update.sh)."""
+    from basicrta_tpu.config import GibbsConfig
+    from basicrta_tpu.protein.driver import ProcessProtein
+
+    pp = ProcessProtein(cfg=GibbsConfig(niter=args.niter),
+                        cutoff=args.cutoff)
+    found = pp.collect_results()
+    missing = set(pp.missing_residues())
+    done = [k for k, v in found.items() if v is not None]
+    skipped = [k for k, v in found.items()
+               if v is None and k not in missing]
+    print(f"done: {len(done)}  missing: {len(missing)}  "
+          f"skipped: {len(skipped)}")
+    if missing:
+        print("missing:", " ".join(sorted(missing)))
 
 
 def _cmd_kinetics(args):
@@ -146,7 +187,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--mode", choices=["batched", "sequential"],
                    default="batched")
+    g.add_argument("--rerun-missing", action="store_true",
+                   help="run only residues without results (failure-"
+                        "detection sweep)")
+    g.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="write a jax.profiler device trace to DIR")
     g.set_defaults(fn=_cmd_gibbs)
+
+    st = sub.add_parser("status", help="report per-residue result status")
+    st.add_argument("--cutoff", type=float, required=True)
+    st.add_argument("--niter", type=int, default=110_000)
+    st.set_defaults(fn=_cmd_status)
 
     cl = sub.add_parser("cluster", help="aggregate tau across residues")
     cl.add_argument("--cutoff", type=float, required=True)

@@ -109,8 +109,11 @@ class ParallelGibbs:
 
         out: Dict[str, Gibbs] = {}
         if mode == "batched":
+            ckpt_dir = os.path.join(self.root, f"basicrta-{self.cutoff}",
+                                    ".checkpoints")
             samples = run_residues(times, self.cfg,
                                    n_chains=self.cfg.n_chains,
+                                   checkpoint_dir=ckpt_dir,
                                    progress_cb=progress_cb)
             for lab in samples:
                 W, R = samples[lab]
@@ -169,6 +172,23 @@ class ProcessProtein:
             path = os.path.join(adir, f"gibbs_{self.cfg.niter}.npz")
             self.residues[label] = path if os.path.exists(path) else None
         return self.residues
+
+    def missing_residues(self) -> List[str]:
+        """Residues lacking a result and not skipped as too-small — the
+        rerun set of the reference's failure-detection sweep
+        (scripts/get_rerun_residues.py:23-34). A '.dataset_too_small'
+        sentinel in a residue directory marks it intentionally skipped."""
+        if not self.residues:
+            self.collect_results()
+        missing = []
+        for label, path in self.residues.items():
+            if path is not None:
+                continue
+            sentinel = os.path.join(self._basedir, label,
+                                    ".dataset_too_small")
+            if not os.path.exists(sentinel):
+                missing.append(label)
+        return missing
 
     def reprocess(self) -> None:
         """Re-run posterior processing for every residue

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -126,8 +127,58 @@ class BatchResult:
     n_events: np.ndarray    # (B,)
 
 
+def _checkpoint_key(batch: ResidueBatch, cfg: GibbsConfig) -> str:
+    import hashlib
+    h = hashlib.sha1()
+    h.update(",".join(batch.names).encode())
+    h.update(cfg.to_json().encode())
+    h.update(np.ascontiguousarray(batch.counts).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save_checkpoint(path: str, batch: ResidueBatch, cfg: GibbsConfig,
+                    done_blocks: int, seg_idx: int, state: MixtureState,
+                    Ws: List[np.ndarray], Rs: List[np.ndarray]) -> str:
+    """Persist mid-run sampler state; atomic via rename."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp, key=_checkpoint_key(batch, cfg), done_blocks=done_blocks,
+        seg_idx=seg_idx,
+        weights=np.asarray(state.weights), rates=np.asarray(state.rates),
+        W=np.concatenate(Ws, axis=1) if Ws else np.zeros((batch.size, 0, 1)),
+        R=np.concatenate(Rs, axis=1) if Rs else np.zeros((batch.size, 0, 1)))
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, batch: ResidueBatch, cfg: GibbsConfig):
+    """Returns (done_blocks, seg_idx, state, Ws, Rs) or None when absent or
+    mismatched.
+
+    A checkpoint only resumes the exact same workload (same residues,
+    counts, and config) — guarded by a content hash.
+    """
+    if not path.endswith(".npz"):
+        path += ".npz"
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["key"]) != _checkpoint_key(batch, cfg):
+            return None
+        state = MixtureState(jnp.asarray(z["weights"]),
+                             jnp.asarray(z["rates"]))
+        done = int(z["done_blocks"])
+        seg_idx = int(z["seg_idx"])
+        Ws = [z["W"]] if z["W"].shape[1] else []
+        Rs = [z["R"]] if z["R"].shape[1] else []
+    return done, seg_idx, state, Ws, Rs
+
+
 def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
               segment_blocks: int = 100,
+              checkpoint_path: Optional[str] = None,
               checkpoint_cb=None,
               sharding: Optional[jax.sharding.NamedSharding] = None,
               progress_cb=None) -> BatchResult:
@@ -136,11 +187,19 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     Args:
         segment_blocks: thinning blocks per host-level segment (checkpoint /
             progress granularity; 100 blocks = 10,000 sweeps by default).
+        checkpoint_path: when set, sampler state is persisted there after
+            every segment and a matching checkpoint is resumed from — an
+            upgrade over the reference, whose preempted 110k-sweep jobs
+            restart from zero (SURVEY.md section 5 checkpoint/resume). The
+            RNG is segment-keyed (fold_in of lane key and segment index), so
+            a resumed run reproduces the uninterrupted chain exactly.
         checkpoint_cb: optional ``f(segment_idx, state, samples_so_far)``.
         sharding: optional NamedSharding to lay lanes out across a mesh
             (batch axis sharded; see basicrta_tpu.parallel).
         progress_cb: optional ``f(done_sweeps, total_sweeps)``.
     """
+    if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
+        checkpoint_path += ".npz"
     B = batch.size
     values = jnp.asarray(batch.values, jnp.float32)
     counts = jnp.asarray(batch.counts, jnp.float32)
@@ -158,6 +217,10 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     Ws, Rs = [], []
     done = 0
     seg_idx = 0
+    if checkpoint_path is not None:
+        resumed = load_checkpoint(checkpoint_path, batch, cfg)
+        if resumed is not None:
+            done, seg_idx, state, Ws, Rs = resumed
     while done < total_blocks:
         nb = min(segment_blocks, total_blocks - done)
         seg_keys = jax.vmap(
@@ -168,22 +231,29 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         Rs.append(np.asarray(R))
         done += nb
         seg_idx += 1
+        if checkpoint_path is not None:
+            save_checkpoint(checkpoint_path, batch, cfg, done, seg_idx,
+                            state, Ws, Rs)
         if checkpoint_cb is not None:
             checkpoint_cb(seg_idx, state, (Ws, Rs))
         if progress_cb is not None:
             progress_cb(done * cfg.g, cfg.niter)
 
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
     return BatchResult(batch.names, np.concatenate(Ws, axis=1),
                        np.concatenate(Rs, axis=1), batch.n_events)
 
 
 def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
-                 n_chains: int = 1, **kwargs) -> Dict[str, Tuple[np.ndarray,
-                                                                 np.ndarray]]:
+                 n_chains: int = 1, checkpoint_dir: Optional[str] = None,
+                 **kwargs) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """All-residue driver: bucket, batch, and sweep everything on device.
 
     Multiple chains per residue are expressed as extra lanes (residue
-    repeated with distinct fold-in indices via lane position).
+    repeated with distinct fold-in indices via lane position). With
+    ``checkpoint_dir`` set, each bucket checkpoints per segment and resumes
+    after interruption.
 
     Returns:
         {residue: (mcweights (chains, S, K), mcrates (chains, S, K))}
@@ -198,7 +268,12 @@ def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
             expanded[f"{name}#{ch}"] = t
     out: Dict[str, list] = {name: [None] * n_chains for name in nonempty}
     for batch in bucket_residues(expanded):
-        res = run_batch(batch, cfg, **kwargs)
+        ckpt = None
+        if checkpoint_dir is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt = os.path.join(
+                checkpoint_dir, f"ckpt_{_checkpoint_key(batch, cfg)}.npz")
+        res = run_batch(batch, cfg, checkpoint_path=ckpt, **kwargs)
         for i, lane_name in enumerate(res.names):
             name, ch = lane_name.rsplit("#", 1)
             out[name][int(ch)] = (res.mcweights[i], res.mcrates[i])
