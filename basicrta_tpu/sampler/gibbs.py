@@ -70,8 +70,26 @@ class Gibbs:
         return os.path.join(self.root, f"basicrta-{self.cutoff}",
                             str(self.residue))
 
-    def run(self, mode: str = "collapsed", save: bool = True) -> "Gibbs":
-        """Execute the sampler (reference gibbs.py:176-219)."""
+    def run(self, mode: str = "auto", save: bool = True) -> "Gibbs":
+        """Execute the sampler (reference gibbs.py:176-219).
+
+        Modes: 'pallas' (fused kernel; fastest on TPU), 'collapsed'
+        (deduplicated XLA path), 'dense' (literal per-event sampler), or
+        'auto' (pallas on TPU, collapsed elsewhere).
+        """
+        if mode == "auto":
+            mode = ("pallas" if jax.devices()[0].platform == "tpu"
+                    else "collapsed")
+        if mode == "pallas":
+            from basicrta_tpu.sampler.batch import run_residues
+            samples = run_residues({str(self.residue): self.times},
+                                   self.cfg, n_chains=self.cfg.n_chains,
+                                   engine="pallas")
+            W, R = samples[str(self.residue)]
+            self.mcweights, self.mcrates = W, R
+            if save:
+                self.save()
+            return self
         key = jax.random.fold_in(jax.random.key(self.cfg.seed),
                                  hash(str(self.residue)) & 0x7FFFFFFF)
         tiers = None

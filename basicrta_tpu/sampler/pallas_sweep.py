@@ -1,0 +1,377 @@
+"""Fused Pallas TPU kernel for the collapsed Gibbs sweep statistics.
+
+One ``pallas_call`` per sweep computes, per batch lane, the sufficient
+statistics (N_k, T_k) of the conditional multinomial draw: responsibilities,
+suffix sums, and the tiered conditional-binomial chain all run in VMEM with
+the on-core PRNG — no HBM intermediates (the XLA path materializes the
+(T, B, V) inversion tables and ~10 further (B, V, K) temporaries per sweep).
+
+Value columns are laid out as (SL, 128) tiles (lane axis fully utilized) and
+must be sorted by multiplicity descending with tier boundaries aligned to
+whole 128-lane rows:
+
+- rows [0, head_rows): unbounded counts -> 64-term inversion + BTRS,
+- rows [head_rows, small_rows): counts <= SMALL_NMAX -> 9-term inversion,
+- rows [small_rows, SL): counts in {0, 1} -> Bernoulli thinning.
+
+The conjugate (Dirichlet/Gamma) update stays in XLA — it is (B, K)-sized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.sampler.kernels import MixtureState, SMALL_NMAX
+
+_LANES = 128
+_GROUP = 32       # lanes per kernel program (VMEM permitting)
+_INV_FULL = 48    # inversion depth: covers n*p <= 10 beyond +11 sigma
+_INV_SMALL = SMALL_NMAX + 1
+_BTRS_ROUNDS = 12
+_TINY = 1e-30
+
+
+def _bits_to_uniform(bits):
+    """uint32 bits -> U[2^-25, 1) on the 24-bit mantissa grid.
+
+    Mosaic has no uint32->f32 cast; the high-24-bit value fits int32, which
+    does convert.
+    """
+    u = ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+         * (1.0 / 16777216.0))
+    return jnp.maximum(u, 1.0 / 33554432.0)
+
+
+def _murmur_fmix(h):
+    """murmur3 finalizer (avalanche mix) on uint32."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _hash_bits(seed, lane, tag, t, shape):
+    """Stateless counter-based random bits: hash of (seed, lane, static
+    call-site tag, loop counter, element index). Used when the hardware
+    PRNG is unavailable (the TPU interpreter used by CPU tests) — the
+    device path uses pltpu.prng_random_bits."""
+    elem = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    for d in range(1, len(shape)):
+        elem = (elem * jnp.uint32(0x27D4EB2F)
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, d))
+    h = (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
+         ^ jnp.uint32(lane) * jnp.uint32(0x85EBCA6B))
+    h = _murmur_fmix(h ^ (jnp.uint32(tag) * jnp.uint32(0xC2B2AE35)
+                          + jnp.asarray(t, jnp.uint32)))
+    return _murmur_fmix(h ^ _murmur_fmix(elem))
+
+
+class _Rng:
+    """Per-kernel uniform source; hardware PRNG or portable hash."""
+
+    def __init__(self, use_hash, seed, lane):
+        self.use_hash = use_hash
+        self.seed = seed
+        self.lane = lane
+        self.site = 0  # static call-site counter
+
+    def uniform(self, shape, t=0):
+        if self.use_hash:
+            self.site += 1
+            return _bits_to_uniform(
+                _hash_bits(self.seed, self.lane, self.site, t, shape))
+        return _bits_to_uniform(
+            pltpu.prng_random_bits(shape).astype(jnp.uint32))
+
+
+def _gammaln(x):
+    """Lanczos log-Gamma (g=7, n=9), ~1e-6 relative accuracy for x > 0."""
+    coefs = (0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+             771.32342877765313, -176.61502916214059, 12.507343278686905,
+             -0.13857109526572012, 9.9843695780195716e-6,
+             1.5056327351493116e-7)
+    xm1 = x - 1.0
+    series = jnp.full_like(x, coefs[0])
+    for i, c in enumerate(coefs[1:], start=1):
+        series = series + c / (xm1 + i)
+    t = xm1 + 7.5
+    return (0.9189385332046727 + (xm1 + 0.5) * jnp.log(t) - t
+            + jnp.log(series))
+
+
+def _binom_inversion(u, n, p, depth):
+    """CDF-inversion binomial, complete for counts < depth (exact when
+    n < depth); vectorized over the tile."""
+    q = jnp.maximum(1.0 - p, _TINY)
+    ratio = p / q
+    pmf0 = jnp.exp(n * jnp.log(q))
+
+    def body(t, carry):
+        cdf, pmf, m = carry
+        m = m + (u > cdf).astype(jnp.float32)
+        tf = t.astype(jnp.float32)
+        pmf = jnp.where(n - tf > 0, pmf * ratio * (n - tf) / (tf + 1.0), 0.0)
+        return cdf + pmf, pmf, m
+
+    _, _, m = jax.lax.fori_loop(0, depth, body,
+                                (pmf0, pmf0, jnp.zeros_like(u)))
+    return jnp.minimum(m, n)
+
+
+def _binom_btrs(rng, n, p):
+    """Hormann BTRS transformed rejection, fixed accept-first rounds;
+    requires n*p >= 10, p <= 0.5 (guaranteed by the caller's select)."""
+    q = 1.0 - p
+    spq = jnp.sqrt(n * p * q)
+    b = 1.15 + 2.53 * spq
+    a = -0.0873 + 0.0248 * b + 0.01 * p
+    c = n * p + 0.5
+    vr = 0.92 - 4.2 / b
+    alpha = (2.83 + 5.1 / b) * spq
+    lpq = jnp.log(jnp.maximum(p / q, _TINY))
+    m = jnp.floor((n + 1.0) * p)
+    h = _gammaln(m + 1.0) + _gammaln(n - m + 1.0)
+
+    def body(t, carry):
+        # `done` carried as f32 0/1: Mosaic miscompiles i1 vectors carried
+        # through scf loops (vpad layout mismatch)
+        k_acc, done = carry
+        u = rng.uniform(n.shape, t) - 0.5
+        v = rng.uniform(n.shape, t)
+        us = 0.5 - jnp.abs(u)
+        k = jnp.floor((2.0 * a / us + b) * u + c)
+        in_range = (k >= 0) & (k <= n)
+        fast = (us >= 0.07) & (v <= vr)
+        vv = jnp.log(v * alpha / (a / (us * us) + b))
+        slow = vv <= (h - _gammaln(k + 1.0) - _gammaln(n - k + 1.0)
+                      + (k - m) * lpq)
+        ok = jnp.where(in_range & (fast | slow), 1.0, 0.0)
+        upd = (1.0 - done) * ok
+        k_acc = k_acc * (1.0 - upd) + k * upd
+        return k_acc, jnp.maximum(done, ok)
+
+    k_acc, _ = jax.lax.fori_loop(
+        0, _BTRS_ROUNDS, body, (m, jnp.zeros(n.shape, jnp.float32)))
+    return k_acc
+
+
+def _binom_full(rng, n, p):
+    """General exact binomial: symmetry fold, inversion / BTRS select."""
+    p = jnp.clip(p, 0.0, 1.0)
+    flip = p > 0.5
+    p_eff = jnp.where(flip, 1.0 - p, p)
+    small = n * p_eff <= 10.0
+    u = rng.uniform(n.shape)
+    m_inv = _binom_inversion(u, n, jnp.where(small, p_eff, 0.0), _INV_FULL)
+    n_b = jnp.where(small, 100.0, n)
+    p_b = jnp.where(small, 0.3, p_eff)
+    m_btrs = _binom_btrs(rng, n_b, p_b)
+    m = jnp.where(small, m_inv, m_btrs)
+    m = jnp.where(flip, n - m, m)
+    m = jnp.where((p <= 0.0) | (n <= 0.0), 0.0, m)
+    m = jnp.where(p >= 1.0, n, m)
+    return jnp.clip(m, 0.0, n)
+
+
+def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
+                        use_hash_rng: bool,
+                        seed_ref, w_ref, r_ref, v_ref, c_ref,
+                        ns_ref, ts_ref, z_scr):
+    """Grid: (B // G,). Each program handles a group of G lanes laid out as
+    (SL, G, 128) so tier slices along the leading (untiled) axis keep every
+    VPU instruction on full (G, 128) tiles.
+
+    Blocks: v/c (1, SL, G, 128); w/r (1, G, K); out ns/ts (1, G, K).
+    z_scr: (K, SL, G, 128) VMEM scratch holding suffix probabilities.
+    """
+    group = pl.program_id(0)
+    if not use_hash_rng:
+        pltpu.prng_seed(seed_ref[0], group)
+    rng = _Rng(use_hash_rng, seed_ref[0], group)
+
+    v = v_ref[0]                       # (SL, G, 128)
+    c = c_ref[0]
+    SL = v.shape[0]
+    w_gk = w_ref[0]                    # (G, K)
+    r_gk = r_ref[0]
+
+    # responsibilities z_k ~ w_k r_k exp(-r_k v); normalization cancels in
+    # the conditional chain, so skip the softmax divide and build suffix
+    # sums S_k = sum_{j>=k} z_j in place (backward accumulation). Weights/
+    # rates differ per lane: broadcast (G,) over (SL, G, 128).
+    zsum = jnp.zeros_like(v)
+    for k in range(K - 1, -1, -1):
+        w_k = w_gk[:, k][None, :, None]
+        r_k = r_gk[:, k][None, :, None]
+        # magnitudes are bounded: r v >= 0, w r <= ~50; exp(-r v) <= 1,
+        # products stay in f32 range
+        z_k = w_k * r_k * jnp.exp(-r_k * v)
+        zsum = zsum + z_k
+        z_scr[k] = zsum                # suffix including component k
+
+    rem = c
+    ns_list = []
+    ts_list = []
+    G = v.shape[1]
+    for k in range(K - 1):
+        suffix = z_scr[k]
+        nxt = z_scr[k + 1]
+        pcond = jnp.clip((suffix - nxt) / jnp.maximum(suffix, _TINY),
+                         0.0, 1.0)
+        parts = []
+        if head_rows > 0:
+            parts.append(_binom_full(rng, rem[:head_rows],
+                                     pcond[:head_rows]))
+        if small_rows > head_rows:
+            u = rng.uniform((small_rows - head_rows, G, _LANES))
+            parts.append(_binom_inversion(u, rem[head_rows:small_rows],
+                                          pcond[head_rows:small_rows],
+                                          _INV_SMALL))
+        if SL > small_rows:
+            u = rng.uniform((SL - small_rows, G, _LANES))
+            parts.append(rem[small_rows:]
+                         * (u < pcond[small_rows:]).astype(jnp.float32))
+        draw = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=0)
+        ns_list.append(jnp.sum(draw, axis=(0, 2)))       # (G,)
+        ts_list.append(jnp.sum(v * draw, axis=(0, 2)))
+        rem = rem - draw
+    ns_list.append(jnp.sum(rem, axis=(0, 2)))
+    ts_list.append(jnp.sum(v * rem, axis=(0, 2)))
+    ns_ref[0] = jnp.stack(ns_list, axis=-1)              # (G, K)
+    ts_ref[0] = jnp.stack(ts_list, axis=-1)
+
+
+def pad_tiers_to_rows(tiers: Tuple[int, int], V: int) -> Tuple[int, int]:
+    """Round tier boundaries up to whole 128-lane rows (larger tiers are
+    always safe: every sampler is exact on its tier's count range)."""
+    up = lambda x: -(-x // _LANES)  # noqa: E731
+    head = min(up(tiers[0]), V // _LANES)
+    small = min(max(up(tiers[1]), head), V // _LANES)
+    return head, small
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "tiers", "interpret"))
+def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
+                counts: jax.Array, K: int, tiers: Tuple[int, int],
+                interpret: bool = False):
+    """Batched sufficient statistics of one collapsed Gibbs sweep.
+
+    Args:
+        seed: int32 scalar (per-sweep; lanes decorrelate via program id).
+        state: (B, K) weights/rates.
+        values/counts: (B, V) with V a multiple of 128, sorted by
+            multiplicity descending, tiers aligned via pad_tiers_to_rows.
+    Returns:
+        (Ns, Ts): each (B, K).
+    """
+    B, V = values.shape
+    SL = V // _LANES
+    head_rows, small_rows = tiers
+    # group lanes so tier tensors are (rows, G, 128) full tiles; pad the
+    # batch with zero-count lanes to a multiple of G. The (K, SL, G, 128)
+    # suffix scratch plus inputs must stay well inside ~16 MB VMEM.
+    budget = 10 * 2 ** 20
+    g_fit = max(8, budget // max(1, (K + 3) * SL * _LANES * 4))
+    G = int(min(_GROUP, g_fit, max(1, -(-B // 1))))
+    G = max(1, min(G, _GROUP))
+    Bp = -(-B // G) * G
+    pad = Bp - B
+    w = jnp.pad(state.weights, ((0, pad), (0, 0)), constant_values=1.0)
+    r = jnp.pad(state.rates, ((0, pad), (0, 0)), constant_values=1.0)
+    vals = jnp.pad(values, ((0, pad), (0, 0)), constant_values=1.0)
+    cnts = jnp.pad(counts, ((0, pad), (0, 0)))
+    NG = Bp // G
+    # (NG, G, SL, 128) -> (NG, SL, G, 128)
+    v4 = jnp.swapaxes(vals.reshape(NG, G, SL, _LANES), 1, 2)
+    c4 = jnp.swapaxes(cnts.reshape(NG, G, SL, _LANES), 1, 2)
+    w3 = w.reshape(NG, G, K)
+    r3 = r.reshape(NG, G, K)
+
+    kernel = functools.partial(_sweep_stats_kernel, K, head_rows,
+                               small_rows, bool(interpret))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, SL, G, _LANES), jnp.float32)],
+    )
+    ns, ts = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NG, G, K), jnp.float32),
+                   jax.ShapeDtypeStruct((NG, G, K), jnp.float32)],
+        # the TPU interpreter (not the generic one) understands the pltpu
+        # PRNG primitives, enabling CPU-based tests
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.atleast_1d(seed).astype(jnp.int32), w3, r3, v4, c4)
+    return ns.reshape(Bp, K)[:B], ts.reshape(Bp, K)[:B]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_blocks", "tiers", "interpret"))
+def segment_pallas(base_key: jax.Array, sweep_offset: jax.Array,
+                   state: MixtureState, values: jax.Array,
+                   counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
+                   tiers: Tuple[int, int], interpret: bool = False):
+    """Advance all lanes by ``n_blocks`` thinning blocks with the fused
+    kernel: each sweep is one pallas_call (sufficient statistics) plus the
+    tiny XLA conjugate update on (B, K).
+
+    Drop-in replacement for batch._segment (same thinned outputs), with
+    per-sweep int32 seeds derived from (cfg.seed, absolute sweep index) so
+    resumed runs reproduce the chain.
+    """
+    from basicrta_tpu.ops import random as btrandom
+
+    K = cfg.ncomp
+
+    def sweep(carry, _):
+        state, sweep_idx = carry
+        seed = (jnp.int32(cfg.seed) * jnp.int32(-1640531535)  # 2654435761
+                + sweep_idx.astype(jnp.int32))
+        ns, ts = sweep_stats(seed, state, values, counts, K, tiers,
+                             interpret)
+        kconj = jax.random.fold_in(base_key, sweep_idx)
+        kw, kr = jax.random.split(kconj)
+        weights = btrandom.dirichlet(kw, cfg.alpha_eff + ns, unroll=True)
+        rates = (btrandom.gamma(kr, cfg.gamma_shape + ns, unroll=True)
+                 / (cfg.gamma_rate + ts))
+        return (MixtureState(weights, rates), sweep_idx + 1), None
+
+    def block(carry, _):
+        carry, _ = jax.lax.scan(sweep, carry, None, length=cfg.g)
+        state = carry[0]
+        return carry, (state.weights, state.rates)
+
+    (state, _), (W, R) = jax.lax.scan(
+        block, (state, sweep_offset.astype(jnp.int32)), None,
+        length=n_blocks)
+    # thinned outputs as (B, n_blocks, K), matching batch._segment
+    return state, jnp.swapaxes(W, 0, 1), jnp.swapaxes(R, 0, 1)

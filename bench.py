@@ -65,11 +65,11 @@ def main():
 
     # warmup (compiles once per bucket shape; cached across runs)
     for b in batches:
-        run_batch(b, cfg)
+        run_batch(b, cfg, engine="auto")
 
     t0 = time.time()
     for b in batches:
-        run_batch(b, cfg)
+        run_batch(b, cfg, engine="auto")
     elapsed = time.time() - t0
 
     lanes = sum(b.size for b in batches)

@@ -1,0 +1,110 @@
+"""Tests of the fused Pallas sweep kernel (TPU-interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
+from basicrta_tpu.sampler.batch import bucket_residues, run_batch
+from basicrta_tpu.sampler.kernels import (MixtureState, init_mixture_params,
+                                          dedup_times, compute_tiers)
+from basicrta_tpu.sampler.pallas_sweep import (sweep_stats,
+                                               pad_tiers_to_rows, _gammaln)
+
+
+def test_gammaln_lanczos():
+    from scipy.special import gammaln as ref
+    x = jnp.asarray([0.5, 1.0, 2.0, 7.3, 40.0, 2000.0, 446606.0],
+                    jnp.float32)
+    ours = np.asarray(_gammaln(x))
+    expect = ref(np.asarray(x, np.float64))
+    assert np.allclose(ours, expect, rtol=2e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def stats_case(rng):
+    B, V, K = 3, 512, 8
+    vals = np.zeros((B, V))
+    cnts = np.zeros((B, V))
+    for i in range(B):
+        x = discretize_times(simulate_hyperexp(
+            25000, [0.7, 0.25, 0.05], [3.0, 0.3, 0.02], rng), 0.1)
+        v, c = dedup_times(x)
+        order = np.argsort(-c)
+        v, c = v[order][:V], c[order][:V]
+        vals[i, :len(v)] = v
+        vals[i, len(v):] = 1.0
+        cnts[i, :len(c)] = c
+    order, tiers = compute_tiers(cnts)
+    vals = np.take_along_axis(vals, order, -1)
+    cnts = np.take_along_axis(cnts, order, -1)
+    return vals, cnts, pad_tiers_to_rows(tiers, V), K
+
+
+def test_sweep_stats_exact_totals_and_moments(stats_case):
+    vals, cnts, tiers, K = stats_case
+    B = vals.shape[0]
+    st0 = init_mixture_params(K)
+    state = MixtureState(jnp.tile(st0.weights, (B, 1)),
+                         jnp.tile(st0.rates, (B, 1)))
+    reps = 8
+    NS = []
+    for s in range(reps):
+        ns, ts = sweep_stats(jnp.int32(s), state,
+                             jnp.asarray(vals, jnp.float32),
+                             jnp.asarray(cnts, jnp.float32), K, tiers,
+                             interpret=True)
+        ns, ts = np.asarray(ns), np.asarray(ts)
+        assert np.allclose(ns.sum(1), cnts.sum(1))               # exact N
+        assert np.allclose(ts.sum(1), (vals * cnts).sum(1), rtol=1e-4)
+        NS.append(ns)
+    mean_ns = np.mean(NS, axis=0)
+    w = np.asarray(st0.weights)
+    r = np.asarray(st0.rates)
+    z = w * r * np.exp(-np.einsum("k,bv->bvk", r, vals))
+    z = z / z.sum(-1, keepdims=True)
+    expect = np.einsum("bv,bvk->bk", cnts, z)
+    sd = np.sqrt(np.einsum("bv,bvk->bk", cnts, z * (1 - z)) / reps)
+    zscore = np.abs(mean_ns - expect) / np.maximum(sd, 2.0)
+    assert zscore.max() < 5.0
+
+
+@pytest.mark.parametrize("tiers", [(1, 3), (0, 4), (4, 4), (0, 0), (2, 2)])
+def test_sweep_stats_tier_configs(tiers, rng):
+    """All tier layouts (incl. single-branch) compile and conserve totals."""
+    B, V, K = 2, 512, 5
+    vals = jnp.asarray(np.sort(rng.uniform(0.1, 30, (B, V))), jnp.float32)
+    cnts = jnp.asarray(rng.integers(0, 50, (B, V)), jnp.float32)
+    st0 = init_mixture_params(K)
+    state = MixtureState(jnp.tile(st0.weights, (B, 1)),
+                         jnp.tile(st0.rates, (B, 1)))
+    ns, ts = sweep_stats(jnp.int32(1), state, vals, cnts, K, tiers,
+                         interpret=True)
+    assert np.allclose(np.asarray(ns).sum(1), np.asarray(cnts).sum(1))
+
+
+def test_engine_agreement(rng):
+    """Pallas and XLA engines sample statistically equivalent posteriors."""
+    x = discretize_times(simulate_hyperexp(
+        15000, [0.8, 0.17, 0.03], [3.0, 0.25, 0.02], rng), 0.1)
+    batch = bucket_residues({"R0": x})[0]
+    cfg = GibbsConfig(ncomp=5, niter=1500, g=10, burnin=500, seed=3)
+    rx = run_batch(batch, cfg, engine="xla")
+    rp = run_batch(batch, cfg, engine="pallas")
+    b = cfg.burnin_samples
+    for r in (rx, rp):
+        assert np.all(np.isfinite(r.mcweights))
+    wx, wp = rx.mcweights[0][b:], rp.mcweights[0][b:]
+    ix, ip = wx.mean(0).argmax(), wp.mean(0).argmax()
+    assert wx.mean(0)[ix] == pytest.approx(wp.mean(0)[ip], rel=0.05)
+    assert (rx.mcrates[0][b:, ix].mean()
+            == pytest.approx(rp.mcrates[0][b:, ip].mean(), rel=0.05))
+
+
+def test_pad_tiers_to_rows():
+    assert pad_tiers_to_rows((0, 0), 512) == (0, 0)
+    assert pad_tiers_to_rows((1, 130), 512) == (1, 2)
+    assert pad_tiers_to_rows((128, 128), 512) == (1, 1)
+    assert pad_tiers_to_rows((513, 600), 512) == (4, 4)  # clamped to SL
