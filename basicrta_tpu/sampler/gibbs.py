@@ -199,6 +199,44 @@ class Gibbs:
         return g
 
 
+    # ------------------------------------------------------------------ #
+    # plotting / reprocessing surface mirroring the reference Gibbs class
+    def cluster(self, chain: int = 0, **kwargs) -> "Gibbs":
+        """Re-run posterior clustering only (reference gibbs.py:221-273);
+        kwargs may override GibbsConfig fields (e.g. gmm_n_init)."""
+        if kwargs:
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, **kwargs)
+        return self.process_gibbs(chain=chain, save=False)
+
+    def result_plot(self, **kwargs):
+        """Cluster scatter figure (reference gibbs.py:310-319)."""
+        from basicrta_tpu.plots import plot_cluster_scatter
+        return plot_cluster_scatter(self, **kwargs)
+
+    def plot_surv(self, **kwargs):
+        """Survival function with mixture components
+        (reference gibbs.py:717-778)."""
+        from basicrta_tpu.plots import plot_surv
+        return plot_surv(self, **kwargs)
+
+    def plot_gibbs(self, **kwargs):
+        """Thinned traces (reference gibbs.py:640-665)."""
+        from basicrta_tpu.plots import plot_gibbs_traces
+        return plot_gibbs_traces(self, **kwargs)
+
+    def plot_hist(self, **kwargs):
+        """Posterior histograms per cluster (reference gibbs.py:427-638)."""
+        from basicrta_tpu.plots import plot_hist_results
+        return plot_hist_results(self, **kwargs)
+
+    def plot_tau_hist(self, **kwargs):
+        """Tau histogram of the slowest cluster
+        (reference gibbs.py:383-425)."""
+        from basicrta_tpu.plots import plot_tau_hist
+        return plot_tau_hist(self, **kwargs)
+
+
 def run_residue(times, residue, cutoff, cfg: GibbsConfig = GibbsConfig(),
                 root: str = ".", mode: str = "collapsed") -> Gibbs:
     """Construct, run, and post-process one residue (the unit of work the

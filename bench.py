@@ -63,13 +63,23 @@ def main():
     info = [(b.values.shape, b.tiers) for b in batches]
     print(f"buckets: {info}", file=sys.stderr)
 
-    # warmup (compiles once per bucket shape; cached across runs)
-    for b in batches:
-        run_batch(b, cfg, engine="auto")
+    # warmup (compiles once per bucket shape; cached across runs); if the
+    # fused kernel fails to build on this device, fall back to the XLA
+    # engine rather than losing the benchmark
+    engine = "auto"
+    try:
+        for b in batches:
+            run_batch(b, cfg, engine=engine)
+    except Exception as e:  # noqa: BLE001
+        print(f"pallas engine unavailable ({type(e).__name__}); "
+              f"falling back to xla", file=sys.stderr)
+        engine = "xla"
+        for b in batches:
+            run_batch(b, cfg, engine=engine)
 
     t0 = time.time()
     for b in batches:
-        run_batch(b, cfg, engine="auto")
+        run_batch(b, cfg, engine=engine)
     elapsed = time.time() - t0
 
     lanes = sum(b.size for b in batches)
