@@ -109,22 +109,43 @@ def _gammaln(x):
             + jnp.log(series))
 
 
-def _binom_inversion(u, n, p, depth):
+def _binom_inversion(u, n, p, depth, early_exit=True):
     """CDF-inversion binomial, complete for counts < depth (exact when
-    n < depth); vectorized over the tile."""
+    n < depth); vectorized over the tile.
+
+    With ``early_exit`` the CDF walk stops once every element's uniform is
+    covered — the expected depth is ~n p + a few sigma, far below the
+    worst-case bound.
+    """
     q = jnp.maximum(1.0 - p, _TINY)
     ratio = p / q
     pmf0 = jnp.exp(n * jnp.log(q))
 
-    def body(t, carry):
-        cdf, pmf, m = carry
+    def step(t, cdf, pmf, m):
         m = m + (u > cdf).astype(jnp.float32)
-        tf = t.astype(jnp.float32)
+        tf = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
         pmf = jnp.where(n - tf > 0, pmf * ratio * (n - tf) / (tf + 1.0), 0.0)
         return cdf + pmf, pmf, m
 
-    _, _, m = jax.lax.fori_loop(0, depth, body,
-                                (pmf0, pmf0, jnp.zeros_like(u)))
+    if early_exit:
+        def cond(carry):
+            t, cdf, _, _ = carry
+            return (t < depth) & (jnp.max(u - cdf) > 0.0)
+
+        def body(carry):
+            t, cdf, pmf, m = carry
+            cdf, pmf, m = step(t, cdf, pmf, m)
+            return t + 1, cdf, pmf, m
+
+        _, _, _, m = jax.lax.while_loop(
+            cond, body, (0, pmf0, pmf0, jnp.zeros_like(u)))
+    else:
+        def fbody(t, carry):
+            cdf, pmf, m = carry
+            return step(t, cdf, pmf, m)
+
+        _, _, m = jax.lax.fori_loop(0, depth, fbody,
+                                    (pmf0, pmf0, jnp.zeros_like(u)))
     return jnp.minimum(m, n)
 
 
@@ -142,10 +163,9 @@ def _binom_btrs(rng, n, p):
     m = jnp.floor((n + 1.0) * p)
     h = _gammaln(m + 1.0) + _gammaln(n - m + 1.0)
 
-    def body(t, carry):
+    def round_step(t, k_acc, done):
         # `done` carried as f32 0/1: Mosaic miscompiles i1 vectors carried
         # through scf loops (vpad layout mismatch)
-        k_acc, done = carry
         u = rng.uniform(n.shape, t) - 0.5
         v = rng.uniform(n.shape, t)
         us = 0.5 - jnp.abs(u)
@@ -160,8 +180,19 @@ def _binom_btrs(rng, n, p):
         k_acc = k_acc * (1.0 - upd) + k * upd
         return k_acc, jnp.maximum(done, ok)
 
-    k_acc, _ = jax.lax.fori_loop(
-        0, _BTRS_ROUNDS, body, (m, jnp.zeros(n.shape, jnp.float32)))
+    # early exit: acceptance is ~80-95% per round, so nearly all tiles
+    # finish in 1-2 rounds instead of paying all _BTRS_ROUNDS
+    def cond(carry):
+        t, _, done = carry
+        return (t < _BTRS_ROUNDS) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        t, k_acc, done = carry
+        k_acc, done = round_step(t, k_acc, done)
+        return t + 1, k_acc, done
+
+    _, k_acc, _ = jax.lax.while_loop(
+        cond, body, (0, m, jnp.zeros(n.shape, jnp.float32)))
     return k_acc
 
 
