@@ -67,7 +67,10 @@ class MapContacts:
         last_time = None
         prev_time = None
         nominal = None
-        for batch in trajectory:
+        pending = None  # (device result, real frame count, batch)
+
+        def dispatch(batch):
+            nonlocal nominal
             F_real = len(batch.frame_ids)
             # pad the trailing partial batch to the first batch's size so
             # the kernel compiles for a single shape (device compiles are
@@ -88,8 +91,12 @@ class MapContacts:
             p2, m2 = gather_grouped(pos[:, self.indices2, :], self.group_idx2)
             use_pbc = self.cfg.use_pbc and boxarr is not None
             box = (jnp.asarray(boxarr, jnp.float32) if use_pbc else None)
-            dmin = np.asarray(min_dist_per_residue_pair(
-                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2))[:F_real]
+            return min_dist_per_residue_pair(
+                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2)
+
+        def collect(dmin_dev, F_real, batch):
+            nonlocal last_time, prev_time
+            dmin = np.asarray(dmin_dev)[:F_real]
             f, s1, s2, dist, t = contacts_from_batch(
                 dmin, batch.frame_ids, batch.times, self.uniq_resids1,
                 self.uniq_resids2, self.cfg.map_cutoff)
@@ -106,6 +113,17 @@ class MapContacts:
                 last_time = float(batch.times[-1])
             if progress_cb is not None:
                 progress_cb(int(batch.frame_ids[-1]) + 1)
+
+        # one-batch pipeline: while the device works on batch i, the host
+        # decodes batch i+1 from the trajectory (dispatch is async; the
+        # sync happens in collect)
+        for batch in trajectory:
+            dmin_dev = dispatch(batch)
+            if pending is not None:
+                collect(*pending)
+            pending = (dmin_dev, len(batch.frame_ids), batch)
+        if pending is not None:
+            collect(*pending)
 
         meta = dataclasses.replace(self.meta, cutoff=self.cfg.map_cutoff)
         if meta.ts is None and prev_time is not None:

@@ -314,9 +314,9 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
     # batch with zero-count lanes to a multiple of G. The (K, SL, G, 128)
     # suffix scratch plus inputs must stay well inside ~16 MB VMEM.
     budget = 10 * 2 ** 20
-    g_fit = max(8, budget // max(1, (K + 3) * SL * _LANES * 4))
-    G = int(min(_GROUP, g_fit, max(1, -(-B // 1))))
-    G = max(1, min(G, _GROUP))
+    g_fit = budget // max(1, (K + 3) * SL * _LANES * 4)
+    g_fit = max(8, (g_fit // 8) * 8)   # whole sublane tiles
+    G = int(min(_GROUP, g_fit))
     Bp = -(-B // G) * G
     pad = Bp - B
     w = jnp.pad(state.weights, ((0, pad), (0, 0)), constant_values=1.0)

@@ -13,6 +13,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "xdrf.h"
@@ -63,6 +64,7 @@ bool write_float(FILE* f, float v) {
 
 struct XtcHandle {
     FILE* f = nullptr;
+    std::string path;
     int natoms = 0;
     std::vector<long> offsets;  // frame start byte offsets
 };
@@ -105,6 +107,7 @@ void* bmd_xtc_open(const char* path) {
     if (!f) return nullptr;
     auto* h = new XtcHandle;
     h->f = f;
+    h->path = path;
     long pos = 0;
     int natoms = 0;
     while (true) {
@@ -130,53 +133,95 @@ long bmd_xtc_nframes(void* vh) {
     return long(static_cast<XtcHandle*>(vh)->offsets.size());
 }
 
+// Read one frame from an already-positioned stream into the i-th slot.
+static int xtc_read_one(FILE* f, const XtcHandle* h, long i, float* coords,
+                        float* times, int* steps, float* box,
+                        std::vector<uint8_t>& payload) {
+    int32_t magic, natoms, step;
+    float time;
+    if (!read_int(f, &magic) || magic != XTC_MAGIC) return -3;
+    if (!read_int(f, &natoms) || !read_int(f, &step) ||
+        !read_float(f, &time))
+        return -3;
+    times[i] = time;
+    steps[i] = step;
+    for (int k = 0; k < 9; k++)
+        if (!read_float(f, &box[i * 9 + k])) return -3;
+    int32_t natoms2;
+    if (!read_int(f, &natoms2)) return -3;
+    float* out = coords + size_t(i) * h->natoms * 3;
+    if (natoms <= 9) {
+        for (int k = 0; k < natoms * 3; k++)
+            if (!read_float(f, &out[k])) return -3;
+    } else {
+        float precision;
+        int32_t minint[3], maxint[3], smallidx, nbytes;
+        if (!read_float(f, &precision)) return -3;
+        for (int d = 0; d < 3; d++)
+            if (!read_int(f, &minint[d])) return -3;
+        for (int d = 0; d < 3; d++)
+            if (!read_int(f, &maxint[d])) return -3;
+        if (!read_int(f, &smallidx) || !read_int(f, &nbytes)) return -3;
+        payload.resize(size_t(nbytes));
+        if (fread(payload.data(), 1, size_t(nbytes), f) != size_t(nbytes))
+            return -3;
+        int got = xdrf::decompress_coords(payload.data(), payload.size(),
+                                          natoms, precision, minint,
+                                          maxint, smallidx, out);
+        if (got != natoms) return -4;
+    }
+    return 0;
+}
+
 // Read `count` frames at the given frame indices. coords: (count*natoms*3)
 // floats in nm; times: ps; box: (count*9) nm. Returns frames read or <0.
+// Frames decode in parallel (each worker owns its own stream); the XDR
+// payloads are independent once the offset index exists.
 long bmd_xtc_read(void* vh, const long* frame_idx, long count, float* coords,
                   float* times, int* steps, float* box) {
     auto* h = static_cast<XtcHandle*>(vh);
-    std::vector<uint8_t> payload;
-    for (long i = 0; i < count; i++) {
-        long fi = frame_idx[i];
-        if (fi < 0 || fi >= long(h->offsets.size())) return -1;
-        if (fseek(h->f, h->offsets[size_t(fi)], SEEK_SET) != 0) return -2;
-        int32_t magic, natoms, step;
-        float time;
-        if (!read_int(h->f, &magic) || magic != XTC_MAGIC) return -3;
-        if (!read_int(h->f, &natoms) || !read_int(h->f, &step) ||
-            !read_float(h->f, &time))
-            return -3;
-        times[i] = time;
-        steps[i] = step;
-        for (int k = 0; k < 9; k++)
-            if (!read_float(h->f, &box[i * 9 + k])) return -3;
-        int32_t natoms2;
-        if (!read_int(h->f, &natoms2)) return -3;
-        float* out = coords + size_t(i) * h->natoms * 3;
-        if (natoms <= 9) {
-            for (int k = 0; k < natoms * 3; k++)
-                if (!read_float(h->f, &out[k])) return -3;
-        } else {
-            float precision;
-            int32_t minint[3], maxint[3], smallidx, nbytes;
-            if (!read_float(h->f, &precision)) return -3;
-            for (int d = 0; d < 3; d++)
-                if (!read_int(h->f, &minint[d])) return -3;
-            for (int d = 0; d < 3; d++)
-                if (!read_int(h->f, &maxint[d])) return -3;
-            if (!read_int(h->f, &smallidx) || !read_int(h->f, &nbytes))
-                return -3;
-            payload.resize(size_t(nbytes));
-            if (fread(payload.data(), 1, size_t(nbytes), h->f) !=
-                size_t(nbytes))
-                return -3;
-            int got = xdrf::decompress_coords(payload.data(), payload.size(),
-                                              natoms, precision, minint,
-                                              maxint, smallidx, out);
-            if (got != natoms) return -4;
+    unsigned hw = std::thread::hardware_concurrency();
+    long nthreads = std::min<long>(count, hw > 1 ? hw : 1);
+
+    auto worker = [&](long tid, FILE* f, int* status) {
+        std::vector<uint8_t> payload;
+        for (long i = tid; i < count; i += nthreads) {
+            long fi = frame_idx[i];
+            if (fi < 0 || fi >= long(h->offsets.size())) { *status = -1;
+                return; }
+            if (fseek(f, h->offsets[size_t(fi)], SEEK_SET) != 0) {
+                *status = -2;
+                return;
+            }
+            int rc = xtc_read_one(f, h, i, coords, times, steps, box,
+                                  payload);
+            if (rc != 0) { *status = rc; return; }
         }
+        *status = 0;
+    };
+
+    if (nthreads <= 1) {
+        int status = 0;
+        worker(0, h->f, &status);
+        return status == 0 ? count : status;
     }
-    return count;
+    std::vector<std::thread> threads;
+    std::vector<int> status(size_t(nthreads), 0);
+    std::vector<FILE*> files(size_t(nthreads), nullptr);
+    for (long t = 0; t < nthreads; t++) {
+        files[size_t(t)] = fopen(h->path.c_str(), "rb");
+        if (!files[size_t(t)]) { nthreads = t; break; }
+    }
+    for (long t = 0; t < nthreads; t++)
+        threads.emplace_back(worker, t, files[size_t(t)],
+                             &status[size_t(t)]);
+    for (auto& th : threads) th.join();
+    int rc = 0;
+    for (long t = 0; t < nthreads; t++) {
+        if (status[size_t(t)] != 0) rc = status[size_t(t)];
+        fclose(files[size_t(t)]);
+    }
+    return rc == 0 ? count : rc;
 }
 
 void bmd_xtc_close(void* vh) {
