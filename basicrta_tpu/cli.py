@@ -91,10 +91,10 @@ def _cmd_gibbs(args):
         import jax
         with jax.profiler.trace(args.profile):
             results = driver.run(run_resids=run_resids, mode=args.mode,
-                                 progress_cb=progress)
+                                 engine=args.engine, progress_cb=progress)
     else:
         results = driver.run(run_resids=run_resids, mode=args.mode,
-                             progress_cb=progress)
+                             engine=args.engine, progress_cb=progress)
     print(file=sys.stderr)
     for label, g in results.items():
         lo, tau, hi = g.tau
@@ -187,6 +187,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--mode", choices=["batched", "sequential"],
                    default="batched")
+    g.add_argument("--engine", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="sweep engine for batched mode (auto: pallas on "
+                        "TPU)")
     g.add_argument("--rerun-missing", action="store_true",
                    help="run only residues without results (failure-"
                         "detection sweep)")

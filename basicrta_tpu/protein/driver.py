@@ -90,7 +90,7 @@ class ParallelGibbs:
         self.root = root
 
     def run(self, run_resids=None, mode: str = "batched",
-            progress_cb=None) -> Dict[str, Gibbs]:
+            engine: str = "auto", progress_cb=None) -> Dict[str, Gibbs]:
         """Sample all residues (or ``run_resids``) and post-process each.
 
         ``mode='batched'`` runs every residue as device lanes of one
@@ -107,6 +107,18 @@ class ParallelGibbs:
         times = {lab: self.events.times_for_residue(int(r))
                  for lab, r in zip(labels, resids)}
 
+        # residues with too few events are skipped with the sentinel the
+        # failure-detection sweep honors (reference
+        # scripts/get_rerun_residues.py:23-34); the weight cutoff rule
+        # wcutoff = 10/N makes N <= 10 degenerate
+        min_events = max(2, int(self.cfg.weight_cut_events))
+        for lab in list(times):
+            if len(times[lab]) < min_events:
+                d = os.path.join(self.root, f"basicrta-{self.cutoff}", lab)
+                os.makedirs(d, exist_ok=True)
+                open(os.path.join(d, ".dataset_too_small"), "w").close()
+                del times[lab]
+
         out: Dict[str, Gibbs] = {}
         if mode == "batched":
             ckpt_dir = os.path.join(self.root, f"basicrta-{self.cutoff}",
@@ -114,6 +126,7 @@ class ParallelGibbs:
             samples = run_residues(times, self.cfg,
                                    n_chains=self.cfg.n_chains,
                                    checkpoint_dir=ckpt_dir,
+                                   engine=engine,
                                    progress_cb=progress_cb)
             for lab in samples:
                 W, R = samples[lab]
@@ -123,7 +136,7 @@ class ParallelGibbs:
                 self._finish(g)
                 out[lab] = g
         else:
-            for lab in labels:
+            for lab in times:
                 g = Gibbs(times[lab], residue=lab, cutoff=self.cutoff,
                           cfg=self.cfg, root=self.root)
                 g.run(save=False)

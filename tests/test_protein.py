@@ -112,6 +112,29 @@ def test_b_color_structure(protein_run, tmp_path):
     assert b10 == pytest.approx(results["X10"].tau[1], abs=0.5)
 
 
+def test_tiny_residue_skipped_with_sentinel(tmp_path, rng):
+    """Residues with <= wcutoff-rule events get the .dataset_too_small
+    sentinel instead of a result (reference scripts sentinel contract)."""
+    ts = 0.1
+    times = discretize_times(simulate_hyperexp(
+        3000, [0.8, 0.2], [2.0, 0.1], rng), ts)
+    s1 = np.concatenate([np.full(len(times), 20, np.int32),
+                         np.full(4, 21, np.int32)])
+    durs = np.concatenate([times, [0.1, 0.2, 0.1, 0.3]])
+    ev = ContactEvents(
+        s1, np.full(len(s1), 100, np.int32),
+        np.arange(len(s1), dtype=float), durs,
+        ContactMeta(ts=ts, cutoff=7.0))
+    cfg = GibbsConfig(ncomp=4, niter=400, g=10, burnin=100, gmm_n_init=4)
+    out = ParallelGibbs(ev, cfg=cfg, root=str(tmp_path)).run()
+    assert set(out) == {"X20"}
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "basicrta-7.0", "X21", ".dataset_too_small"))
+    pp = ProcessProtein(cfg=cfg, cutoff=7.0, root=str(tmp_path))
+    pp.collect_results()
+    assert pp.missing_residues() == []  # skipped, not missing
+
+
 def test_missing_residue_gets_zero_tau(protein_run):
     root, cfg, _ = protein_run
     os.makedirs(os.path.join(root, "basicrta-7.0", "G12"), exist_ok=True)
