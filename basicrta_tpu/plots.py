@@ -127,13 +127,20 @@ def plot_gibbs_traces(gibbs, chain=0, sparse=1, scale=1.5, basename=None):
     return _save(fig, basename)
 
 
-def plot_cluster_scatter(gibbs, scale=2.0, basename=None):
+def plot_cluster_scatter(gibbs, scale=2.0, remove_noise=False,
+                         basename=None):
     """Posterior (weight, rate) pairs colored by cluster — the essential
     panel of the reference's mixture_and_plot figure set
-    (reference util.py:1030-1124)."""
+    (reference util.py:1030-1124). ``remove_noise`` drops clusters whose
+    membership probability never reaches the noise cutoff
+    (reference gibbs.py:310-319)."""
     rp = gibbs.processed
+    labels = np.unique(rp.labels)
+    if remove_noise:
+        imaxs = rp.pindicator_values.max(axis=0)
+        labels = labels[imaxs[labels] >= gibbs.cfg.noise_cutoff]
     fig, ax = plt.subplots(figsize=(4 * scale, 3 * scale))
-    for i in np.unique(rp.labels):
+    for i in labels:
         sel = rp.labels == i
         ax.plot(rp.data[sel, 1], rp.data[sel, 0], ".", ms=3,
                 label=f"{i}", color=f"C{i % 10}")

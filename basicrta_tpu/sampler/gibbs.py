@@ -111,14 +111,29 @@ class Gibbs:
         return self
 
     # ------------------------------------------------------------------ #
-    def process_gibbs(self, chain: int = 0, save: bool = True) -> "Gibbs":
+    def process_gibbs(self, chain=0, save: bool = True) -> "Gibbs":
         """Posterior filtering, clustering, and parameter estimation
-        (reference gibbs.py:275-308)."""
+        (reference gibbs.py:275-308).
+
+        ``chain`` selects one chain by index or pools post-burn-in samples
+        from all chains with ``chain='pooled'`` (a multi-chain upgrade; the
+        reference runs a single chain).
+        """
         key = jax.random.fold_in(jax.random.key(self.cfg.seed + 1),
                                  hash(str(self.residue)) & 0x7FFFFFFF)
+        if chain == "pooled" and self.mcweights.shape[0] > 1:
+            b = self.cfg.burnin_samples
+            # keep a burn-in-sized prefix so process_samples' burn-in
+            # discard leaves exactly the pooled post-burn-in samples
+            W = np.concatenate([self.mcweights[0][:b]]
+                               + [c[b:] for c in self.mcweights])
+            R = np.concatenate([self.mcrates[0][:b]]
+                               + [c[b:] for c in self.mcrates])
+        else:
+            idx = 0 if chain == "pooled" else chain
+            W, R = self.mcweights[idx], self.mcrates[idx]
         self.processed = process_samples(
-            key, self.mcweights[chain], self.mcrates[chain],
-            self._values, self._counts, self.cfg)
+            key, W, R, self._values, self._counts, self.cfg)
         self.parameters, self.intervals = estimate_params(self.processed)
         if save:
             self.save()
@@ -201,13 +216,56 @@ class Gibbs:
 
     # ------------------------------------------------------------------ #
     # plotting / reprocessing surface mirroring the reference Gibbs class
-    def cluster(self, chain: int = 0, **kwargs) -> "Gibbs":
-        """Re-run posterior clustering only (reference gibbs.py:221-273);
-        kwargs may override GibbsConfig fields (e.g. gmm_n_init)."""
+    def cluster(self, chain=0, method: str = "GaussianMixture",
+                **kwargs) -> "Gibbs":
+        """Re-run posterior clustering only (reference gibbs.py:221-273).
+
+        ``method`` mirrors the reference's sklearn.mixture dispatch
+        (gibbs.py:229-232): 'GaussianMixture' uses the built-in JAX EM;
+        other names (e.g. 'BayesianGaussianMixture') delegate to sklearn
+        when it is installed. Remaining kwargs override GibbsConfig fields
+        (e.g. gmm_n_init).
+        """
+        if method != "GaussianMixture":
+            return self._cluster_sklearn(chain, method, **kwargs)
         if kwargs:
             import dataclasses as _dc
             self.cfg = _dc.replace(self.cfg, **kwargs)
         return self.process_gibbs(chain=chain, save=False)
+
+    def _cluster_sklearn(self, chain, method, **kwargs):
+        """Label surviving posterior pairs with an sklearn.mixture model,
+        then rebuild membership/sorting with the standard pipeline."""
+        from sklearn import mixture
+        from basicrta_tpu.postprocess.clustering import (
+            ClusterResult, _label_matrix, accumulate_cluster_votes,
+            component_counts, gather_cluster_data, select_lmode,
+            sort_labels_by_rate)
+        idx = 0 if chain == "pooled" else chain
+        b = self.cfg.burnin_samples
+        W = np.asarray(self.mcweights[idx])[b:]
+        R = np.asarray(self.mcrates[idx])[b:]
+        wcut = self.cfg.wcutoff(len(self.times))
+        lens = component_counts(W, wcut)
+        lmode = select_lmode(lens)
+        data, inds, train = gather_cluster_data(W, R, wcut, lmode)
+        clu = getattr(mixture, method)(
+            n_components=lmode,
+            **{k: v for k, v in kwargs.items() if k != "n_components"})
+        clu.fit(np.log(train))
+        labels = clu.predict(np.log(data)).astype(np.int32)
+        res = ClusterResult(lmode=lmode, labels=labels, inds=inds,
+                            data=data)
+        L = _label_matrix(inds, labels, W.shape)
+        votes = accumulate_cluster_votes(
+            jax.random.key(self.cfg.seed + 2), W, R, self._values,
+            self._counts, L, lmode)
+        denom = votes.sum(axis=1, keepdims=True)
+        res.pindicator_values = votes / np.maximum(denom, 1e-30)
+        self.processed = sort_labels_by_rate(res, self.cfg.noise_cutoff)
+        from basicrta_tpu.postprocess.tau import estimate_params
+        self.parameters, self.intervals = estimate_params(self.processed)
+        return self
 
     def result_plot(self, **kwargs):
         """Cluster scatter figure (reference gibbs.py:310-319)."""
