@@ -212,6 +212,15 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     if engine not in ("xla", "pallas"):
         raise ValueError(f"unknown engine {engine!r}; use 'xla', 'pallas' "
                          "or 'auto'")
+    if (engine == "pallas" and sharding is not None
+            and len(sharding.mesh.devices.flat) > 1):
+        # the fused kernel is not yet wrapped in shard_map; multi-device
+        # lane sharding runs the XLA engine (single-device pallas covers
+        # the common case)
+        import warnings
+        warnings.warn("pallas engine does not support multi-device "
+                      "sharding yet; using the XLA engine")
+        engine = "xla"
     if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
         checkpoint_path += ".npz"
     B = batch.size
