@@ -25,16 +25,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(12345)
+@pytest.fixture
+def rng(request):
+    """Per-test deterministic RNG, independent of suite ordering.
+
+    A session-scoped generator makes each test's draws depend on which
+    tests ran before it — statistical assertions then flake only in
+    specific suite compositions. Seeding from the test id keeps every
+    test's stream fixed forever.
+    """
+    import zlib
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 @pytest.fixture(scope="session")
-def synthetic_times(rng):
+def synthetic_times():
     """Discretized hyperexponential dataset with known parameters."""
     from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
     weights = np.array([0.85, 0.13, 0.02])
     rates = np.array([4.0, 0.2, 0.01])
-    x = simulate_hyperexp(20000, weights, rates, rng)
+    x = simulate_hyperexp(20000, weights, rates,
+                          np.random.default_rng(12345))
     return discretize_times(x, 0.1), weights, rates

@@ -12,7 +12,8 @@ from basicrta_tpu.io.topology import Topology, write_gro, write_pdb
 
 
 @pytest.fixture(scope="module")
-def workdir(tmp_path_factory, rng):
+def workdir(tmp_path_factory):
+    rng = np.random.default_rng(55)
     root = tmp_path_factory.mktemp("cli")
     names = np.array(["CA", "CB", "C1", "C2"])
     resids = np.array([7, 7, 100, 100], np.int32)

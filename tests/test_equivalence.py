@@ -49,7 +49,8 @@ def numpy_reference_sampler(x, cfg: GibbsConfig, seed=0):
 
 
 @pytest.fixture(scope="module")
-def equivalence_runs(rng):
+def equivalence_runs():
+    rng = np.random.default_rng(99)
     x = discretize_times(simulate_hyperexp(
         12000, [0.8, 0.17, 0.03], [3.0, 0.25, 0.02], rng), 0.1)
     cfg = GibbsConfig(ncomp=5, niter=3000, g=10, burnin=1000, seed=11)

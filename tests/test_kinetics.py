@@ -71,7 +71,7 @@ class TestWeightedHistogram:
 
 class TestMapKinetics:
     @pytest.fixture(scope="class")
-    def system(self, tmp_path_factory, rng):
+    def system(self, tmp_path_factory):
         """Tiny system with a processed Gibbs result and real files."""
         from basicrta_tpu.config import GibbsConfig, ContactConfig
         from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
@@ -82,6 +82,7 @@ class TestMapKinetics:
         from basicrta_tpu.sampler.gibbs import Gibbs
         from basicrta_tpu.postprocess.tau import AllNoiseError
 
+        rng = np.random.default_rng(42)
         root = str(tmp_path_factory.mktemp("kin"))
         names = np.array(["CA", "CB", "C1", "C2", "C1", "C2"])
         resids = np.array([5, 5, 100, 100, 101, 101], np.int32)

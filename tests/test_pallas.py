@@ -24,7 +24,8 @@ def test_gammaln_lanczos():
 
 
 @pytest.fixture(scope="module")
-def stats_case(rng):
+def stats_case():
+    rng = np.random.default_rng(31)
     B, V, K = 3, 512, 8
     vals = np.zeros((B, V))
     cnts = np.zeros((B, V))

@@ -15,7 +15,8 @@ from basicrta_tpu.sampler.gibbs import Gibbs, run_residue
 
 
 @pytest.fixture(scope="module")
-def fitted(tmp_path_factory, rng):
+def fitted(tmp_path_factory):
+    rng = np.random.default_rng(77)
     x = simulate_hyperexp(30000, [0.85, 0.13, 0.02], [4.0, 0.2, 0.01], rng)
     x = discretize_times(x, 0.1)
     cfg = GibbsConfig(ncomp=8, niter=4000, g=10, burnin=1000, gmm_n_init=17,

@@ -12,7 +12,8 @@ from basicrta_tpu.sampler.gibbs import Gibbs
 
 
 @pytest.fixture(scope="module")
-def fitted(tmp_path_factory, rng):
+def fitted(tmp_path_factory):
+    rng = np.random.default_rng(13)
     x = discretize_times(simulate_hyperexp(
         8000, [0.85, 0.15], [3.0, 0.1], rng), 0.1)
     cfg = GibbsConfig(ncomp=4, niter=1500, g=10, burnin=500, gmm_n_init=6,

@@ -13,8 +13,9 @@ from basicrta_tpu.protein.driver import (ParallelGibbs, ProcessProtein,
 
 
 @pytest.fixture(scope="module")
-def events(rng):
+def events():
     """Synthetic event table: two residues with different slow taus."""
+    rng = np.random.default_rng(2024)
     ts = 0.1
     per_res = {
         10: discretize_times(simulate_hyperexp(
