@@ -35,8 +35,9 @@ from basicrta_tpu.ops.surv import (discretize_times,  # noqa: E402
 from basicrta_tpu.sampler.batch import bucket_residues, run_batch  # noqa: E402
 
 BASELINE_SWEEPS_PER_SEC = 2.11  # reference inner loop, 1 CPU core (BASELINE.md)
-N_RESIDUES = 300
-TIMED_SWEEPS = 1000
+# overridable for smoke runs (e.g. BENCH_RESIDUES=8 BENCH_SWEEPS=200)
+N_RESIDUES = int(os.environ.get("BENCH_RESIDUES", "300"))
+TIMED_SWEEPS = int(os.environ.get("BENCH_SWEEPS", "1000"))
 
 
 def make_workload(n_residues=N_RESIDUES, seed=0):
@@ -87,7 +88,7 @@ def main():
     print(json.dumps({
         "metric": "gibbs_sweeps_per_sec_per_chip",
         "value": round(agg, 1),
-        "unit": "sweeps/s/chip (aggregate, 300-residue batch, K=15)",
+        "unit": f"sweeps/s/chip (aggregate, {N_RESIDUES}-residue batch, K=15)",
         "vs_baseline": round(agg / BASELINE_SWEEPS_PER_SEC, 1),
     }))
 
