@@ -65,7 +65,7 @@ class MapContacts:
         residue pairs within the map cutoff."""
         cols = {k: [] for k in ("frames", "s1", "s2", "dist", "times")}
         last_time = None
-        prev_time = None
+        frame_diffs: list = []   # every consecutive frame-time gap
         nominal = None
         pending = None  # (device result, real frame count, batch)
 
@@ -95,7 +95,7 @@ class MapContacts:
                 p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2)
 
         def collect(dmin_dev, F_real, batch):
-            nonlocal last_time, prev_time
+            nonlocal last_time
             dmin = np.asarray(dmin_dev)[:F_real]
             f, s1, s2, dist, t = contacts_from_batch(
                 dmin, batch.frame_ids, batch.times, self.uniq_resids1,
@@ -105,12 +105,13 @@ class MapContacts:
             cols["s2"].append(s2)
             cols["dist"].append(dist)
             cols["times"].append(t)
-            if len(batch.times) > 0:
-                if prev_time is None and len(batch.times) > 1:
-                    prev_time = float(batch.times[1] - batch.times[0])
-                elif last_time is not None:
-                    prev_time = float(batch.times[0] - last_time)
-                last_time = float(batch.times[-1])
+            bt = np.asarray(batch.times, np.float64)[:F_real]
+            if len(bt) > 0:
+                if last_time is not None:
+                    frame_diffs.append(bt[0] - last_time)
+                if len(bt) > 1:
+                    frame_diffs.append(np.diff(bt))
+                last_time = float(bt[-1])
             if progress_cb is not None:
                 progress_cb(int(batch.frame_ids[-1]) + 1)
 
@@ -126,8 +127,18 @@ class MapContacts:
             collect(*pending)
 
         meta = dataclasses.replace(self.meta, cutoff=self.cfg.map_cutoff)
-        if meta.ts is None and prev_time is not None:
-            meta.ts = prev_time
+        if meta.ts is None and frame_diffs:
+            # infer ts from the *full* frame-time vector — a first-two-frames
+            # guess silently corrupts event merging on 1-frame first batches
+            # or irregular strides (events.py:33-40 keys durations off ts)
+            d = np.hstack(frame_diffs)
+            ts = float(d.min())
+            if ts <= 0 or float(d.max()) > ts * (1 + 1e-4):
+                raise ValueError(
+                    f"irregular frame-time stride (gaps span {d.min():g} to "
+                    f"{d.max():g} ns); event durations would be wrong. Pass "
+                    "an explicit ContactMeta(ts=...) for this trajectory.")
+            meta.ts = ts
         cat = {k: (np.concatenate(v) if v else np.zeros(0))
                for k, v in cols.items()}
         return ContactRecords(cat["frames"], cat["s1"], cat["s2"],

@@ -9,25 +9,59 @@ from __future__ import annotations
 
 import ctypes
 import os
+import shutil
 import subprocess
 from typing import Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libbasicrta_mdio.so")
+# sources ship inside the package so installed wheels can build the codec
+_NATIVE_DIR = os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "native")
+_SOURCES = ("mdio.cpp", "xdrf.cpp", "xdrf.h", "Makefile")
+_LIB_NAME = "libbasicrta_mdio.so"
 _lib = None
+
+
+def _stale(lib_path: str, src_dir: str) -> bool:
+    if not os.path.exists(lib_path):
+        return True
+    lib_mtime = os.path.getmtime(lib_path)
+    return any(os.path.getmtime(os.path.join(src_dir, s)) > lib_mtime
+               for s in _SOURCES if os.path.exists(os.path.join(src_dir, s)))
+
+
+def _build() -> str:
+    """Build (or rebuild when sources are newer) the codec library.
+
+    Builds next to the sources when that directory is writable; otherwise
+    (read-only site-packages) copies the sources to a per-user cache dir and
+    builds there.
+    """
+    lib_path = os.path.join(_NATIVE_DIR, _LIB_NAME)
+    if not _stale(lib_path, _NATIVE_DIR):
+        return lib_path
+    if os.access(_NATIVE_DIR, os.W_OK):
+        subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        return lib_path
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "basicrta_tpu",
+                         "native")
+    os.makedirs(cache, exist_ok=True)
+    for s in _SOURCES:
+        shutil.copy2(os.path.join(_NATIVE_DIR, s), os.path.join(cache, s))
+    cached_lib = os.path.join(cache, _LIB_NAME)
+    if _stale(cached_lib, cache):
+        subprocess.run(["make", "-B", "-C", cache], check=True,
+                       capture_output=True)
+    return cached_lib
 
 
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(_build())
     c = ctypes
     lib.bmd_xtc_open.restype = c.c_void_p
     lib.bmd_xtc_open.argtypes = [c.c_char_p]
@@ -53,6 +87,10 @@ def _load() -> ctypes.CDLL:
     lib.bmd_dcd_nframes.argtypes = [c.c_void_p]
     lib.bmd_dcd_delta.restype = c.c_float
     lib.bmd_dcd_delta.argtypes = [c.c_void_p]
+    lib.bmd_dcd_nsavc.restype = c.c_int
+    lib.bmd_dcd_nsavc.argtypes = [c.c_void_p]
+    lib.bmd_dcd_charmm.restype = c.c_int
+    lib.bmd_dcd_charmm.argtypes = [c.c_void_p]
     lib.bmd_dcd_read.restype = c.c_long
     lib.bmd_dcd_read.argtypes = [c.c_void_p, c.POINTER(c.c_long), c.c_long,
                                  c.POINTER(c.c_float), c.POINTER(c.c_double)]
@@ -171,6 +209,8 @@ class DCDReader:
         self.natoms = self._lib.bmd_dcd_natoms(self._h)
         self.nframes = self._lib.bmd_dcd_nframes(self._h)
         self.delta = float(self._lib.bmd_dcd_delta(self._h))
+        self.nsavc = int(self._lib.bmd_dcd_nsavc(self._h))
+        self.charmm = int(self._lib.bmd_dcd_charmm(self._h))
 
     def read(self, frames: Optional[Sequence[int]] = None):
         """Returns coords (F, A, 3) float32 [Angstrom] and unitcell

@@ -58,6 +58,9 @@ class Universe:
     def select_atoms(self, expr: str) -> np.ndarray:
         return self.topology.select(expr)
 
+    # CHARMM DCD headers store the integration step in AKMA time units
+    _AKMA_PS = 0.04888821
+
     def timestep_ns(self) -> float:
         """Frame interval in ns (the reference's ts = dt/1000,
         contacts.py:83)."""
@@ -67,7 +70,14 @@ class Universe:
         if isinstance(self._traj, DCDReader):
             if self._dcd_dt_ns is not None:
                 return self._dcd_dt_ns
-            return float(self._traj.delta)
+            if self._traj.charmm:
+                # header delta [AKMA] x frames-between-saves -> ns
+                return float(self._traj.delta * max(self._traj.nsavc, 1)
+                             * self._AKMA_PS / 1000.0)
+            raise ValueError(
+                "cannot infer the frame interval from a non-CHARMM DCD "
+                "header (delta units are writer-dependent); pass "
+                "Universe(..., dcd_dt_ns=...) explicitly")
         return 1.0
 
     def frame_positions(self, frames: Sequence[int]) -> np.ndarray:

@@ -281,8 +281,9 @@ struct DcdHandle {
     long first_frame_off = 0;
     long frame_bytes = 0;
     bool has_cell = false;
-    float delta = 0.0f;  // timestep in AKMA-ish units as stored
+    float delta = 0.0f;  // timestep as stored (AKMA units for CHARMM files)
     int istart = 0, nsavc = 1;
+    int charmm = 0;      // icntrl[19]: nonzero marks a CHARMM-format file
 };
 
 static bool read_rec(FILE* f, std::vector<uint8_t>& buf) {
@@ -318,6 +319,7 @@ extern "C" void* bmd_dcd_open(const char* path) {
     h->nsavc = icntrl[2];
     std::memcpy(&h->delta, &icntrl[9], 4);
     h->has_cell = icntrl[10] != 0;
+    h->charmm = icntrl[19];
     if (!read_rec(f, rec)) { fclose(f); delete h; return nullptr; }  // title
     if (!read_rec(f, rec) || rec.size() != 4) {
         fclose(f);
@@ -343,6 +345,12 @@ extern "C" long bmd_dcd_nframes(void* vh) {
 }
 extern "C" float bmd_dcd_delta(void* vh) {
     return static_cast<DcdHandle*>(vh)->delta;
+}
+extern "C" int bmd_dcd_nsavc(void* vh) {
+    return static_cast<DcdHandle*>(vh)->nsavc;
+}
+extern "C" int bmd_dcd_charmm(void* vh) {
+    return static_cast<DcdHandle*>(vh)->charmm;
 }
 
 // coords in Angstrom (count*natoms*3); box (count*6) as stored (unitcell

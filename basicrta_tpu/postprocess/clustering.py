@@ -152,17 +152,24 @@ def sort_labels_by_rate(result: ClusterResult,
     labels = result.labels
     arates = result.data[:, 1]
     pind = result.pindicator_values
-    uniq = np.unique(labels)
+    all_clusters = np.arange(pind.shape[1])
+    present = np.isin(all_clusters, np.unique(labels))
 
     imaxs = pind.max(axis=0)
-    noise = np.where(imaxs < noise_cutoff)[0]
-    means = np.array([arates[labels == i].mean() for i in uniq])
+    # empty clusters (possible when the GMM predict assigns nothing to a
+    # component) have no rate mean and effectively zero membership; treat
+    # them as noise so indexing stays by label value, never by position
+    noise_mask = (imaxs < noise_cutoff) | ~present
+    means = np.array([arates[labels == i].mean() if present[i] else -np.inf
+                      for i in all_clusters])
 
-    non_noise = np.delete(uniq, noise)
+    non_noise = all_clusters[~noise_mask]
+    noise = all_clusters[noise_mask]
     vsorts = means[non_noise].argsort()[::-1]
     nsorts = means[noise].argsort()[::-1]
     presorts = np.concatenate([non_noise[vsorts], noise[nsorts]]).astype(int)
-    sorts = np.array([np.where(presorts == i)[0][0] for i in uniq])
+    sorts = np.empty(len(all_clusters), dtype=int)
+    sorts[presorts] = np.arange(len(all_clusters))
 
     result.labels = sorts[labels]
     result.pindicator_values = pind[:, presorts]

@@ -70,8 +70,13 @@ def estimate_tau(result: ClusterResult, noise_cutoff: float,
     if params is None:
         params, _ = estimate_params(result)
     imaxs = result.pindicator_values.max(axis=0)
-    noise = np.where(imaxs < noise_cutoff)[0]
-    candidates = np.delete(np.unique(result.labels), noise)
+    all_clusters = np.arange(result.lmode)
+    present = np.isin(all_clusters, np.unique(result.labels))
+    # candidates: clusters that (a) hold surviving pairs — empty clusters
+    # carry NaN point estimates and no tau samples, (b) clear the noise
+    # cutoff, and (c) have a finite rate estimate (NaN would win the argmin)
+    candidates = all_clusters[present & (imaxs >= noise_cutoff)]
+    candidates = candidates[np.isfinite(params[candidates, 1])]
     if candidates.size == 0:
         raise AllNoiseError("all clusters classified as noise")
     slowest = candidates[np.argmin(params[candidates, 1])]

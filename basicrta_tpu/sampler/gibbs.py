@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from typing import Optional
 
 import jax
@@ -65,6 +66,12 @@ class Gibbs:
             self._values, self._counts = dedup_times(self.times)
 
     # ------------------------------------------------------------------ #
+    def _residue_fold(self) -> int:
+        """Stable per-residue PRNG fold-in. Python's ``hash(str)`` is salted
+        per process (PYTHONHASHSEED), which would make chains and all
+        post-processing differ between runs of the same cfg.seed."""
+        return zlib.crc32(str(self.residue).encode()) & 0x7FFFFFFF
+
     @property
     def savedir(self) -> str:
         return os.path.join(self.root, f"basicrta-{self.cutoff}",
@@ -91,7 +98,7 @@ class Gibbs:
                 self.save()
             return self
         key = jax.random.fold_in(jax.random.key(self.cfg.seed),
-                                 hash(str(self.residue)) & 0x7FFFFFFF)
+                                 self._residue_fold())
         tiers = None
         if mode == "collapsed":
             # multiplicity-descending order enables the tiered sampler; the
@@ -120,7 +127,7 @@ class Gibbs:
         reference runs a single chain).
         """
         key = jax.random.fold_in(jax.random.key(self.cfg.seed + 1),
-                                 hash(str(self.residue)) & 0x7FFFFFFF)
+                                 self._residue_fold())
         if chain == "pooled" and self.mcweights.shape[0] > 1:
             b = self.cfg.burnin_samples
             # keep a burn-in-sized prefix so process_samples' burn-in

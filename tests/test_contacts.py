@@ -178,3 +178,37 @@ class TestMapContacts:
         assert d[(2, 9)][1] == pytest.approx(0.1)
         # Gibbs input extraction
         assert np.allclose(ev.times_for_residue(1), [0.3])
+
+    @staticmethod
+    def _tiny_mapper():
+        return MapContacts(
+            indices1=np.array([0]), resids1=np.array([1]),
+            indices2=np.array([1]), resids2=np.array([9]),
+            cfg=ContactConfig(map_cutoff=10.0, use_pbc=False))
+
+    @staticmethod
+    def _batches_for(times, split):
+        pos = np.zeros((len(times), 2, 3), np.float32)
+        pos[:, 1, 0] = 2.0
+        times = np.asarray(times, np.float64)
+        ids = np.arange(len(times))
+        return [FrameBatch(ids[:split], times[:split], pos[:split]),
+                FrameBatch(ids[split:], times[split:], pos[split:])]
+
+    def test_ts_inferred_despite_one_frame_first_batch(self):
+        """ts must come from the full frame-time vector; a first batch of a
+        single frame starved the old first-two-frames guess."""
+        mc = self._tiny_mapper()
+        rec = mc.run(self._batches_for([0.0, 0.1, 0.2, 0.3], split=1))
+        assert rec.meta.ts == pytest.approx(0.1)
+
+    def test_irregular_stride_raises(self):
+        mc = self._tiny_mapper()
+        with pytest.raises(ValueError, match="irregular"):
+            mc.run(self._batches_for([0.0, 0.1, 0.3, 0.4], split=2))
+
+    def test_explicit_ts_bypasses_inference(self):
+        mc = self._tiny_mapper()
+        mc.meta = ContactMeta(ts=0.05)
+        rec = mc.run(self._batches_for([0.0, 0.1, 0.3, 0.4], split=2))
+        assert rec.meta.ts == pytest.approx(0.05)

@@ -73,6 +73,47 @@ class TestDCD:
         c2, _ = r.read([2])
         assert np.allclose(c2[0], coords[2])
 
+    def test_charmm_timestep_akma(self, tmp_path, traj_data):
+        """CHARMM DCD headers store delta in AKMA units; the frame interval
+        is delta * nsavc * 0.04888821 ps (not raw header units)."""
+        from basicrta_tpu.io.topology import write_gro, Topology
+        coords, _, box = traj_data
+        A = coords.shape[1]
+        path = str(tmp_path / "t.dcd")
+        DCDWriter(path, delta=2.0, nsavc=50).write(coords, box)
+        r = DCDReader(path)
+        assert r.charmm != 0 and r.nsavc == 50
+        top = Topology(np.array(["CA"] * A),
+                       np.arange(A, dtype=np.int32),
+                       np.array(["ALA"] * A),
+                       coords[0], np.array([50.0] * 3, np.float32))
+        gro = write_gro(str(tmp_path / "t.gro"), top)
+        u = Universe(gro, path)
+        assert u.timestep_ns() == pytest.approx(2.0 * 50 * 0.04888821 / 1000)
+        # explicit override wins
+        u2 = Universe(gro, path, dcd_dt_ns=0.25)
+        assert u2.timestep_ns() == 0.25
+
+    def test_non_charmm_dcd_requires_explicit_dt(self, tmp_path, traj_data):
+        from basicrta_tpu.io.topology import write_gro, Topology
+        coords, _, box = traj_data
+        A = coords.shape[1]
+        path = str(tmp_path / "t.dcd")
+        DCDWriter(path, delta=2.0, nsavc=50).write(coords, box)
+        # zero the CHARMM version stamp (icntrl[19], byte offset 84 within
+        # the leading record: 4-byte length + 'CORD' + 19 ints)
+        with open(path, "r+b") as fh:
+            fh.seek(4 + 4 + 19 * 4)
+            fh.write(b"\x00\x00\x00\x00")
+        top = Topology(np.array(["CA"] * A),
+                       np.arange(A, dtype=np.int32),
+                       np.array(["ALA"] * A),
+                       coords[0], np.array([50.0] * 3, np.float32))
+        gro = write_gro(str(tmp_path / "t.gro"), top)
+        u = Universe(gro, path)
+        with pytest.raises(ValueError, match="dcd_dt_ns"):
+            u.timestep_ns()
+
 
 def _make_topology():
     # residues: 2 protein residues (3 + 2 atoms) + 2 CHOL (2 atoms each)
