@@ -91,10 +91,13 @@ def _cmd_gibbs(args):
         import jax
         with jax.profiler.trace(args.profile):
             results = driver.run(run_resids=run_resids, mode=args.mode,
-                                 engine=args.engine, progress_cb=progress)
+                                 engine=args.engine,
+                                 n_devices=args.ndevices,
+                                 progress_cb=progress)
     else:
         results = driver.run(run_resids=run_resids, mode=args.mode,
-                             engine=args.engine, progress_cb=progress)
+                             engine=args.engine, n_devices=args.ndevices,
+                             progress_cb=progress)
     print(file=sys.stderr)
     for label, g in results.items():
         lo, tau, hi = g.tau
@@ -191,6 +194,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="sweep engine for batched mode (auto: pallas on "
                         "TPU)")
+    g.add_argument("--ndevices", type=int, default=None,
+                   help="shard residue lanes over this many devices "
+                        "(0: all visible devices; default: unsharded)")
     g.add_argument("--rerun-missing", action="store_true",
                    help="run only residues without results (failure-"
                         "detection sweep)")

@@ -1,0 +1,203 @@
+"""Batched cross-residue posterior processing.
+
+The reference re-processes residues one at a time in an OS pool
+(reference cluster.py:54-76); the round-1 port of that shape re-jitted the
+GMM for every residue's distinct (sample-count, lmode) signature — a fresh
+XLA compile per residue, ~11 s each, which would dominate a full-protein
+run. Here residues are bucketed by (lmode, padded sizes), padding is masked
+through the GMM's ``train_weights`` hook, and each bucket runs as ONE
+vmapped device program: one compile per bucket signature, every residue in
+the bucket processed in parallel on the VPU.
+
+Statistical semantics per residue are unchanged from
+``clustering.process_samples`` (reference gibbs.py:275-308): burn-in and
+weight-cutoff filtering, modal surviving-component count, GMM labeling of
+log(weight, rate) pairs, indicator votes, rate-sorted relabeling.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.ops.random import multinomial as multinomial_counts
+from basicrta_tpu.postprocess.clustering import (ClusterResult,
+                                                 _label_matrix,
+                                                 component_counts,
+                                                 gather_cluster_data,
+                                                 select_lmode,
+                                                 sort_labels_by_rate)
+from basicrta_tpu.postprocess.gmm import gmm_fit_predict
+
+
+def _next_pow2(n: int, floor: int = 64) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def _gmm_bucket(keys, train, train_w, data, lmode: int, cfg: GibbsConfig):
+    """One vmapped GMM fit+predict over a bucket of residues sharing
+    (lmode, padded shapes). Padded train rows carry zero weight; labels of
+    padded data rows are sliced off by the caller."""
+    fit = jax.vmap(lambda k, tr, tw, da: gmm_fit_predict(
+        k, tr, da, n_components=lmode, n_init=cfg.gmm_n_init,
+        max_iter=cfg.gmm_max_iter, tol=cfg.gmm_tol, train_weights=tw)[0])
+    return fit(keys, train, train_w, data)
+
+
+def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int):
+    """Vmapped per-residue vote accumulation (clustering
+    accumulate_cluster_votes semantics); padded value columns carry zero
+    counts and contribute nothing."""
+
+    @jax.jit
+    def run(keys, W, R, values, counts, L):
+        def one(key, w_s, r_s, v, c, lab):
+            S = w_s.shape[0]
+
+            def step(votes, xs):
+                key_j, w, r, lb = xs
+                logz = (jnp.log(w)[None, :] + jnp.log(r)[None, :]
+                        - v[:, None] * r[None, :])
+                m = multinomial_counts(key_j, c,
+                                       jax.nn.softmax(logz, axis=-1))
+                onehot = jax.nn.one_hot(lb, n_clusters, dtype=m.dtype)
+                return votes + m @ onehot, None
+
+            sub = jax.random.split(key, S)
+            votes0 = jnp.zeros((v.shape[0], n_clusters), jnp.float32)
+            votes, _ = jax.lax.scan(step, votes0, (sub, w_s, r_s, lab))
+            return votes
+
+        return jax.vmap(one)(keys, W, R, values, counts, L)
+
+    return np.asarray(run(keys, W, R, values, counts, L))
+
+
+def select_chain(mcweights: np.ndarray, mcrates: np.ndarray, chain,
+                 burnin_samples: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Mirror Gibbs.process_gibbs chain selection: an index, or 'pooled' to
+    concatenate post-burn-in samples of all chains behind one burn-in-sized
+    prefix."""
+    if chain == "pooled" and mcweights.shape[0] > 1:
+        b = burnin_samples
+        W = np.concatenate([mcweights[0][:b]] + [c[b:] for c in mcweights])
+        R = np.concatenate([mcrates[0][:b]] + [c[b:] for c in mcrates])
+        return W, R
+    idx = 0 if chain == "pooled" else chain
+    return mcweights[idx], mcrates[idx]
+
+
+def process_residues_batched(
+        items: Dict[str, tuple], cfg: GibbsConfig,
+        chain=0, progress_cb=None) -> Dict[str, ClusterResult]:
+    """Post-process many residues' chains with bucketed device batching.
+
+    Args:
+        items: {residue: (mcweights (chains,S,K), mcrates, values (V,),
+            counts (V,))} — the sampler outputs plus each residue's
+            deduplicated times.
+        chain: chain index or 'pooled' (cf. Gibbs.process_gibbs).
+
+    Returns:
+        {residue: ClusterResult} (sorted labels, pindicator, presorts).
+    """
+    b = cfg.burnin_samples
+    prepared = {}
+    for name, (mcw, mcr, values, counts) in items.items():
+        W, R = select_chain(np.asarray(mcw), np.asarray(mcr), chain, b)
+        if b >= len(W):
+            raise ValueError(
+                f"burn-in discards all samples for {name} ({b} thinned "
+                f"burn-in vs {len(W)} collected)")
+        W, R = W[b:], R[b:]
+        n_events = int(np.asarray(counts).sum())
+        wcutoff = cfg.wcutoff(n_events)
+        lmode = select_lmode(component_counts(W, wcutoff))
+        data, inds, train = gather_cluster_data(W, R, wcutoff, lmode)
+        prepared[name] = dict(W=W, R=R, values=np.asarray(values),
+                              counts=np.asarray(counts), lmode=lmode,
+                              data=data, inds=inds, train=train)
+
+    # ---- stage 1: bucketed GMM fits ---------------------------------- #
+    buckets: Dict[tuple, list] = {}
+    for name, p in prepared.items():
+        key = (p["lmode"], _next_pow2(len(p["train"])),
+               _next_pow2(len(p["data"])))
+        buckets.setdefault(key, []).append(name)
+
+    base_key = jax.random.key(cfg.seed + 1)
+    import zlib
+
+    def residue_key(name, salt=0):
+        return jax.random.fold_in(
+            jax.random.fold_in(base_key, salt),
+            zlib.crc32(str(name).encode()) & 0x7FFFFFFF)
+
+    done = 0
+    total = 2 * len(prepared)
+    for (lmode, Mt_p, M_p), names in buckets.items():
+        Bk = len(names)
+        train = np.zeros((Bk, Mt_p, 2), np.float64)
+        train_w = np.zeros((Bk, Mt_p), np.float32)
+        data = np.ones((Bk, M_p, 2), np.float64)
+        for i, name in enumerate(names):
+            p = prepared[name]
+            train[i, :len(p["train"])] = np.log(p["train"])
+            train[i, len(p["train"]):] = train[i, 0]  # benign pad location
+            train_w[i, :len(p["train"])] = 1.0
+            data[i, :len(p["data"])] = np.log(p["data"])
+        keys = jnp.stack([residue_key(n) for n in names])
+        labels = np.asarray(_gmm_bucket(
+            keys, jnp.asarray(train), jnp.asarray(train_w),
+            jnp.asarray(data), lmode, cfg))
+        for i, name in enumerate(names):
+            p = prepared[name]
+            p["labels"] = labels[i, :len(p["data"])].astype(np.int32)
+            done += 1
+        if progress_cb is not None:
+            progress_cb(done, total)
+
+    # ---- stage 2: bucketed vote accumulation -------------------------- #
+    vbuckets: Dict[tuple, list] = {}
+    for name, p in prepared.items():
+        key = (p["lmode"], _next_pow2(len(p["values"])), p["W"].shape)
+        vbuckets.setdefault(key, []).append(name)
+
+    results: Dict[str, ClusterResult] = {}
+    for (lmode, V_p, w_shape), names in vbuckets.items():
+        Bk = len(names)
+        S, K = w_shape
+        Wb = np.empty((Bk, S, K), np.float32)
+        Rb = np.empty((Bk, S, K), np.float32)
+        Vb = np.ones((Bk, V_p), np.float32)
+        Cb = np.zeros((Bk, V_p), np.float32)
+        Lb = np.empty((Bk, S, K), np.int32)
+        for i, name in enumerate(names):
+            p = prepared[name]
+            Wb[i], Rb[i] = p["W"], p["R"]
+            Vb[i, :len(p["values"])] = p["values"]
+            Cb[i, :len(p["counts"])] = p["counts"]
+            Lb[i] = _label_matrix(p["inds"], p["labels"], (S, K))
+        keys = jnp.stack([residue_key(n, salt=1) for n in names])
+        votes = _votes_bucket(keys, jnp.asarray(Wb), jnp.asarray(Rb),
+                              jnp.asarray(Vb), jnp.asarray(Cb),
+                              jnp.asarray(Lb), lmode)
+        for i, name in enumerate(names):
+            p = prepared[name]
+            v = votes[i, :len(p["values"])]
+            denom = v.sum(axis=1, keepdims=True)
+            res = ClusterResult(lmode=lmode, labels=p["labels"],
+                                inds=p["inds"], data=p["data"])
+            res.pindicator_values = v / np.maximum(denom, 1e-30)
+            results[name] = sort_labels_by_rate(res, cfg.noise_cutoff)
+            done += 1
+        if progress_cb is not None:
+            progress_cb(done, total)
+    return results

@@ -26,6 +26,35 @@ from basicrta_tpu.sampler.batch import run_residues
 from basicrta_tpu.sampler.gibbs import Gibbs
 
 
+def finish_batch(gibbs_by_label: Dict[str, Gibbs], chain=0,
+                 save: bool = True, progress_cb=None) -> None:
+    """Post-process many residues' sampler outputs as bucketed device
+    batches (one compile + one vmapped program per shape bucket instead of
+    a fresh compile per residue) and fill each Gibbs with processed results,
+    parameters, and tau. Replaces the reference's per-residue reprocess pool
+    (cluster.py:54-76) at device speed."""
+    if not gibbs_by_label:
+        return
+    from basicrta_tpu.postprocess.batched import process_residues_batched
+    from basicrta_tpu.postprocess.tau import estimate_params
+    from basicrta_tpu.postprocess.tau import estimate_tau as _etau
+    items = {}
+    for lab, g in gibbs_by_label.items():
+        items[lab] = (g.mcweights, g.mcrates, g._values, g._counts)
+    cfg = next(iter(gibbs_by_label.values())).cfg
+    results = process_residues_batched(items, cfg, chain=chain,
+                                       progress_cb=progress_cb)
+    for lab, g in gibbs_by_label.items():
+        g.processed = results[lab]
+        g.parameters, g.intervals = estimate_params(g.processed)
+        try:
+            g.tau = _etau(g.processed, g.cfg.noise_cutoff, g.parameters)
+        except AllNoiseError:
+            g.tau = (0.0, 0.0, 0.0)
+        if save:
+            g.save()
+
+
 def cutoff_from_filename(path: str) -> float:
     """Parse the analysis cutoff out of a contacts filename, the reference's
     filename-as-config convention (reference gibbs.py:35-36,
@@ -90,12 +119,20 @@ class ParallelGibbs:
         self.root = root
 
     def run(self, run_resids=None, mode: str = "batched",
-            engine: str = "auto", progress_cb=None) -> Dict[str, Gibbs]:
+            engine: str = "auto", n_devices: Optional[int] = None,
+            progress_cb=None) -> Dict[str, Gibbs]:
         """Sample all residues (or ``run_resids``) and post-process each.
 
         ``mode='batched'`` runs every residue as device lanes of one
         program; ``mode='sequential'`` runs one residue at a time (lower
         peak memory, matches the single-residue code path exactly).
+
+        ``n_devices`` shards the residue/chain lanes over a
+        ('lanes', 'events') device mesh — the product path of the multi-chip
+        backend (replaces the reference's Slurm job array,
+        scripts/create_jobs.sh). ``n_devices=0`` uses every visible device;
+        ``None`` (default) runs unsharded on one device. Both engines
+        compose with lane sharding.
         """
         all_resids = np.unique(self.events.sel1_resids)
         if run_resids is None:
@@ -119,6 +156,14 @@ class ParallelGibbs:
                 open(os.path.join(d, ".dataset_too_small"), "w").close()
                 del times[lab]
 
+        sharding = None
+        if n_devices is not None:
+            import jax
+            from basicrta_tpu.parallel.mesh import make_mesh, lane_sharding
+            n = n_devices if n_devices > 0 else len(jax.devices())
+            sharding = lane_sharding(
+                make_mesh(n_lanes=n, devices=jax.devices()[:n]))
+
         out: Dict[str, Gibbs] = {}
         if mode == "batched":
             ckpt_dir = os.path.join(self.root, f"basicrta-{self.cutoff}",
@@ -127,14 +172,15 @@ class ParallelGibbs:
                                    n_chains=self.cfg.n_chains,
                                    checkpoint_dir=ckpt_dir,
                                    engine=engine,
+                                   sharding=sharding,
                                    progress_cb=progress_cb)
             for lab in samples:
                 W, R = samples[lab]
                 g = Gibbs(times[lab], residue=lab, cutoff=self.cutoff,
                           cfg=self.cfg, root=self.root)
                 g.mcweights, g.mcrates = W, R
-                self._finish(g)
                 out[lab] = g
+            finish_batch(out)
         else:
             for lab in times:
                 g = Gibbs(times[lab], residue=lab, cutoff=self.cutoff,
@@ -204,21 +250,19 @@ class ProcessProtein:
         return missing
 
     def reprocess(self) -> None:
-        """Re-run posterior processing for every residue
-        (reference cluster.py:54-76)."""
+        """Re-run posterior processing for every residue as one bucketed
+        batch (reference cluster.py:54-76 runs an OS pool instead)."""
         if not self.residues:
             self.collect_results()
+        loaded = {}
         for label, path in self.residues.items():
             if path is None:
                 continue
             g = Gibbs.load(path)
             g.root = self.root
-            g.process_gibbs(save=False)
-            try:
-                g.estimate_tau()
-            except AllNoiseError:
-                g.tau = (0.0, 0.0, 0.0)
-            g.save()
+            loaded[label] = g
+        if loaded:
+            finish_batch(loaded)
 
     def get_taus(self):
         """(taus, bars): slowest-process tau and CI offsets per residue;

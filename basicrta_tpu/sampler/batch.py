@@ -135,6 +135,9 @@ def _checkpoint_key(batch: ResidueBatch, cfg: GibbsConfig,
     h.update(cfg.to_json().encode())
     h.update(engine.encode())
     h.update(np.ascontiguousarray(batch.counts).tobytes())
+    # values too: the same residues re-extracted with a different timestep
+    # scale keep their multiplicities but change every residence time
+    h.update(np.ascontiguousarray(batch.values).tobytes())
     return h.hexdigest()[:16]
 
 
@@ -212,30 +215,40 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     if engine not in ("xla", "pallas"):
         raise ValueError(f"unknown engine {engine!r}; use 'xla', 'pallas' "
                          "or 'auto'")
-    if (engine == "pallas" and sharding is not None
-            and len(sharding.mesh.devices.flat) > 1):
-        # the fused kernel is not yet wrapped in shard_map; multi-device
-        # lane sharding runs the XLA engine (single-device pallas covers
-        # the common case)
-        import warnings
-        warnings.warn("pallas engine does not support multi-device "
-                      "sharding yet; using the XLA engine")
-        engine = "xla"
+    mesh = sharding.mesh if sharding is not None else None
+    n_lanes = 1
+    if mesh is not None:
+        n_lanes = mesh.shape.get("lanes", mesh.devices.size)
+        if engine == "pallas" and mesh.shape.get("events", 1) > 1:
+            raise ValueError(
+                "the fused pallas engine keeps each lane's full value axis "
+                "in VMEM and cannot shard it; use an events=1 mesh (lane "
+                "sharding) or engine='xla' for event sharding")
     if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
         checkpoint_path += ".npz"
     B = batch.size
-    values = jnp.asarray(batch.values, jnp.float32)
-    counts = jnp.asarray(batch.counts, jnp.float32)
+    # pad lanes to a multiple of the lane-shard count; padded lanes carry
+    # zero counts (no events) and are sliced off the results
+    Bs = -(-B // n_lanes) * n_lanes
+    values_np = np.ones((Bs, batch.values.shape[1]), np.float32)
+    values_np[:B] = batch.values
+    counts_np = np.zeros((Bs, batch.counts.shape[1]), np.float32)
+    counts_np[:B] = batch.counts
+    values = jnp.asarray(values_np)
+    counts = jnp.asarray(counts_np)
     if sharding is not None:
         values = jax.device_put(values, sharding)
         counts = jax.device_put(counts, sharding)
 
     st0 = init_mixture_params(cfg.ncomp)
-    state = MixtureState(jnp.tile(st0.weights, (B, 1)),
-                         jnp.tile(st0.rates, (B, 1)))
+    state = MixtureState(jnp.tile(st0.weights, (Bs, 1)),
+                         jnp.tile(st0.rates, (Bs, 1)))
+    if sharding is not None:
+        state = MixtureState(jax.device_put(state.weights, sharding),
+                             jax.device_put(state.rates, sharding))
     total_blocks = cfg.niter // cfg.g
     key = jax.random.key(cfg.seed)
-    lane_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+    lane_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(Bs))
 
     Ws, Rs = [], []
     done = 0
@@ -243,30 +256,76 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     if checkpoint_path is not None:
         resumed = load_checkpoint(checkpoint_path, batch, cfg, engine)
         if resumed is not None:
-            done, seg_idx, state, Ws, Rs = resumed
+            done, seg_idx, ck_state, Ws, Rs = resumed
+            # checkpoints store the true-B state; re-pad to the shard count
+            pad = Bs - ck_state.weights.shape[0]
+            state = MixtureState(
+                jnp.pad(ck_state.weights, ((0, pad), (0, 0)),
+                        constant_values=1.0),
+                jnp.pad(ck_state.rates, ((0, pad), (0, 0)),
+                        constant_values=1.0))
+            if sharding is not None:
+                state = MixtureState(
+                    jax.device_put(state.weights, sharding),
+                    jax.device_put(state.rates, sharding))
     if engine == "pallas":
         from basicrta_tpu.sampler.pallas_sweep import (pad_tiers_to_rows,
                                                        segment_pallas)
         p_tiers = pad_tiers_to_rows(batch.tiers, values.shape[1])
         on_cpu = jax.devices()[0].platform == "cpu"
+        seed0 = jnp.int32(cfg.seed & 0x7FFFFFFF)
+
+        if mesh is not None and n_lanes > 1:
+            from jax.sharding import PartitionSpec as P
+
+            def run_segment(offset, state, nb):
+                def _body(seed, off, w, r, v, c):
+                    shard = jax.lax.axis_index("lanes")
+                    # decorrelate shards by seed (in-kernel lanes
+                    # decorrelate via program id, which restarts at 0 on
+                    # every shard)
+                    local_seed = seed + shard.astype(jnp.int32) * jnp.int32(
+                        0x3504F333)
+                    st, W, R = segment_pallas(
+                        local_seed, off, MixtureState(w, r), v, c, cfg,
+                        nb, p_tiers, interpret=on_cpu)
+                    return st.weights, st.rates, W, R
+
+                sharded = jax.shard_map(
+                    _body, mesh=mesh,
+                    in_specs=(P(), P(), P("lanes"), P("lanes"), P("lanes"),
+                              P("lanes")),
+                    out_specs=(P("lanes"), P("lanes"), P("lanes"),
+                               P("lanes")),
+                    check_vma=False)
+                w, r, W, R = sharded(seed0, jnp.int32(offset),
+                                     state.weights, state.rates,
+                                     values, counts)
+                return MixtureState(w, r), W, R
+        else:
+            def run_segment(offset, state, nb):
+                return segment_pallas(seed0, jnp.int32(offset), state,
+                                      values, counts, cfg, nb, p_tiers,
+                                      interpret=on_cpu)
     while done < total_blocks:
         nb = min(segment_blocks, total_blocks - done)
         if engine == "pallas":
-            state, W, R = segment_pallas(
-                key, jnp.int32(done * cfg.g), state, values, counts, cfg,
-                nb, p_tiers, interpret=on_cpu)
+            state, W, R = run_segment(done * cfg.g, state, nb)
         else:
             seg_keys = jax.vmap(
                 lambda k: jax.random.fold_in(k, seg_idx))(lane_keys)
             state, W, R = _segment(seg_keys, state, values, counts, cfg,
                                    nb, batch.tiers)
-        Ws.append(np.asarray(W))
-        Rs.append(np.asarray(R))
+        Ws.append(np.asarray(W)[:B])
+        Rs.append(np.asarray(R)[:B])
         done += nb
         seg_idx += 1
         if checkpoint_path is not None:
             save_checkpoint(checkpoint_path, batch, cfg, done, seg_idx,
-                            state, Ws, Rs, engine)
+                            MixtureState(
+                                np.asarray(state.weights)[:B],
+                                np.asarray(state.rates)[:B]),
+                            Ws, Rs, engine)
         if checkpoint_cb is not None:
             checkpoint_cb(seg_idx, state, (Ws, Rs))
         if progress_cb is not None:

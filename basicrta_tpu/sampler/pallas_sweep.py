@@ -1,10 +1,19 @@
-"""Fused Pallas TPU kernel for the collapsed Gibbs sweep statistics.
+"""Fused Pallas TPU kernels for the collapsed Gibbs sweep.
 
-One ``pallas_call`` per sweep computes, per batch lane, the sufficient
-statistics (N_k, T_k) of the conditional multinomial draw: responsibilities,
-suffix sums, and the tiered conditional-binomial chain all run in VMEM with
-the on-core PRNG — no HBM intermediates (the XLA path materializes the
-(T, B, V) inversion tables and ~10 further (B, V, K) temporaries per sweep).
+Two kernels share one sufficient-statistics body:
+
+- :func:`sweep_stats` — one ``pallas_call`` per sweep computing, per batch
+  lane, the statistics (N_k, T_k) of the conditional multinomial draw:
+  responsibilities, suffix sums, and the tiered conditional-binomial chain
+  all run in VMEM with the on-core PRNG — no HBM intermediates (the XLA path
+  materializes the (T, B, V) inversion tables and ~10 further (B, V, K)
+  temporaries per sweep). Used by tests and as the building block reference.
+- :func:`segment_pallas` — the production engine: ONE ``pallas_call`` runs
+  ``n_blocks * g`` whole sweeps with the (w, r) chain state held in VMEM and
+  the Dirichlet/Gamma conjugate update computed *inside* the kernel
+  (Marsaglia-Tsang gamma on the (G, K) state tile), so a 10,000-sweep
+  segment costs one kernel launch instead of 10,000 launch round-trips —
+  launch latency was the single-chip throughput ceiling at ~1.2 ms/sweep.
 
 Value columns are laid out as (SL, 128) tiles (lane axis fully utilized) and
 must be sorted by multiplicity descending with tier boundaries aligned to
@@ -13,8 +22,6 @@ whole 128-lane rows:
 - rows [0, head_rows): unbounded counts -> 64-term inversion + BTRS,
 - rows [head_rows, small_rows): counts <= SMALL_NMAX -> 9-term inversion,
 - rows [small_rows, SL): counts in {0, 1} -> Bernoulli thinning.
-
-The conjugate (Dirichlet/Gamma) update stays in XLA — it is (B, K)-sized.
 """
 
 from __future__ import annotations
@@ -214,27 +221,106 @@ def _binom_full(rng, n, p):
     return jnp.clip(m, 0.0, n)
 
 
-def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
-                        use_hash_rng: bool,
-                        seed_ref, w_ref, r_ref, v_ref, c_ref,
-                        ns_ref, ts_ref, z_scr):
-    """Grid: (B // G,). Each program handles a group of G lanes laid out as
-    (SL, G, 128) so tier slices along the leading (untiled) axis keep every
-    VPU instruction on full (G, 128) tiles.
+def _normal_icdf(p):
+    """Acklam's rational approximation of the standard normal inverse CDF
+    (branch-free three-region select; |rel err| < 1.2e-9, far below f32
+    resolution). Uses only log/sqrt/polynomials — no trig, which Mosaic may
+    not lower."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    cc = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+    dd = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+    plow = 0.02425
+    p = jnp.clip(p, 1.0 / 33554432.0, 1.0 - 1.0 / 33554432.0)
 
-    Blocks: v/c (1, SL, G, 128); w/r (1, G, K); out ns/ts (1, G, K).
+    def tail(q):   # q = min(p, 1-p), evaluates the lower-tail branch
+        s = jnp.sqrt(-2.0 * jnp.log(q))
+        num = ((((cc[0] * s + cc[1]) * s + cc[2]) * s + cc[3]) * s
+               + cc[4]) * s + cc[5]
+        den = (((dd[0] * s + dd[1]) * s + dd[2]) * s + dd[3]) * s + 1.0
+        return num / den
+
+    q = p - 0.5
+    r = q * q
+    num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+    den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+    central = num * q / den
+    lo = tail(p)
+    hi = -tail(1.0 - p)
+    out = jnp.where(p < plow, lo, jnp.where(p > 1.0 - plow, hi, central))
+    return out
+
+
+_MT_ROUNDS = 8
+
+
+def _gamma_mt(rng, a):
+    """Gamma(a, 1) via Marsaglia-Tsang squeeze with early-exit rejection
+    rounds; shapes a < 1 boosted through Gamma(a+1) * U^(1/a). Matches
+    ops.random.gamma (same algorithm) with the kernel RNG."""
+    boost = jnp.where(a < 1.0, 1.0, 0.0)
+    a_eff = a + boost
+    d = a_eff - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    def round_step(t, v_acc, done):
+        x = _normal_icdf(rng.uniform(a.shape, t))
+        u = rng.uniform(a.shape, t)
+        v = (1.0 + c * x) ** 3
+        ok_b = (v > 0.0) & (jnp.log(u) < 0.5 * x * x + d - d * v
+                            + d * jnp.log(jnp.maximum(v, _TINY)))
+        ok = jnp.where(ok_b, 1.0, 0.0)
+        upd = (1.0 - done) * ok
+        v_acc = v_acc * (1.0 - upd) + v * upd
+        return v_acc, jnp.maximum(done, ok)
+
+    def cond(carry):
+        t, _, done = carry
+        return (t < _MT_ROUNDS) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        t, v_acc, done = carry
+        v_acc, done = round_step(t, v_acc, done)
+        return t + 1, v_acc, done
+
+    # fallback after all rounds (prob < 1e-10 per draw): the mode v=1
+    _, v_acc, _ = jax.lax.while_loop(
+        cond, body, (0, jnp.ones_like(a), jnp.zeros_like(a)))
+    sample = d * v_acc
+    ub = rng.uniform(a.shape)
+    boosted = sample * jnp.exp(jnp.log(ub) / jnp.maximum(a, _TINY))
+    out = sample * (1.0 - boost) + boosted * boost
+    return jnp.maximum(out, 1e-30)
+
+
+def _conjugate_in_kernel(rng, ns, ts, alpha: float, ga: float, gb: float):
+    """Dirichlet/Gamma conjugate posterior draw on the (G, K) state tile
+    (reference gibbs.py:210-211), fully inside VMEM."""
+    gw = _gamma_mt(rng, alpha + ns)
+    w = gw / jnp.sum(gw, axis=-1, keepdims=True)
+    gr = _gamma_mt(rng, ga + ns)
+    r = gr / (gb + ts)
+    return w, r
+
+
+def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
+                small_rows: int):
+    """Sufficient statistics (N_k, T_k) of one collapsed sweep for a group
+    of G lanes laid out as (SL, G, 128); tier slices along the leading
+    (untiled) axis keep every VPU instruction on full (G, 128) tiles.
+
     z_scr: (K, SL, G, 128) VMEM scratch holding suffix probabilities.
+    Returns (ns, ts), each (G, K).
     """
-    group = pl.program_id(0)
-    if not use_hash_rng:
-        pltpu.prng_seed(seed_ref[0], group)
-    rng = _Rng(use_hash_rng, seed_ref[0], group)
-
-    v = v_ref[0]                       # (SL, G, 128)
-    c = c_ref[0]
     SL = v.shape[0]
-    w_gk = w_ref[0]                    # (G, K)
-    r_gk = r_ref[0]
+    G = v.shape[1]
 
     # responsibilities z_k ~ w_k r_k exp(-r_k v); normalization cancels in
     # the conditional chain, so skip the softmax divide and build suffix
@@ -253,7 +339,6 @@ def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
     rem = c
     ns_list = []
     ts_list = []
-    G = v.shape[1]
     for k in range(K - 1):
         suffix = z_scr[k]
         nxt = z_scr[k + 1]
@@ -279,8 +364,23 @@ def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
         rem = rem - draw
     ns_list.append(jnp.sum(rem, axis=(0, 2)))
     ts_list.append(jnp.sum(v * rem, axis=(0, 2)))
-    ns_ref[0] = jnp.stack(ns_list, axis=-1)              # (G, K)
-    ts_ref[0] = jnp.stack(ts_list, axis=-1)
+    return jnp.stack(ns_list, axis=-1), jnp.stack(ts_list, axis=-1)
+
+
+def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
+                        use_hash_rng: bool,
+                        seed_ref, w_ref, r_ref, v_ref, c_ref,
+                        ns_ref, ts_ref, z_scr):
+    """Grid: (B // G,). Blocks: v/c (1, SL, G, 128); w/r (1, G, K);
+    out ns/ts (1, G, K)."""
+    group = pl.program_id(0)
+    if not use_hash_rng:
+        pltpu.prng_seed(seed_ref[0], group)
+    rng = _Rng(use_hash_rng, seed_ref[0], group)
+    ns, ts = _suff_stats(rng, v_ref[0], c_ref[0], w_ref[0], r_ref[0],
+                         z_scr, K, head_rows, small_rows)
+    ns_ref[0] = ns
+    ts_ref[0] = ts
 
 
 def pad_tiers_to_rows(tiers: Tuple[int, int], V: int) -> Tuple[int, int]:
@@ -358,51 +458,149 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NG, G, K), jnp.float32),
                    jax.ShapeDtypeStruct((NG, G, K), jnp.float32)],
-        # the TPU interpreter (not the generic one) understands the pltpu
-        # PRNG primitives, enabling CPU-based tests
-        interpret=pltpu.InterpretParams() if interpret else False,
+        # interpret mode uses the hash RNG (no pltpu PRNG primitives), so
+        # the generic interpreter suffices — unlike the TPU interpreter it
+        # composes with shard_map for CPU-based multi-chip tests
+        interpret=bool(interpret),
     )(jnp.atleast_1d(seed).astype(jnp.int32), w3, r3, v4, c4)
     return ns.reshape(Bp, K)[:B], ts.reshape(Bp, K)[:B]
 
 
+def _segment_kernel(K: int, head_rows: int, small_rows: int,
+                    use_hash_rng: bool, g: int, n_blocks: int,
+                    alpha: float, ga: float, gb: float,
+                    seed_ref, w0_ref, r0_ref, v_ref, c_ref,
+                    w_out_ref, r_out_ref, w_fin_ref, r_fin_ref, z_scr):
+    """Run ``n_blocks * g`` whole Gibbs sweeps for one group of G lanes with
+    the (w, r) chain state resident in VMEM, writing the thinned state after
+    every g-th sweep.
+
+    Grid: (B // G,). Blocks: v/c (1, SL, G, 128); w0/r0 (1, G, K);
+    outputs w/r thinned (1, n_blocks, G, K) and final state (1, G, K).
+
+    The PRNG is re-seeded per sweep from (base seed, group, absolute sweep
+    index), so chains are reproducible for any segmentation of the run —
+    a preempted run resumes bit-exactly (cf. batch.run_batch checkpoints).
+    """
+    group = pl.program_id(0)
+    base_seed = seed_ref[0]
+    offset = seed_ref[1]
+    v = v_ref[0]
+    c = c_ref[0]
+
+    def sweep_body(i, carry):
+        w_gk, r_gk = carry
+        sweep_abs = offset + i
+        # decorrelate sweeps by seed, not stream position: exact resume at
+        # any block boundary
+        seed_sweep = (base_seed * jnp.int32(-1640531535)  # 2654435761
+                      + sweep_abs)
+        if not use_hash_rng:
+            pltpu.prng_seed(seed_sweep, group)
+        rng = _Rng(use_hash_rng, seed_sweep, group)
+        ns, ts = _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K,
+                             head_rows, small_rows)
+        w_new, r_new = _conjugate_in_kernel(rng, ns, ts, alpha, ga, gb)
+
+        blk = (i + 1) // g - 1
+
+        @pl.when((i + 1) % g == 0)
+        def _():
+            w_out_ref[0, blk] = w_new
+            r_out_ref[0, blk] = r_new
+
+        return (w_new, r_new)
+
+    w_fin, r_fin = jax.lax.fori_loop(
+        0, n_blocks * g, sweep_body, (w0_ref[0], r0_ref[0]))
+    w_fin_ref[0] = w_fin
+    r_fin_ref[0] = r_fin
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_blocks", "tiers", "interpret"))
-def segment_pallas(base_key: jax.Array, sweep_offset: jax.Array,
+def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                    state: MixtureState, values: jax.Array,
                    counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
                    tiers: Tuple[int, int], interpret: bool = False):
-    """Advance all lanes by ``n_blocks`` thinning blocks with the fused
-    kernel: each sweep is one pallas_call (sufficient statistics) plus the
-    tiny XLA conjugate update on (B, K).
+    """Advance all lanes by ``n_blocks`` thinning blocks in ONE fused
+    ``pallas_call``: every sweep's sufficient statistics AND the conjugate
+    Dirichlet/Gamma update run in VMEM; nothing touches HBM between sweeps
+    except the ``n_blocks`` thinned snapshots.
 
-    Drop-in replacement for batch._segment (same thinned outputs), with
-    per-sweep int32 seeds derived from (cfg.seed, absolute sweep index) so
-    resumed runs reproduce the chain.
+    Drop-in replacement for batch._segment (same thinned outputs). The RNG
+    is seeded per (cfg-derived seed, absolute sweep index), so resumed runs
+    reproduce the uninterrupted chain for any segmentation.
+
+    Args:
+        seed: int32 scalar base seed (shard-offset for multi-chip lanes).
+        sweep_offset: int32 absolute sweep index of the segment start.
+    Returns:
+        (state, W, R) with W/R (B, n_blocks, K) thinned samples.
     """
-    from basicrta_tpu.ops import random as btrandom
-
     K = cfg.ncomp
+    B, V = values.shape
+    SL = V // _LANES
+    head_rows, small_rows = tiers
+    budget = 10 * 2 ** 20
+    g_fit = budget // max(1, (K + 3) * SL * _LANES * 4)
+    g_fit = max(8, (g_fit // 8) * 8)   # whole sublane tiles
+    G = int(min(_GROUP, g_fit))
+    Bp = -(-B // G) * G
+    pad = Bp - B
+    w = jnp.pad(state.weights, ((0, pad), (0, 0)), constant_values=1.0)
+    r = jnp.pad(state.rates, ((0, pad), (0, 0)), constant_values=1.0)
+    vals = jnp.pad(values, ((0, pad), (0, 0)), constant_values=1.0)
+    cnts = jnp.pad(counts, ((0, pad), (0, 0)))
+    NG = Bp // G
+    v4 = jnp.swapaxes(vals.reshape(NG, G, SL, _LANES), 1, 2)
+    c4 = jnp.swapaxes(cnts.reshape(NG, G, SL, _LANES), 1, 2)
+    w3 = w.reshape(NG, G, K)
+    r3 = r.reshape(NG, G, K)
 
-    def sweep(carry, _):
-        state, sweep_idx = carry
-        seed = (jnp.int32(cfg.seed) * jnp.int32(-1640531535)  # 2654435761
-                + sweep_idx.astype(jnp.int32))
-        ns, ts = sweep_stats(seed, state, values, counts, K, tiers,
-                             interpret)
-        kconj = jax.random.fold_in(base_key, sweep_idx)
-        kw, kr = jax.random.split(kconj)
-        weights = btrandom.dirichlet(kw, cfg.alpha_eff + ns, unroll=True)
-        rates = (btrandom.gamma(kr, cfg.gamma_shape + ns, unroll=True)
-                 / (cfg.gamma_rate + ts))
-        return (MixtureState(weights, rates), sweep_idx + 1), None
-
-    def block(carry, _):
-        carry, _ = jax.lax.scan(sweep, carry, None, length=cfg.g)
-        state = carry[0]
-        return carry, (state.weights, state.rates)
-
-    (state, _), (W, R) = jax.lax.scan(
-        block, (state, sweep_offset.astype(jnp.int32)), None,
-        length=n_blocks)
-    # thinned outputs as (B, n_blocks, K), matching batch._segment
-    return state, jnp.swapaxes(W, 0, 1), jnp.swapaxes(R, 0, 1)
+    kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
+                               bool(interpret), cfg.g, n_blocks,
+                               cfg.alpha_eff, cfg.gamma_shape, cfg.gamma_rate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_blocks, G, K), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blocks, G, K), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, K), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, SL, G, _LANES), jnp.float32)],
+    )
+    seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                       jnp.asarray(sweep_offset, jnp.int32)])
+    W4, R4, wf, rf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NG, n_blocks, G, K), jnp.float32),
+                   jax.ShapeDtypeStruct((NG, n_blocks, G, K), jnp.float32),
+                   jax.ShapeDtypeStruct((NG, G, K), jnp.float32),
+                   jax.ShapeDtypeStruct((NG, G, K), jnp.float32)],
+        # interpret mode uses the hash RNG (no pltpu PRNG primitives), so
+        # the generic interpreter suffices — unlike the TPU interpreter it
+        # composes with shard_map for CPU-based multi-chip tests
+        interpret=bool(interpret),
+    )(seeds, w3, r3, v4, c4)
+    W = jnp.swapaxes(W4, 1, 2).reshape(Bp, n_blocks, K)[:B]
+    R = jnp.swapaxes(R4, 1, 2).reshape(Bp, n_blocks, K)[:B]
+    st = MixtureState(wf.reshape(Bp, K)[:B], rf.reshape(Bp, K)[:B])
+    return st, W, R
