@@ -40,7 +40,8 @@ from basicrta_tpu.sampler.kernels import MixtureState, SMALL_NMAX
 
 _LANES = 128
 _GROUP = 32       # lanes per kernel program (VMEM permitting)
-_INV_FULL = 48    # inversion depth: covers n*p <= 10 beyond +11 sigma
+_INV_FULL = 32    # inversion depth: covers n*p <= 10 beyond +6.9 sigma
+                  # (all-steps-miss < 1e-11 per draw; mode fallback beyond)
 _INV_SMALL = SMALL_NMAX + 1
 _BTRS_ROUNDS = 12
 _TINY = 1e-30
@@ -102,27 +103,35 @@ class _Rng:
 
 
 def _gammaln(x):
-    """Lanczos log-Gamma (g=7, n=9), ~1e-6 relative accuracy for x > 0."""
-    coefs = (0.99999999999980993, 676.5203681218851, -1259.1392167224028,
-             771.32342877765313, -176.61502916214059, 12.507343278686905,
-             -0.13857109526572012, 9.9843695780195716e-6,
-             1.5056327351493116e-7)
-    xm1 = x - 1.0
-    series = jnp.full_like(x, coefs[0])
-    for i, c in enumerate(coefs[1:], start=1):
-        series = series + c / (xm1 + i)
-    t = xm1 + 7.5
-    return (0.9189385332046727 + (xm1 + 0.5) * jnp.log(t) - t
-            + jnp.log(series))
+    """log-Gamma via Stirling with a 6-term shift for small arguments:
+    lgamma(x) = lgamma(x+6) - log(x (x+1) ... (x+5)) for x < 6.
+
+    Error < 1e-7 relative for x > 0 — below f32 resolution. Chosen over
+    Lanczos because it needs ONE divide (Lanczos needs eight); gammaln is
+    the hottest op of the BTRS acceptance test, which dominated the fused
+    sweep kernel (~30% of sweep time went to Lanczos divides)."""
+    small = x < 6.0
+    xb = jnp.where(small, x, 1.0)   # benign operand on the large branch
+    prod = (xb * (xb + 1.0) * (xb + 2.0) * (xb + 3.0) * (xb + 4.0)
+            * (xb + 5.0))
+    xs = jnp.where(small, x + 6.0, x)
+    inv = 1.0 / xs
+    inv2 = inv * inv
+    series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
+    lg = ((xs - 0.5) * jnp.log(xs) - xs + 0.9189385332046727 + series)
+    return lg - jnp.where(small, jnp.log(prod), 0.0)
 
 
 def _binom_inversion(u, n, p, depth, early_exit=True):
     """CDF-inversion binomial, complete for counts < depth (exact when
     n < depth); vectorized over the tile.
 
-    With ``early_exit`` the CDF walk stops once every element's uniform is
-    covered — the expected depth is ~n p + a few sigma, far below the
-    worst-case bound.
+    ``early_exit`` stops the CDF walk once every element's uniform is
+    covered; ``early_exit=False`` unrolls ``depth`` straight-line steps.
+    Measured on v5e, straight-line wins decisively for the sweep kernel:
+    each early-exit iteration pays a full-tile reduction plus a scalar
+    branch, serializing the VPU, while the fixed walk is pure vector code
+    (flops are nearly free at these tile sizes).
     """
     q = jnp.maximum(1.0 - p, _TINY)
     ratio = p / q
@@ -147,18 +156,17 @@ def _binom_inversion(u, n, p, depth, early_exit=True):
         _, _, _, m = jax.lax.while_loop(
             cond, body, (0, pmf0, pmf0, jnp.zeros_like(u)))
     else:
-        def fbody(t, carry):
-            cdf, pmf, m = carry
-            return step(t, cdf, pmf, m)
-
-        _, _, m = jax.lax.fori_loop(0, depth, fbody,
-                                    (pmf0, pmf0, jnp.zeros_like(u)))
+        cdf, pmf, m = pmf0, pmf0, jnp.zeros_like(u)
+        for t in range(depth):
+            cdf, pmf, m = step(t, cdf, pmf, m)
     return jnp.minimum(m, n)
 
 
-def _binom_btrs(rng, n, p):
-    """Hormann BTRS transformed rejection, fixed accept-first rounds;
-    requires n*p >= 10, p <= 0.5 (guaranteed by the caller's select)."""
+def _binom_btrs(rng, n, p, early_exit=True):
+    """Hormann BTRS transformed rejection, accept-first rounds; requires
+    n*p >= 10, p <= 0.5 (guaranteed by the caller's select).
+    ``early_exit=False`` unrolls all rounds straight-line (see
+    _binom_inversion on why that wins inside the fused sweep kernel)."""
     q = 1.0 - p
     spq = jnp.sqrt(n * p * q)
     b = 1.15 + 2.53 * spq
@@ -187,33 +195,39 @@ def _binom_btrs(rng, n, p):
         k_acc = k_acc * (1.0 - upd) + k * upd
         return k_acc, jnp.maximum(done, ok)
 
-    # early exit: acceptance is ~80-95% per round, so nearly all tiles
-    # finish in 1-2 rounds instead of paying all _BTRS_ROUNDS
-    def cond(carry):
-        t, _, done = carry
-        return (t < _BTRS_ROUNDS) & (jnp.min(done) < 0.5)
+    if early_exit:
+        # acceptance is ~80-95% per round, so nearly all tiles finish in
+        # 1-2 rounds instead of paying all _BTRS_ROUNDS
+        def cond(carry):
+            t, _, done = carry
+            return (t < _BTRS_ROUNDS) & (jnp.min(done) < 0.5)
 
-    def body(carry):
-        t, k_acc, done = carry
+        def body(carry):
+            t, k_acc, done = carry
+            k_acc, done = round_step(t, k_acc, done)
+            return t + 1, k_acc, done
+
+        _, k_acc, _ = jax.lax.while_loop(
+            cond, body, (0, m, jnp.zeros(n.shape, jnp.float32)))
+        return k_acc
+    k_acc, done = m, jnp.zeros(n.shape, jnp.float32)
+    for t in range(_BTRS_ROUNDS):
         k_acc, done = round_step(t, k_acc, done)
-        return t + 1, k_acc, done
-
-    _, k_acc, _ = jax.lax.while_loop(
-        cond, body, (0, m, jnp.zeros(n.shape, jnp.float32)))
     return k_acc
 
 
-def _binom_full(rng, n, p):
+def _binom_full(rng, n, p, ee_inv=True, ee_btrs=True):
     """General exact binomial: symmetry fold, inversion / BTRS select."""
     p = jnp.clip(p, 0.0, 1.0)
     flip = p > 0.5
     p_eff = jnp.where(flip, 1.0 - p, p)
     small = n * p_eff <= 10.0
     u = rng.uniform(n.shape)
-    m_inv = _binom_inversion(u, n, jnp.where(small, p_eff, 0.0), _INV_FULL)
+    m_inv = _binom_inversion(u, n, jnp.where(small, p_eff, 0.0), _INV_FULL,
+                             ee_inv)
     n_b = jnp.where(small, 100.0, n)
     p_b = jnp.where(small, 0.3, p_eff)
-    m_btrs = _binom_btrs(rng, n_b, p_b)
+    m_btrs = _binom_btrs(rng, n_b, p_b, ee_btrs)
     m = jnp.where(small, m_inv, m_btrs)
     m = jnp.where(flip, n - m, m)
     m = jnp.where((p <= 0.0) | (n <= 0.0), 0.0, m)
@@ -281,18 +295,11 @@ def _gamma_mt(rng, a):
         v_acc = v_acc * (1.0 - upd) + v * upd
         return v_acc, jnp.maximum(done, ok)
 
-    def cond(carry):
-        t, _, done = carry
-        return (t < _MT_ROUNDS) & (jnp.min(done) < 0.5)
-
-    def body(carry):
-        t, v_acc, done = carry
+    # straight-line rounds (the state tile is tiny; loop machinery would
+    # dominate); fallback after all rounds (prob < 1e-10 per draw): mode v=1
+    v_acc, done = jnp.ones_like(a), jnp.zeros_like(a)
+    for t in range(_MT_ROUNDS):
         v_acc, done = round_step(t, v_acc, done)
-        return t + 1, v_acc, done
-
-    # fallback after all rounds (prob < 1e-10 per draw): the mode v=1
-    _, v_acc, _ = jax.lax.while_loop(
-        cond, body, (0, jnp.ones_like(a), jnp.zeros_like(a)))
     sample = d * v_acc
     ub = rng.uniform(a.shape)
     boosted = sample * jnp.exp(jnp.log(ub) / jnp.maximum(a, _TINY))
@@ -311,7 +318,8 @@ def _conjugate_in_kernel(rng, ns, ts, alpha: float, ga: float, gb: float):
 
 
 def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
-                small_rows: int):
+                small_rows: int,
+                early_exit: Tuple[bool, bool, bool] = (True, True, True)):
     """Sufficient statistics (N_k, T_k) of one collapsed sweep for a group
     of G lanes laid out as (SL, G, 128); tier slices along the leading
     (untiled) axis keep every VPU instruction on full (G, 128) tiles.
@@ -321,20 +329,7 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
     """
     SL = v.shape[0]
     G = v.shape[1]
-
-    # responsibilities z_k ~ w_k r_k exp(-r_k v); normalization cancels in
-    # the conditional chain, so skip the softmax divide and build suffix
-    # sums S_k = sum_{j>=k} z_j in place (backward accumulation). Weights/
-    # rates differ per lane: broadcast (G,) over (SL, G, 128).
-    zsum = jnp.zeros_like(v)
-    for k in range(K - 1, -1, -1):
-        w_k = w_gk[:, k][None, :, None]
-        r_k = r_gk[:, k][None, :, None]
-        # magnitudes are bounded: r v >= 0, w r <= ~50; exp(-r v) <= 1,
-        # products stay in f32 range
-        z_k = w_k * r_k * jnp.exp(-r_k * v)
-        zsum = zsum + z_k
-        z_scr[k] = zsum                # suffix including component k
+    _suffix_sums(v, w_gk, r_gk, z_scr, K)
 
     rem = c
     ns_list = []
@@ -347,12 +342,13 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
         parts = []
         if head_rows > 0:
             parts.append(_binom_full(rng, rem[:head_rows],
-                                     pcond[:head_rows]))
+                                     pcond[:head_rows], early_exit[0],
+                                     early_exit[1]))
         if small_rows > head_rows:
             u = rng.uniform((small_rows - head_rows, G, _LANES))
             parts.append(_binom_inversion(u, rem[head_rows:small_rows],
                                           pcond[head_rows:small_rows],
-                                          _INV_SMALL))
+                                          _INV_SMALL, early_exit[2]))
         if SL > small_rows:
             u = rng.uniform((SL - small_rows, G, _LANES))
             parts.append(rem[small_rows:]
@@ -365,6 +361,90 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
     ns_list.append(jnp.sum(rem, axis=(0, 2)))
     ts_list.append(jnp.sum(v * rem, axis=(0, 2)))
     return jnp.stack(ns_list, axis=-1), jnp.stack(ts_list, axis=-1)
+
+
+def _suffix_sums(v, w_gk, r_gk, z_scr, K: int):
+    """Fill z_scr[k] with S_k = sum_{j>=k} w_j r_j exp(-r_j v) (suffix
+    responsibilities; the normalization cancels in every conditional)."""
+    zsum = jnp.zeros_like(v)
+    for k in range(K - 1, -1, -1):
+        w_k = w_gk[:, k][None, :, None]
+        r_k = r_gk[:, k][None, :, None]
+        # magnitudes are bounded: r v >= 0, w r <= ~50; exp(-r v) <= 1,
+        # products stay in f32 range
+        z_k = w_k * r_k * jnp.exp(-r_k * v)
+        zsum = zsum + z_k
+        z_scr[k] = zsum
+
+
+def _tiered_binom(rng, n, p, head_rows: int, small_rows: int, SL: int,
+                  early_exit):
+    """Tier-dispatched exact binomial draws on stacked (..., rows, G, 128)
+    node tensors; rows tiers select the sampler by multiplicity bound."""
+    parts = []
+    if head_rows > 0:
+        parts.append(_binom_full(rng, n[..., :head_rows, :, :],
+                                 p[..., :head_rows, :, :],
+                                 early_exit[0], early_exit[1]))
+    if small_rows > head_rows:
+        sl = n[..., head_rows:small_rows, :, :]
+        u = rng.uniform(sl.shape)
+        parts.append(_binom_inversion(u, sl,
+                                      p[..., head_rows:small_rows, :, :],
+                                      _INV_SMALL, early_exit[2]))
+    if SL > small_rows:
+        sl = n[..., small_rows:, :, :]
+        u = rng.uniform(sl.shape)
+        parts.append(sl * (u < p[..., small_rows:, :, :]).astype(
+            jnp.float32))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-3)
+
+
+def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
+                     small_rows: int,
+                     early_exit=(True, True, True)):
+    """Sufficient statistics via binary multinomial splitting.
+
+    The conditional-binomial chain walks K-1 sequential stages; splitting
+    the component set in half recursively needs only log2(K) sequential
+    levels, with every node of a level drawn in ONE stacked binomial call.
+    Exact: Multinomial(n, p) == recursively Binomial-split over any
+    partition. Components are padded to the next power of two with zero
+    probability (they draw exactly 0).
+    """
+    SL, G = v.shape[0], v.shape[1]
+    _suffix_sums(v, w_gk, r_gk, z_scr, K)
+
+    Kp = 1
+    while Kp < K:
+        Kp *= 2
+    zero = jnp.zeros_like(v)
+
+    def S(k):
+        return z_scr[k] if k < K else zero
+
+    # nodes: list of (a, b, n_tensor) in component order
+    nodes = [(0, Kp, c)]
+    while len(nodes) < Kp:
+        pairs = [(a, (a + b) // 2, b, n) for (a, b, n) in nodes]
+        num = jnp.stack([S(a) - S(m) for a, m, b, n in pairs])
+        den = jnp.stack([S(a) - S(b) for a, m, b, n in pairs])
+        p = jnp.clip(num / jnp.maximum(den, _TINY), 0.0, 1.0)
+        n_st = jnp.stack([n for a, m, b, n in pairs])
+        draws = _tiered_binom(rng, n_st, p, head_rows, small_rows, SL,
+                              early_exit)
+        nxt = []
+        for i, (a, m, b, n) in enumerate(pairs):
+            left = jnp.minimum(draws[i], n)
+            nxt.append((a, m, left))
+            nxt.append((m, b, n - left))
+        nodes = nxt
+
+    ns = jnp.stack([jnp.sum(n, axis=(0, 2)) for _, _, n in nodes[:K]],
+                   axis=-1)                                  # (G, K)
+    ts = jnp.stack([jnp.sum(v * n, axis=(0, 2)) for _, _, n in nodes[:K]],
+                   axis=-1)
+    return ns, ts
 
 
 def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
@@ -468,7 +548,7 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
 
 def _segment_kernel(K: int, head_rows: int, small_rows: int,
                     use_hash_rng: bool, g: int, n_blocks: int,
-                    alpha: float, ga: float, gb: float,
+                    alpha: float, ga: float, gb: float, early_exit,
                     seed_ref, w0_ref, r0_ref, v_ref, c_ref,
                     w_out_ref, r_out_ref, w_fin_ref, r_fin_ref, z_scr):
     """Run ``n_blocks * g`` whole Gibbs sweeps for one group of G lanes with
@@ -499,7 +579,7 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
             pltpu.prng_seed(seed_sweep, group)
         rng = _Rng(use_hash_rng, seed_sweep, group)
         ns, ts = _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K,
-                             head_rows, small_rows)
+                             head_rows, small_rows, early_exit)
         w_new, r_new = _conjugate_in_kernel(rng, ns, ts, alpha, ga, gb)
 
         blk = (i + 1) // g - 1
@@ -518,11 +598,14 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_blocks", "tiers", "interpret"))
+                   static_argnames=("cfg", "n_blocks", "tiers", "interpret",
+                                    "early_exit"))
 def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                    state: MixtureState, values: jax.Array,
                    counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
-                   tiers: Tuple[int, int], interpret: bool = False):
+                   tiers: Tuple[int, int], interpret: bool = False,
+                   early_exit: Tuple[bool, bool, bool] = (False, True,
+                                                          False)):
     """Advance all lanes by ``n_blocks`` thinning blocks in ONE fused
     ``pallas_call``: every sweep's sufficient statistics AND the conjugate
     Dirichlet/Gamma update run in VMEM; nothing touches HBM between sweeps
@@ -542,8 +625,10 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     B, V = values.shape
     SL = V // _LANES
     head_rows, small_rows = tiers
-    budget = 10 * 2 ** 20
-    g_fit = budget // max(1, (K + 3) * SL * _LANES * 4)
+    # VMEM: z_scr (K rows) + the tree's final-level stacked node tensors
+    # (~3 x Kp rows) + inputs/outputs must fit comfortably
+    budget = 12 * 2 ** 20
+    g_fit = budget // max(1, (4 * K + 8) * SL * _LANES * 4)
     g_fit = max(8, (g_fit // 8) * 8)   # whole sublane tiles
     G = int(min(_GROUP, g_fit))
     Bp = -(-B // G) * G
@@ -560,7 +645,8 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
 
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                bool(interpret), cfg.g, n_blocks,
-                               cfg.alpha_eff, cfg.gamma_shape, cfg.gamma_rate)
+                               cfg.alpha_eff, cfg.gamma_shape,
+                               cfg.gamma_rate, early_exit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
