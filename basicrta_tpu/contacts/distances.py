@@ -56,23 +56,33 @@ def gather_grouped(positions: jnp.ndarray, idx: np.ndarray):
     return gathered, jnp.asarray(idx >= 0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "use_pbc"))
+@functools.partial(jax.jit, static_argnames=("chunk", "use_pbc",
+                                             "triclinic"))
 def min_dist_per_residue_pair(pos1: jnp.ndarray, pos2: jnp.ndarray,
                               box: Optional[jnp.ndarray] = None,
                               chunk: int = 32,
                               use_pbc: bool = True,
                               mask1: Optional[jnp.ndarray] = None,
-                              mask2: Optional[jnp.ndarray] = None
+                              mask2: Optional[jnp.ndarray] = None,
+                              triclinic: bool = False
                               ) -> jnp.ndarray:
     """Minimum atomic distance for every residue pair in a frame batch.
 
     Args:
         pos1: (F, R1, P1, 3) grouped coordinates of group 1 [A].
         pos2: (F, R2, P2, 3) grouped coordinates of group 2 [A].
-        box: (F, 3) orthorhombic box lengths [A]; required when use_pbc.
+        box: (F, 3) orthorhombic box lengths, or — with ``triclinic`` —
+            the (F, 3, 3) GROMACS-reduced box matrix (rows are the lattice
+            vectors; a = (ax,0,0), b = (bx,by,0), c = (cx,cy,cz)) [A];
+            required when use_pbc.
         chunk: R1-axis chunk size bounding transient memory.
-        use_pbc: apply the minimum-image convention per dimension.
+        use_pbc: apply the minimum-image convention.
         mask1/mask2: (R1, P1)/(R2, P2) validity masks for padded atom slots.
+        triclinic: general minimum image (staircase reduction + 27-image
+            search, exact for GROMACS-reduced boxes) matching
+            ``capped_distance`` semantics on triclinic dimensions
+            (reference contacts.py:115-117). The orthorhombic path is a
+            single per-axis round.
 
     Returns:
         (F, R1, R2) float32 minimum distances.
@@ -94,12 +104,34 @@ def min_dist_per_residue_pair(pos1: jnp.ndarray, pos2: jnp.ndarray,
         p1, m1 = args
         # p1: (F, chunk, P1, 3); broadcast against (F, R2, P2, 3)
         d = (p1[:, :, :, None, None, :] - pos2[:, None, None, :, :, :])
-        if use_pbc:
-            b = box[:, None, None, None, None, :]
-            d = d - b * jnp.round(d / b)
-        d2 = jnp.sum(d * d, axis=-1)               # (F, chunk, P1, R2, P2)
-        valid = (m1[None, :, :, None, None]
-                 & mask2[None, None, None, :, :])
+        if use_pbc and triclinic:
+            # staircase reduction: lattice rows are lower-triangular, so
+            # reducing components in c, b, a order leaves each within half
+            # a diagonal element of zero
+            H = box                                # (F, 3, 3)
+            for i in (2, 1, 0):
+                hvec = H[:, i, :][:, None, None, None, None, :]
+                hii = H[:, i, i][:, None, None, None, None]
+                d = d - hvec * jnp.round(d[..., i] / hii)[..., None]
+            valid = (m1[None, :, :, None, None]
+                     & mask2[None, None, None, :, :])
+            # exact minimum image for reduced boxes lies within one shift
+            # of the staircase-reduced vector: take the min over 27 images
+            d2 = jnp.full(d.shape[:-1], jnp.inf)
+            for sa in (-1, 0, 1):
+                for sb in (-1, 0, 1):
+                    for sc in (-1, 0, 1):
+                        s = (sa * H[:, 0] + sb * H[:, 1]
+                             + sc * H[:, 2])       # (F, 3)
+                        dd = d + s[:, None, None, None, None, :]
+                        d2 = jnp.minimum(d2, jnp.sum(dd * dd, axis=-1))
+        else:
+            if use_pbc:
+                b = box[:, None, None, None, None, :]
+                d = d - b * jnp.round(d / b)
+            d2 = jnp.sum(d * d, axis=-1)           # (F, chunk, P1, R2, P2)
+            valid = (m1[None, :, :, None, None]
+                     & mask2[None, None, None, :, :])
         d2 = jnp.where(valid, d2, jnp.inf)
         return jnp.min(d2, axis=(2, 4))            # (F, chunk, R2)
 

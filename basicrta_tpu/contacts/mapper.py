@@ -34,7 +34,9 @@ class FrameBatch:
     frame_ids: np.ndarray   # (F,) int64
     times: np.ndarray       # (F,) float64 [ns]
     positions: np.ndarray   # (F, A, 3) float32 [A]
-    box: Optional[np.ndarray] = None  # (F, 3) orthorhombic box lengths [A]
+    # (F, 3) orthorhombic box lengths, or (F, 3, 3) triclinic box matrix
+    # (GROMACS-reduced rows) [A]
+    box: Optional[np.ndarray] = None
 
 
 class MapContacts:
@@ -91,8 +93,10 @@ class MapContacts:
             p2, m2 = gather_grouped(pos[:, self.indices2, :], self.group_idx2)
             use_pbc = self.cfg.use_pbc and boxarr is not None
             box = (jnp.asarray(boxarr, jnp.float32) if use_pbc else None)
+            triclinic = use_pbc and boxarr.ndim == 3
             return min_dist_per_residue_pair(
-                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2)
+                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2,
+                triclinic=triclinic)
 
         def collect(dmin_dev, F_real, batch):
             nonlocal last_time

@@ -27,6 +27,43 @@ def read_topology(path: str) -> Topology:
     raise ValueError(f"unsupported topology format: {path}")
 
 
+def _box_from_matrix(boxmat: np.ndarray) -> np.ndarray:
+    """XTC box matrices -> (F, 3) diagonal lengths when orthorhombic, or
+    the full (F, 3, 3) matrix when any off-diagonal is nonzero (triclinic
+    minimum image in the distance kernel; round-1 silently dropped the
+    off-diagonals, corrupting distances for dodecahedral/octahedral boxes)."""
+    diag = np.stack([boxmat[:, 0, 0], boxmat[:, 1, 1], boxmat[:, 2, 2]],
+                    axis=1)
+    off = boxmat - np.einsum("fi,ij->fij", diag, np.eye(3,
+                                                        dtype=boxmat.dtype))
+    if np.abs(off).max() > 1e-5 * max(np.abs(diag).max(), 1.0):
+        return boxmat
+    return diag
+
+
+def _box_from_unitcell(cell: np.ndarray) -> np.ndarray:
+    """DCD unitcell rows [A, g, B, b, C... as stored: A, cos(gamma), B,
+    cos(beta), cos(alpha), C] -> (F, 3) lengths or (F, 3, 3) triclinic
+    matrix. Angle slots hold cosines (CHARMM) when |x| <= 1, degrees
+    otherwise."""
+    A, B, C = cell[:, 0], cell[:, 2], cell[:, 5]
+    raw = cell[:, [4, 3, 1]]  # cos(alpha), cos(beta), cos(gamma) order
+    cosv = np.where(np.abs(raw) <= 1.0, raw, np.cos(np.radians(raw)))
+    ca, cb, cg = cosv[:, 0], cosv[:, 1], cosv[:, 2]
+    if np.abs(cosv).max() < 1e-6:
+        return np.stack([A, B, C], axis=1).astype(np.float32)
+    sg = np.sqrt(np.maximum(1.0 - cg * cg, 1e-12))
+    H = np.zeros((len(cell), 3, 3), np.float32)
+    H[:, 0, 0] = A
+    H[:, 1, 0] = B * cg
+    H[:, 1, 1] = B * sg
+    H[:, 2, 0] = C * cb
+    H[:, 2, 1] = C * (ca - cb * cg) / sg
+    H[:, 2, 2] = np.sqrt(np.maximum(
+        C * C - H[:, 2, 0] ** 2 - H[:, 2, 1] ** 2, 1e-12))
+    return H
+
+
 class Universe:
     """Topology + trajectory pair."""
 
@@ -107,11 +144,10 @@ class Universe:
                 times = chunk * ts
             elif isinstance(self._traj, XTCReader):
                 coords, times, boxmat, _ = self._traj.read(chunk)
-                box = np.stack([boxmat[:, 0, 0], boxmat[:, 1, 1],
-                                boxmat[:, 2, 2]], axis=1)
+                box = _box_from_matrix(boxmat)
             else:
                 coords, cell = self._traj.read(chunk)
-                box = cell[:, [0, 2, 5]].astype(np.float32)
+                box = _box_from_unitcell(cell)
                 times = chunk * ts
             yield FrameBatch(frame_ids=chunk.astype(np.int64),
                              times=np.asarray(times, np.float64),

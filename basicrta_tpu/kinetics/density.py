@@ -95,14 +95,35 @@ def weighted_histogram_3d(positions: np.ndarray, weights: np.ndarray,
     return grids, edges
 
 
+# number densities expressed in Angstrom^-3 per 1 unit of each density
+# unit (reference wdensity.py:440-627 semantics: water-model units are the
+# bulk number density of that water model at standard conditions,
+# rho [g/cm^3] * N_A / MW / 1e24)
+_N_AVOGADRO = 6.02214129e23
+_MW_WATER = 18.016
+_WATER_RHO = {"water": 0.997, "SPC": 0.985, "TIP3P": 1.002, "TIP4P": 1.001}
+DENSITY_UNITS = {
+    "Angstrom^{-3}": 1.0,
+    "nm^{-3}": 1e-3,
+    "Molar": _N_AVOGADRO / 1e27,
+}
+DENSITY_UNITS.update({
+    name: rho * _N_AVOGADRO / _MW_WATER / 1e24
+    for name, rho in _WATER_RHO.items()})
+
+LENGTH_UNITS = {"Angstrom": 1.0, "nm": 10.0}  # Angstrom per 1 unit
+
+
 @dataclasses.dataclass
 class Density:
-    """A scalar grid with histogram->density conversion and DX export
-    (the retained surface of the reference's vendored Density class,
-    wdensity.py:361-627)."""
+    """A scalar grid with histogram->density conversion, unit conversion,
+    and DX export (the retained surface of the reference's vendored Density
+    class, wdensity.py:361-627)."""
     grid: np.ndarray
     edges: list
     is_density: bool = False
+    length_unit: str = "Angstrom"
+    density_unit: Optional[str] = None   # None until make_density
 
     @property
     def delta(self) -> np.ndarray:
@@ -118,6 +139,35 @@ class Density:
             return self
         self.grid = self.grid / np.prod(self.delta)
         self.is_density = True
+        self.density_unit = ("Angstrom^{-3}" if self.length_unit ==
+                             "Angstrom" else "nm^{-3}")
+        return self
+
+    def convert_density(self, unit: str = "Angstrom^{-3}") -> "Density":
+        """Re-express the density in another unit (reference
+        wdensity.py:575-608): absolute units, or relative to the bulk
+        number density of a water model ('water', 'SPC', 'TIP3P', 'TIP4P' —
+        a value of 1.0 then means bulk-water density)."""
+        if not self.is_density:
+            raise RuntimeError("call make_density() before convert_density")
+        if unit not in DENSITY_UNITS:
+            raise ValueError(f"unknown density unit {unit!r}; one of "
+                             f"{sorted(DENSITY_UNITS)}")
+        self.grid = self.grid * (DENSITY_UNITS[self.density_unit]
+                                 / DENSITY_UNITS[unit])
+        self.density_unit = unit
+        return self
+
+    def convert_length(self, unit: str = "Angstrom") -> "Density":
+        """Convert the grid axes (edges/origin/delta) between length units
+        (reference wdensity.py:554-573). Densities keep their unit — call
+        convert_density to re-express values."""
+        if unit not in LENGTH_UNITS:
+            raise ValueError(f"unknown length unit {unit!r}; one of "
+                             f"{sorted(LENGTH_UNITS)}")
+        factor = LENGTH_UNITS[self.length_unit] / LENGTH_UNITS[unit]
+        self.edges = [e * factor for e in self.edges]
+        self.length_unit = unit
         return self
 
     def export(self, path: str) -> str:

@@ -31,6 +31,11 @@ class MapKinetics:
         topology/trajectory (reference kinetics.py:22-44).
     """
 
+    # above this many rows the frame table is written as an on-disk
+    # .npy memmap instead of RAM — the reference memmaps unconditionally
+    # because the expanded table can reach GBs (reference kinetics.py:46-77)
+    MEMMAP_ROWS = 2_000_000
+
     def __init__(self, gibbs: Gibbs, contacts, root: Optional[str] = None):
         self.gibbs = gibbs
         if isinstance(contacts, str):
@@ -43,10 +48,17 @@ class MapKinetics:
         self._frame_table = None
 
     # ------------------------------------------------------------------ #
-    def frame_table(self) -> np.ndarray:
+    def frame_table(self, memmap: Optional[bool] = None,
+                    event_chunk: int = 65536) -> np.ndarray:
         """(T, 2 + ncomp) rows [frame, sel2_resid, p_0..p_k]: every frame of
         every residence event of this residue (reference kinetics.py:46-77,
-        '_create_data' memmap)."""
+        '_create_data' memmap).
+
+        The table is filled in bounded event chunks; with ``memmap`` (auto
+        when the expansion exceeds MEMMAP_ROWS rows) it lives in an on-disk
+        ``den_write_data.npy`` memmap like the reference's, so peak RAM
+        stays at the chunk size regardless of trajectory length.
+        """
         if self._frame_table is not None:
             return self._frame_table
         resid = int(str(self.gibbs.residue)[1:])
@@ -59,13 +71,28 @@ class MapKinetics:
         # times_for_residue == durations[sel], same order
         first, last = start_stop_frames(starts, durs, ts)
         nper = (last - first + 1).astype(np.int64)
-        total = int(nper.sum())
+        offsets = np.concatenate([[0], np.cumsum(nper)])
+        total = int(offsets[-1])
         ncomp = pind.shape[1]
-        table = np.empty((total, 2 + ncomp), np.float64)
-        table[:, 0] = np.concatenate(
-            [np.arange(b, e + 1) for b, e in zip(first, last)])
-        table[:, 1] = np.repeat(lips, nper)
-        table[:, 2:] = np.repeat(pind, nper, axis=0)
+        if memmap is None:
+            memmap = total > self.MEMMAP_ROWS
+        if memmap:
+            from numpy.lib.format import open_memmap
+            os.makedirs(self.savedir, exist_ok=True)
+            table = open_memmap(
+                os.path.join(self.savedir, "den_write_data.npy"),
+                mode="w+", dtype=np.float64, shape=(total, 2 + ncomp))
+        else:
+            table = np.empty((total, 2 + ncomp), np.float64)
+        for lo in range(0, len(nper), event_chunk):
+            hi = min(lo + event_chunk, len(nper))
+            r0, r1 = int(offsets[lo]), int(offsets[hi])
+            np_chunk = nper[lo:hi]
+            table[r0:r1, 0] = np.concatenate(
+                [np.arange(b, e + 1) for b, e in
+                 zip(first[lo:hi], last[lo:hi])])
+            table[r0:r1, 1] = np.repeat(lips[lo:hi], np_chunk)
+            table[r0:r1, 2:] = np.repeat(pind[lo:hi], np_chunk, axis=0)
         self._frame_table = table
         return table
 

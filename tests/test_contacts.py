@@ -137,6 +137,91 @@ class TestDistances:
         assert d_free[0, 0, 0] == pytest.approx(19.0, abs=1e-3)
 
 
+class TestTriclinicMIC:
+    """General minimum-image agreement against a brute-force image search
+    (capped_distance parity on triclinic dimensions, reference
+    contacts.py:115-117)."""
+
+    @staticmethod
+    def _random_reduced_box(rng):
+        """GROMACS-reduced triclinic box: a=(ax,0,0), b=(bx,by,0),
+        c=(cx,cy,cz) with |bx|,|cx| <= ax/2 and |cy| <= by/2."""
+        ax, by, cz = rng.uniform(20, 40, 3)
+        H = np.zeros((3, 3))
+        H[0, 0] = ax
+        H[1] = [rng.uniform(-ax / 2, ax / 2), by, 0.0]
+        H[2] = [rng.uniform(-ax / 2, ax / 2), rng.uniform(-by / 2, by / 2),
+                cz]
+        return H
+
+    def test_agrees_with_bruteforce(self, rng):
+        F, n1, n2 = 3, 6, 5
+        mins_kernel = []
+        mins_brute = []
+        boxes = np.stack([self._random_reduced_box(rng) for _ in range(F)])
+        # points spread well beyond one cell to exercise wrapping
+        p1 = rng.uniform(-60, 60, (F, n1, 1, 3)).astype(np.float32)
+        p2 = rng.uniform(-60, 60, (F, n2, 1, 3)).astype(np.float32)
+        out = np.asarray(min_dist_per_residue_pair(
+            jnp.asarray(p1), jnp.asarray(p2),
+            jnp.asarray(boxes, jnp.float32), triclinic=True))
+        # brute force over a generous 11^3 image search in f64 (points span
+        # several cells, so the search must reach well past the separation)
+        shifts = np.array([[i, j, k] for i in range(-5, 6)
+                           for j in range(-5, 6) for k in range(-5, 6)])
+        for f in range(F):
+            img = shifts @ boxes[f]                      # (125, 3)
+            d = (p1[f, :, 0][:, None, None, :] - p2[f, :, 0][None, :, None, :]
+                 + img[None, None, :, :])
+            brute = np.sqrt((d ** 2).sum(-1)).min(-1)    # (n1, n2)
+            assert np.allclose(out[f], brute, atol=2e-3), (
+                np.abs(out[f] - brute).max())
+
+    def test_orthorhombic_box_matches_diagonal_path(self, rng):
+        F, n1, n2 = 2, 4, 3
+        L = np.array([30.0, 40.0, 50.0], np.float32)
+        H = np.tile(np.diag(L), (F, 1, 1))
+        p1 = rng.uniform(-80, 80, (F, n1, 1, 3)).astype(np.float32)
+        p2 = rng.uniform(-80, 80, (F, n2, 1, 3)).astype(np.float32)
+        tri = np.asarray(min_dist_per_residue_pair(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(H),
+            triclinic=True))
+        ortho = np.asarray(min_dist_per_residue_pair(
+            jnp.asarray(p1), jnp.asarray(p2),
+            jnp.asarray(np.tile(L, (F, 1)))))
+        assert np.allclose(tri, ortho, atol=1e-4)
+
+
+class TestBoxConversion:
+    def test_xtc_matrix_passthrough(self):
+        from basicrta_tpu.io.universe import _box_from_matrix
+        diag = np.tile(np.diag([30.0, 40.0, 50.0]), (2, 1, 1)).astype(
+            np.float32)
+        out = _box_from_matrix(diag)
+        assert out.shape == (2, 3) and np.allclose(out, [30, 40, 50])
+        tric = diag.copy()
+        tric[:, 1, 0] = 15.0   # dodecahedron-like tilt
+        out = _box_from_matrix(tric)
+        assert out.shape == (2, 3, 3)
+
+    def test_dcd_unitcell_triclinic(self):
+        from basicrta_tpu.io.universe import _box_from_unitcell
+        # orthorhombic: zero cosines
+        cell = np.array([[30.0, 0.0, 40.0, 0.0, 0.0, 50.0]])
+        out = _box_from_unitcell(cell)
+        assert out.shape == (1, 3) and np.allclose(out, [30, 40, 50])
+        # 60-degree gamma as cosine, CHARMM-style
+        cell = np.array([[30.0, 0.5, 40.0, 0.0, 0.0, 50.0]])
+        H = _box_from_unitcell(cell)
+        assert H.shape == (1, 3, 3)
+        assert H[0, 1, 0] == pytest.approx(20.0)           # B cos(gamma)
+        assert np.linalg.norm(H[0, 1]) == pytest.approx(40.0)
+        # degrees convention also accepted
+        cell = np.array([[30.0, 60.0, 40.0, 90.0, 90.0, 50.0]])
+        H2 = _box_from_unitcell(cell)
+        assert np.allclose(H, H2, atol=1e-4)
+
+
 class TestMapContacts:
     def test_end_to_end(self):
         """Two 2-atom residues vs one 3-atom ligand; contact windows known."""

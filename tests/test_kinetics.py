@@ -69,6 +69,57 @@ class TestWeightedHistogram:
         assert np.allclose(den.grid, before)
 
 
+class TestDensityUnits:
+    """Unit conversion parity with the reference's vendored Density
+    (reference wdensity.py:440-627)."""
+
+    @staticmethod
+    def _unit_density(value):
+        from basicrta_tpu.kinetics.density import Density
+        edges = [np.linspace(0, 4, 5)] * 3
+        d = Density(np.full((4, 4, 4), value, np.float64), edges,
+                    is_density=True, density_unit="Angstrom^{-3}")
+        return d
+
+    def test_water_units(self):
+        # bulk water is 0.997 g/cm^3 * N_A / 18.016 = 0.033327... A^-3;
+        # converting that density to 'water' units must give ~1.0
+        d = self._unit_density(0.0334)
+        d.convert_density("water")
+        assert d.grid.flat[0] == pytest.approx(1.0, abs=0.01)
+        # round trip back
+        d.convert_density("Angstrom^{-3}")
+        assert d.grid.flat[0] == pytest.approx(0.0334, rel=1e-6)
+
+    def test_tip4p_and_molar(self):
+        d = self._unit_density(1.0)
+        d.convert_density("nm^{-3}")
+        assert d.grid.flat[0] == pytest.approx(1000.0)
+        d.convert_density("Molar")
+        # 1 A^-3 = 1e27/N_A Molar = 1660.54 M
+        assert d.grid.flat[0] == pytest.approx(1660.54, rel=1e-3)
+        d.convert_density("TIP4P")
+        d.convert_density("Angstrom^{-3}")
+        assert d.grid.flat[0] == pytest.approx(1.0, rel=1e-5)
+
+    def test_convert_length(self):
+        d = self._unit_density(1.0)
+        d.convert_length("nm")
+        assert d.delta[0] == pytest.approx(0.1)
+        assert d.length_unit == "nm"
+        d.convert_length("Angstrom")
+        assert d.delta[0] == pytest.approx(1.0)
+
+    def test_requires_density(self):
+        from basicrta_tpu.kinetics.density import Density
+        d = Density(np.ones((2, 2, 2)), [np.linspace(0, 2, 3)] * 3)
+        with pytest.raises(RuntimeError):
+            d.convert_density("water")
+        d.make_density()
+        with pytest.raises(ValueError):
+            d.convert_density("parsecs^{-3}")
+
+
 class TestMapKinetics:
     @pytest.fixture(scope="class")
     def system(self, tmp_path_factory):
@@ -150,6 +201,60 @@ class TestMapKinetics:
         bound = sorted(np.concatenate(
             [np.arange(f, f + n) for f, n in windows]))
         assert np.array_equal(np.sort(table[:, 0].astype(int)), bound)
+
+    def test_frame_table_memmap_matches_ram(self, system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev, windows = system
+        ram = MapKinetics(g, ev).frame_table(memmap=False)
+        mk = MapKinetics(g, ev)
+        mm = mk.frame_table(memmap=True, event_chunk=3)
+        assert isinstance(mm, np.memmap)
+        assert os.path.exists(os.path.join(g.savedir, "den_write_data.npy"))
+        assert np.allclose(np.asarray(mm), ram)
+
+    def test_frame_table_bounded_ram(self, tmp_path):
+        """A multi-million-row expansion must not materialize in heap: the
+        memmap chunked fill keeps peak allocations at the chunk scale (the
+        reference memmaps for the same reason, kinetics.py:46-77)."""
+        import tracemalloc
+        from basicrta_tpu.contacts.records import ContactEvents, ContactMeta
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+
+        ts = 0.1
+        n_events, frames_per = 30000, 100   # expands to 3,000,000 rows
+        starts = np.arange(n_events, dtype=np.float64) * (frames_per * ts)
+        ev = ContactEvents(
+            sel1_resids=np.full(n_events, 5, np.int32),
+            sel2_resids=np.full(n_events, 100, np.int32),
+            start_times=starts,
+            durations=np.full(n_events, frames_per * ts),
+            meta=ContactMeta(ts=ts))
+
+        class StubGibbs:              # only what frame_table touches
+            residue = "W5"
+            root = str(tmp_path)
+            savedir = str(tmp_path)
+            ts = 0.1
+
+            def pindicator_per_event(self):
+                return np.tile([0.5, 0.3, 0.2], (n_events, 1))
+
+        mk = MapKinetics.__new__(MapKinetics)
+        mk.gibbs = StubGibbs()
+        mk.events = ev
+        mk.meta = ev.meta
+        mk.savedir = str(tmp_path)
+        mk._frame_table = None
+        tracemalloc.start()
+        table = mk.frame_table(memmap=True, event_chunk=1024)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        nbytes = table.shape[0] * table.shape[1] * 8
+        assert table.shape == (3_000_000, 5)
+        assert nbytes > 100e6            # the table itself is >100 MB
+        assert peak < 40e6, peak         # heap stayed at chunk scale
+        assert table[0, 0] == 0 and table[-1, 0] == n_events * frames_per - 1
+        assert np.allclose(table[:5, 2:], [0.5, 0.3, 0.2])
 
     def test_create_traj_all(self, system):
         from basicrta_tpu.kinetics.mapper import MapKinetics
