@@ -301,6 +301,18 @@ class Gibbs:
         from basicrta_tpu.plots import plot_tau_hist
         return plot_tau_hist(self, **kwargs)
 
+    def mixture_and_plot(self, **kwargs):
+        """Train/validate/all clustering diagnostic figure sets
+        (reference util.py:694-1198)."""
+        from basicrta_tpu.plots import mixture_and_plot
+        return mixture_and_plot(self, **kwargs)
+
+    def make_residue_plots(self, comps=None):
+        """Point-estimate fits, posterior histograms, and traces
+        (reference util.py:384-400)."""
+        from basicrta_tpu.plots import make_residue_plots
+        return make_residue_plots(self, comps)
+
 
 def run_residue(times, residue, cutoff, cfg: GibbsConfig = GibbsConfig(),
                 root: str = ".", mode: str = "collapsed") -> Gibbs:

@@ -39,6 +39,73 @@ def test_gibbs_plot_methods(fitted):
         assert os.path.exists(os.path.join(g.savedir, outfile))
 
 
+def test_mixture_and_plot_families(fitted):
+    """Every train/validate/all figure family is written
+    (reference util.py:694-1198 parity)."""
+    g = fitted
+    all_labels, presorts = g.mixture_and_plot()
+    assert len(all_labels) == len(g.processed.labels)
+    assert presorts is not None
+    for subset in ("train", "validate", "all"):
+        for fam in ("combined_results", "result_hist", "weight_results",
+                    "rate_results", "weight_vs_rate_results"):
+            for ext in ("png", "pdf"):
+                path = os.path.join(g.savedir, f"{fam}_{subset}.{ext}")
+                assert os.path.exists(path), path
+    # noise-removed variant writes the _noiserm set
+    g.mixture_and_plot(remove_noise=True)
+    assert os.path.exists(os.path.join(
+        g.savedir, "combined_results_all_noiserm.png"))
+
+
+def test_residue_plot_family(fitted):
+    g = fitted
+    from basicrta_tpu.plots import (all_post_hist, make_residue_plots,
+                                    plot_post, plot_r_vs_w)
+    make_residue_plots(g)
+    K = len(np.unique(g.processed.labels))
+    Kc = g.cfg.ncomp   # traces show every chain column
+    figdir = os.path.join(g.savedir, "figs")
+    for fam in (f"k{K}-ml_results", f"k{K}-mean_results",
+                f"k{Kc}-trace_weights", f"k{Kc}-trace_rates",
+                f"k{K}-posterior_weights_comp-0"):
+        assert os.path.exists(os.path.join(figdir, f"{fam}.png")), fam
+    all_post_hist(g)
+    assert os.path.exists(os.path.join(
+        figdir, f"k{K}-posterior_rates_comp-all.png"))
+    plot_post(g, "rates", comp=[0])
+    assert os.path.exists(os.path.join(
+        figdir, f"k{K}-posterior_rates_comps-0.png"))
+    plot_r_vs_w(g)
+    assert os.path.exists(os.path.join(figdir, "r_vs_w.png"))
+    plt.close("all")
+
+
+def test_collect_n_plot(fitted):
+    g = fitted
+    g.save()
+    from basicrta_tpu.plots import collect_n_plot
+    done = collect_n_plot(cutoff=g.cutoff, niter=g.cfg.niter, root=g.root)
+    assert done == ["W9"]
+    # resid filter excludes everything else
+    assert collect_n_plot(resids=[1], cutoff=g.cutoff, niter=g.cfg.niter,
+                          root=g.root) == []
+    plt.close("all")
+
+
+def test_plot_hists(fitted, tmp_path, monkeypatch):
+    from basicrta_tpu.plots import plot_hists
+    monkeypatch.chdir(tmp_path)
+    g = fitted
+    pind = g.pindicator_per_event()       # (N, lmode)
+    figs = plot_hists([g.times], [pind.T], ["W9"])
+    plt.close("all")
+    assert len(figs) == 1
+    lmode = g.processed.lmode
+    assert os.path.exists(f"result_check/W9_hists_{lmode}.png")
+    assert os.path.exists(f"result_check/W9_hists_{lmode}.pdf")
+
+
 def test_cluster_reprocess(fitted):
     g = fitted
     lmode_before = g.processed.lmode
