@@ -27,6 +27,40 @@ def synthetic_times(n: int = 446_605, ts: float = 0.1,
     return discretize_times(simulate_hyperexp(n, _WEIGHTS, _RATES, rng), ts)
 
 
+def real_times_path():
+    """Path to the reference's bundled 446,605-event W313 dataset when one
+    is available on this machine, else None.
+
+    Checked in order: the BASICRTA_TIMES_NPY environment variable, an
+    installed ``basicrta`` package's test data, and a reference checkout
+    mounted at /root/reference. Validation against the real dataset runs
+    automatically when any of these resolves (tests/test_equivalence.py).
+    """
+    import os
+    cands = [os.environ.get("BASICRTA_TIMES_NPY")]
+    try:
+        import basicrta.tests.datafiles as _rd
+        cands.append(getattr(_rd, "times", None))
+    except ImportError:
+        pass
+    cands.append("/root/reference/basicrta/tests/data/times.npy")
+    for c in cands:
+        if c and isinstance(c, str) and os.path.exists(c):
+            return c
+    return None
+
+
+def load_times(prefer_real: bool = True, n: int = 446_605,
+               seed: int = 0) -> np.ndarray:
+    """The W313-scale example dataset: the real bundled file when present
+    (and ``prefer_real``), else the synthetic equivalent."""
+    if prefer_real:
+        path = real_times_path()
+        if path is not None:
+            return np.load(path)
+    return synthetic_times(n, seed=seed)
+
+
 #: module-level example dataset, analogous to
 #: ``basicrta.tests.datafiles.times`` (computed lazily on first attribute
 #: access to keep import cheap)

@@ -51,7 +51,41 @@ def lane_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("lanes"))
 
 
-def event_sharded_blocks(mesh: Mesh, cfg: GibbsConfig, n_blocks: int):
+def event_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, V) arrays: lanes x events split."""
+    return NamedSharding(mesh, P("lanes", "events"))
+
+
+def deal_columns(values: np.ndarray, counts: np.ndarray, n_shards: int,
+                 tiers: Tuple[int, int]):
+    """Deal multiplicity-sorted value columns round-robin onto event
+    shards, so every shard's contiguous slice stays multiplicity-descending
+    and one static tier pair covers all shards.
+
+    Columns sorted descending are distributed cyclically (shard e takes
+    columns e, e+E, e+2E, ...) and laid out contiguously per shard — the
+    layout a P('lanes','events') sharding splits. Per-shard tier boundaries
+    are the ceilings of the global ones (safe: each tier's sampler is exact
+    on any smaller count).
+
+    Returns (values, counts, per_shard_tiers).
+    """
+    V = values.shape[-1]
+    if V % n_shards:
+        raise ValueError(f"V={V} not divisible by events={n_shards}")
+    per = V // n_shards
+    # position e*per + j <- old column j*n_shards + e
+    old = (np.arange(V).reshape(n_shards, per, order="C") * 0
+           + np.arange(per)[None, :] * n_shards
+           + np.arange(n_shards)[:, None]).reshape(-1)
+    head = -(-tiers[0] // n_shards)
+    single = max(-(-tiers[1] // n_shards), head)
+    return (np.take(values, old, axis=-1), np.take(counts, old, axis=-1),
+            (head, single))
+
+
+def event_sharded_blocks(mesh: Mesh, cfg: GibbsConfig, n_blocks: int,
+                         tiers: Optional[Tuple[int, int]] = None):
     """Build the jitted multi-chip sampler step.
 
     Returns a function ``step(keys, state, values, counts) -> (state, W, R)``
@@ -60,7 +94,10 @@ def event_sharded_blocks(mesh: Mesh, cfg: GibbsConfig, n_blocks: int):
     - ``keys``: (B,) per-lane PRNG keys,
     - ``state``: MixtureState with (B, K) leaves, replicated over 'events',
     - ``values``/``counts``: (B, V) with B sharded over 'lanes' and V over
-      'events' (pad V to a multiple of the events axis with zero counts).
+      'events' (pad V to a multiple of the events axis with zero counts;
+      lay columns out with :func:`deal_columns` to use the tiered sampler).
+    - ``tiers``: static per-shard tier boundaries from :func:`deal_columns`
+      (None runs the untiered general sampler).
 
     Each sweep: every chip computes multinomial counts for its value slice,
     ``psum('events')`` combines (N_k, T_k), and the conjugate update runs
@@ -80,7 +117,7 @@ def event_sharded_blocks(mesh: Mesh, cfg: GibbsConfig, n_blocks: int):
                     kmult = jax.random.fold_in(kmult, ev)
                     logz = _log_responsibilities(st, v)
                     probs = jax.nn.softmax(logz, axis=-1)
-                    m = _tiered_multinomial(kmult, c, probs, None)
+                    m = _tiered_multinomial(kmult, c, probs, tiers)
                     Ns = jax.lax.psum(jnp.sum(m, axis=0), "events")
                     Ts = jax.lax.psum(v @ m, "events")
                     return _conjugate_update(kconj, Ns, Ts, cfg.alpha_eff,

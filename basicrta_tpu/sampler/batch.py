@@ -234,6 +234,19 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     values_np[:B] = batch.values
     counts_np = np.zeros((Bs, batch.counts.shape[1]), np.float32)
     counts_np[:B] = batch.counts
+    tiers = batch.tiers
+    n_events_shards = 1
+    if (mesh is not None and engine == "xla"
+            and mesh.shape.get("events", 1) > 1
+            and sharding.spec and len(sharding.spec) > 1
+            and sharding.spec[1] == "events"):
+        # explicit event sharding: deal sorted columns cyclically so one
+        # static tier pair covers every shard, then run the shard_map step
+        # with per-sweep psum of the sufficient statistics
+        from basicrta_tpu.parallel.mesh import deal_columns
+        n_events_shards = mesh.shape["events"]
+        values_np, counts_np, tiers = deal_columns(
+            values_np, counts_np, n_events_shards, batch.tiers)
     values = jnp.asarray(values_np)
     counts = jnp.asarray(counts_np)
     if sharding is not None:
@@ -250,11 +263,15 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     key = jax.random.key(cfg.seed)
     lane_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(Bs))
 
+    # the event-sharded step draws a different (per-shard) stream, so its
+    # checkpoints must not resume an unsharded run (and vice versa)
+    ckpt_engine = (engine if n_events_shards == 1
+                   else f"{engine}-ev{n_events_shards}")
     Ws, Rs = [], []
     done = 0
     seg_idx = 0
     if checkpoint_path is not None:
-        resumed = load_checkpoint(checkpoint_path, batch, cfg, engine)
+        resumed = load_checkpoint(checkpoint_path, batch, cfg, ckpt_engine)
         if resumed is not None:
             done, seg_idx, ck_state, Ws, Rs = resumed
             # checkpoints store the true-B state; re-pad to the shard count
@@ -307,6 +324,7 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                 return segment_pallas(seed0, jnp.int32(offset), state,
                                       values, counts, cfg, nb, p_tiers,
                                       interpret=on_cpu)
+    event_steps: Dict[int, object] = {}
     while done < total_blocks:
         nb = min(segment_blocks, total_blocks - done)
         if engine == "pallas":
@@ -314,8 +332,17 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         else:
             seg_keys = jax.vmap(
                 lambda k: jax.random.fold_in(k, seg_idx))(lane_keys)
-            state, W, R = _segment(seg_keys, state, values, counts, cfg,
-                                   nb, batch.tiers)
+            if n_events_shards > 1:
+                if nb not in event_steps:
+                    from basicrta_tpu.parallel.mesh import (
+                        event_sharded_blocks)
+                    event_steps[nb] = event_sharded_blocks(mesh, cfg, nb,
+                                                           tiers)
+                state, W, R = event_steps[nb](seg_keys, state, values,
+                                              counts)
+            else:
+                state, W, R = _segment(seg_keys, state, values, counts,
+                                       cfg, nb, tiers)
         Ws.append(np.asarray(W)[:B])
         Rs.append(np.asarray(R)[:B])
         done += nb
@@ -325,7 +352,7 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                             MixtureState(
                                 np.asarray(state.weights)[:B],
                                 np.asarray(state.rates)[:B]),
-                            Ws, Rs, engine)
+                            Ws, Rs, ckpt_engine)
         if checkpoint_cb is not None:
             checkpoint_cb(seg_idx, state, (Ws, Rs))
         if progress_cb is not None:

@@ -57,39 +57,77 @@ def make_workload(n_residues=N_RESIDUES, seed=0):
     return residues
 
 
+# round-1 numbers; warn loudly on regression (VERDICT round 1, item 10)
+_R1_GUARDS = {"pallas": 215_000.0, "xla": 43_000.0, "flagship": 9_000.0}
+
+
+def _timed_agg(batches, cfg, engine):
+    """Aggregate sweeps/s for one engine (after its own warmup pass)."""
+    for b in batches:
+        run_batch(b, cfg, engine=engine)
+    t0 = time.time()
+    for b in batches:
+        run_batch(b, cfg, engine=engine)
+    elapsed = time.time() - t0
+    return sum(b.size for b in batches) * cfg.niter / elapsed
+
+
 def main():
     residues = make_workload()
     cfg = GibbsConfig(ncomp=15, niter=TIMED_SWEEPS, g=100)
     batches = bucket_residues(residues, floor=1024)
     info = [(b.values.shape, b.tiers) for b in batches]
-    print(f"buckets: {info}", file=sys.stderr)
+    # padding waste: fraction of value columns carrying count 0
+    cols = sum(b.values.size for b in batches)
+    live = sum(int((b.counts > 0).sum()) for b in batches)
+    waste = 1.0 - live / cols
+    print(f"buckets: {info}  padding waste: {waste:.1%}", file=sys.stderr)
 
-    # warmup (compiles once per bucket shape; cached across runs); if the
-    # fused kernel fails to build on this device, fall back to the XLA
-    # engine rather than losing the benchmark
-    engine = "auto"
+    # headline engine (pallas; fall back to xla rather than losing the
+    # benchmark if the fused kernel fails to build on this device)
+    engine = "pallas"
     try:
-        for b in batches:
-            run_batch(b, cfg, engine=engine)
+        agg = _timed_agg(batches, cfg, engine)
     except Exception as e:  # noqa: BLE001
         print(f"pallas engine unavailable ({type(e).__name__}); "
               f"falling back to xla", file=sys.stderr)
         engine = "xla"
-        for b in batches:
-            run_batch(b, cfg, engine=engine)
+        agg = _timed_agg(batches, cfg, engine)
 
-    t0 = time.time()
-    for b in batches:
-        run_batch(b, cfg, engine=engine)
-    elapsed = time.time() - t0
+    extras = {"engine": engine, "padding_waste": round(waste, 4)}
+    try:
+        extras["xla_sweeps_per_sec"] = round(_timed_agg(batches, cfg,
+                                                        "xla"), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"xla timing failed: {type(e).__name__}", file=sys.stderr)
 
-    lanes = sum(b.size for b in batches)
-    agg = lanes * cfg.niter / elapsed
+    # flagship single-residue throughput (the W313-size lane alone)
+    try:
+        flag = bucket_residues({"R0": residues["R0"]}, floor=1024)
+        fagg = _timed_agg(flag, cfg, engine)
+        extras["flagship_sweeps_per_sec"] = round(fagg, 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"flagship timing failed: {type(e).__name__}", file=sys.stderr)
+
+    # the north-star projection: 300 residues x 110k sweeps on a v5e-8
+    # with lanes sharded over 8 chips (lane parallel, collective-free)
+    extras["projected_v5e8_wallclock_s"] = round(
+        N_RESIDUES * 110_000 / (agg * 8), 1)
+
+    for key, guard in [("pallas" if engine == "pallas" else "xla", agg),
+                       ("xla", extras.get("xla_sweeps_per_sec", np.inf)),
+                       ("flagship",
+                        extras.get("flagship_sweeps_per_sec", np.inf))]:
+        if guard < _R1_GUARDS[key]:
+            print(f"REGRESSION: {key} {guard:,.0f} < round-1 "
+                  f"{_R1_GUARDS[key]:,.0f} sweeps/s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "gibbs_sweeps_per_sec_per_chip",
         "value": round(agg, 1),
         "unit": f"sweeps/s/chip (aggregate, {N_RESIDUES}-residue batch, K=15)",
         "vs_baseline": round(agg / BASELINE_SWEEPS_PER_SEC, 1),
+        "extras": extras,
     }))
 
 

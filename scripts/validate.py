@@ -57,6 +57,9 @@ def main():
     ap.add_argument("times")
     ap.add_argument("--subsample", type=int, default=40_000)
     ap.add_argument("--sub-niter", type=int, default=10_000)
+    ap.add_argument("--protein-residues", type=int, default=50,
+                    help="residue count of the full-protein post-processing "
+                         "throughput check (0 disables)")
     args = ap.parse_args()
 
     x = np.load(args.times)
@@ -110,6 +113,39 @@ def main():
           f"{r_our.mean():.4f} (KS p={ks_r.pvalue:.3f})")
     print(f"  slowest tau CI:  ref [{ci_ref[0]:.1f}, {ci_ref[1]:.1f}] vs "
           f"ours [{ci_our[0]:.1f}, {ci_our[1]:.1f}]")
+
+    # ---- 3. full-protein post-processing throughput --------------------- #
+    # batched (bucketed vmapped GMM + votes) post-processing must stay
+    # within ~2x of sampling wall-clock (VERDICT round 1, weak item 2:
+    # the per-residue loop cost ~11 s x N residues)
+    n_res = args.protein_residues
+    if n_res:
+        from basicrta_tpu.ops.surv import discretize_times, simulate_hyperexp
+        from basicrta_tpu.protein.driver import finish_batch
+        from basicrta_tpu.sampler.batch import run_residues
+        rng = np.random.default_rng(1)
+        sizes = (10 ** rng.uniform(2.0, 5.3, n_res)).astype(int)
+        times = {f"X{i}": discretize_times(simulate_hyperexp(
+            int(n), [0.87, 0.09, 0.03, 0.009, 0.001],
+            np.array([4.7, 1.3, 0.33, 0.06, 0.009]) * rng.uniform(0.7, 1.5),
+            rng), 0.1) for i, n in enumerate(sizes)}
+        cfg3 = GibbsConfig()  # full default config
+        t0 = time.time()
+        samples = run_residues(times, cfg3, engine="auto")
+        t_samp = time.time() - t0
+        gibbs = {}
+        for lab, (W, R) in samples.items():
+            gg = Gibbs(times[lab], residue=lab, cutoff=7.0, cfg=cfg3,
+                       root="/tmp")
+            gg.mcweights, gg.mcrates = W, R
+            gibbs[lab] = gg
+        t0 = time.time()
+        finish_batch(gibbs, save=False)
+        t_fin = time.time() - t0
+        n_ok = sum(1 for g_ in gibbs.values() if g_.tau is not None)
+        print(f"FULL PROTEIN ({n_res} residues, {cfg3.niter} sweeps): "
+              f"sampling {t_samp:.1f}s, post-processing {t_fin:.1f}s "
+              f"({t_fin / t_samp:.2f}x sampling; {n_ok}/{n_res} taus)")
 
 
 if __name__ == "__main__":

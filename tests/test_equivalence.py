@@ -88,6 +88,37 @@ def test_posterior_matches_reference_semantics(equivalence_runs, engine):
     assert ks.pvalue > 1e-4, f"{engine}: KS p={ks.pvalue}"
 
 
+def _real_times():
+    from basicrta_tpu.datafiles import real_times_path
+    return real_times_path()
+
+
+@pytest.mark.skipif(_real_times() is None,
+                    reason="reference times.npy not available")
+def test_real_data_posterior_equivalence():
+    """Equivalence on (a subsample of) the reference's bundled 446,605-
+    event W313 dataset: framework posterior vs the independent numpy
+    reference-semantics sampler. Auto-skips when the dataset is absent."""
+    x_full = np.load(_real_times())
+    assert len(x_full) == 446_605          # the documented fixture
+    rng = np.random.default_rng(4)
+    x = np.sort(rng.choice(x_full, size=20_000, replace=False))
+    cfg = GibbsConfig(ncomp=5, niter=1200, g=10, burnin=400, seed=21)
+    Wn, Rn = numpy_reference_sampler(x, cfg, seed=2)
+    batch = bucket_residues({"W313": x})[0]
+    res = run_batch(batch, cfg, engine="pallas")
+
+    burn = cfg.burnin_samples
+    w_ref, r_ref = _dominant(Wn, Rn, burn)
+    w_our, r_our = _dominant(res.mcweights[0], res.mcrates[0], burn)
+    for ref, our in [(w_ref, w_our), (r_ref, r_our)]:
+        se = ref.std() * np.sqrt(2.0 / len(ref))
+        assert abs(ref.mean() - our.mean()) < 8 * se + 1e-4, (
+            ref.mean(), our.mean())
+    ks = stats.ks_2samp(r_ref, r_our)
+    assert ks.pvalue > 1e-4, f"KS p={ks.pvalue}"
+
+
 def test_tau_matches_reference_semantics(equivalence_runs):
     """Slowest-process tau from both sampler families covers the truth and
     each other's point estimate."""

@@ -76,6 +76,44 @@ def test_pallas_engine_rejects_event_sharding(rng):
                   sharding=NamedSharding(mesh, P("lanes", "events")))
 
 
+def test_deal_columns_roundrobin():
+    from basicrta_tpu.parallel.mesh import deal_columns
+    V, E = 16, 4
+    counts = np.array([np.arange(V, 0, -1, dtype=float)])  # sorted desc
+    values = np.array([np.arange(V, dtype=float)])
+    v2, c2, tiers = deal_columns(values, counts, E, (3, 10))
+    # shard slices are contiguous quarters, each multiplicity-descending
+    for e in range(E):
+        sl = c2[0, e * 4:(e + 1) * 4]
+        assert np.all(np.diff(sl) <= 0)
+    # every column survives the permutation
+    assert sorted(v2[0]) == sorted(values[0])
+    assert tiers == (1, 3)  # ceil(3/4), ceil(10/4)
+
+
+def test_event_sharded_run_batch(rng):
+    """run_batch drives the tiered event-sharded (psum) step when given a
+    ('lanes','events') sharding; posterior matches the unsharded chain."""
+    from basicrta_tpu.parallel.mesh import event_sharding
+    mesh = make_mesh(n_lanes=4, n_events=2)
+    x = discretize_times(simulate_hyperexp(
+        5000, [0.8, 0.2], [2.0, 0.1], rng), 0.1)
+    batch = bucket_residues({f"L{i}": x for i in range(4)}, floor=256)[0]
+    cfg = GibbsConfig(ncomp=4, niter=400, g=10, burnin=100, seed=9)
+    res = run_batch(batch, cfg, engine="xla",
+                    sharding=event_sharding(mesh))
+    ref = run_batch(batch, cfg, engine="xla")
+    b = cfg.burnin_samples
+    for i in range(batch.size):
+        W = res.mcweights[i][b:]
+        k = W.mean(0).argmax()
+        kr = ref.mcweights[i][b:].mean(0).argmax()
+        assert W[:, k].mean() == pytest.approx(
+            ref.mcweights[i][b:, kr].mean(), rel=0.05)
+        assert res.mcrates[i][b:, k].mean() == pytest.approx(
+            ref.mcrates[i][b:, kr].mean(), rel=0.08)
+
+
 def test_event_sharded_statistics(rng):
     """The event-sharded (psum) sampler matches the single-device chain's
     posterior on the same data."""
