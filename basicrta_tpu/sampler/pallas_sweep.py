@@ -331,35 +331,63 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
     G = v.shape[1]
     _suffix_sums(v, w_gk, r_gk, z_scr, K)
 
-    rem = c
+    # singleton tier (counts in {0,1}): inverse-CDF against the suffix
+    # sums directly — ONE uniform per element for the whole sweep and one
+    # compare per component (category k iff S_k > t >= S_{k+1}, exact),
+    # instead of a conditional-probability divide + uniform + Bernoulli
+    # per component
+    if SL > small_rows:
+        u1 = rng.uniform((SL - small_rows, G, _LANES))
+        thresh = u1 * z_scr[0][small_rows:]
+        c_single = c[small_rows:]
+        v_single = v[small_rows:]
+        prev_ind = jnp.ones_like(thresh)     # S_0 > t always
+    rem = c[:small_rows]
+    v_hs = v[:small_rows]
     ns_list = []
     ts_list = []
     for k in range(K - 1):
-        suffix = z_scr[k]
-        nxt = z_scr[k + 1]
-        pcond = jnp.clip((suffix - nxt) / jnp.maximum(suffix, _TINY),
-                         0.0, 1.0)
-        parts = []
-        if head_rows > 0:
-            parts.append(_binom_full(rng, rem[:head_rows],
-                                     pcond[:head_rows], early_exit[0],
-                                     early_exit[1]))
-        if small_rows > head_rows:
-            u = rng.uniform((small_rows - head_rows, G, _LANES))
-            parts.append(_binom_inversion(u, rem[head_rows:small_rows],
-                                          pcond[head_rows:small_rows],
-                                          _INV_SMALL, early_exit[2]))
+        ns_k = jnp.zeros((G,), jnp.float32)
+        ts_k = jnp.zeros((G,), jnp.float32)
+        if small_rows > 0:
+            suffix = z_scr[k][:small_rows]
+            nxt = z_scr[k + 1][:small_rows]
+            pcond = jnp.clip((suffix - nxt) / jnp.maximum(suffix, _TINY),
+                             0.0, 1.0)
+            parts = []
+            if head_rows > 0:
+                parts.append(_binom_full(rng, rem[:head_rows],
+                                         pcond[:head_rows], early_exit[0],
+                                         early_exit[1]))
+            if small_rows > head_rows:
+                u = rng.uniform((small_rows - head_rows, G, _LANES))
+                parts.append(_binom_inversion(u, rem[head_rows:],
+                                              pcond[head_rows:],
+                                              _INV_SMALL, early_exit[2]))
+            draw = (parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=0))
+            ns_k = ns_k + jnp.sum(draw, axis=(0, 2))     # (G,)
+            ts_k = ts_k + jnp.sum(v_hs * draw, axis=(0, 2))
+            rem = rem - draw
         if SL > small_rows:
-            u = rng.uniform((SL - small_rows, G, _LANES))
-            parts.append(rem[small_rows:]
-                         * (u < pcond[small_rows:]).astype(jnp.float32))
-        draw = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
-                                                                axis=0)
-        ns_list.append(jnp.sum(draw, axis=(0, 2)))       # (G,)
-        ts_list.append(jnp.sum(v * draw, axis=(0, 2)))
-        rem = rem - draw
-    ns_list.append(jnp.sum(rem, axis=(0, 2)))
-    ts_list.append(jnp.sum(v * rem, axis=(0, 2)))
+            ind = jnp.where(z_scr[k + 1][small_rows:] > thresh, 1.0, 0.0)
+            sdraw = c_single * (prev_ind - ind)
+            prev_ind = ind
+            ns_k = ns_k + jnp.sum(sdraw, axis=(0, 2))
+            ts_k = ts_k + jnp.sum(v_single * sdraw, axis=(0, 2))
+        ns_list.append(ns_k)
+        ts_list.append(ts_k)
+    ns_K = jnp.zeros((G,), jnp.float32)
+    ts_K = jnp.zeros((G,), jnp.float32)
+    if small_rows > 0:
+        ns_K = ns_K + jnp.sum(rem, axis=(0, 2))
+        ts_K = ts_K + jnp.sum(v_hs * rem, axis=(0, 2))
+    if SL > small_rows:
+        sdraw = c_single * prev_ind
+        ns_K = ns_K + jnp.sum(sdraw, axis=(0, 2))
+        ts_K = ts_K + jnp.sum(v_single * sdraw, axis=(0, 2))
+    ns_list.append(ns_K)
+    ts_list.append(ts_K)
     return jnp.stack(ns_list, axis=-1), jnp.stack(ts_list, axis=-1)
 
 

@@ -101,10 +101,13 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"xla timing failed: {type(e).__name__}", file=sys.stderr)
 
-    # flagship single-residue throughput (the W313-size lane alone)
+    # flagship single-residue throughput (the W313-size lane alone); a
+    # longer window so per-call dispatch latency doesn't dominate the
+    # sub-100ms single-lane run
     try:
         flag = bucket_residues({"R0": residues["R0"]}, floor=1024)
-        fagg = _timed_agg(flag, cfg, engine)
+        fcfg = GibbsConfig(ncomp=15, niter=10 * TIMED_SWEEPS, g=100)
+        fagg = _timed_agg(flag, fcfg, engine)
         extras["flagship_sweeps_per_sec"] = round(fagg, 1)
     except Exception as e:  # noqa: BLE001
         print(f"flagship timing failed: {type(e).__name__}", file=sys.stderr)
