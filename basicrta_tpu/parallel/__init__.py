@@ -3,6 +3,8 @@
 from basicrta_tpu.parallel.mesh import (
     make_mesh,
     lane_sharding,
+    event_sharding,
+    deal_columns,
     event_sharded_blocks,
     sharded_training_step,
 )
@@ -10,6 +12,8 @@ from basicrta_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "lane_sharding",
+    "event_sharding",
+    "deal_columns",
     "event_sharded_blocks",
     "sharded_training_step",
 ]

@@ -11,6 +11,7 @@ from basicrta_tpu.postprocess.clustering import (
     ClusterResult,
 )
 from basicrta_tpu.postprocess.tau import estimate_params, estimate_tau
+from basicrta_tpu.postprocess.batched import process_residues_batched
 
 __all__ = [
     "gmm_fit_predict",
@@ -23,4 +24,5 @@ __all__ = [
     "ClusterResult",
     "estimate_params",
     "estimate_tau",
+    "process_residues_batched",
 ]

@@ -213,6 +213,10 @@ class ProcessProtein:
         self.root = root
         self.residues: Dict[str, Optional[str]] = {}
 
+    def __getitem__(self, item):
+        """Attribute access by name (reference cluster.py:37-38)."""
+        return getattr(self, item)
+
     @property
     def _basedir(self) -> str:
         return os.path.join(self.root, f"basicrta-{self.cutoff}")

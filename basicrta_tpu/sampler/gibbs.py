@@ -65,6 +65,10 @@ class Gibbs:
             self.t, self.s = survival_function(self.times, self.ts)
             self._values, self._counts = dedup_times(self.times)
 
+    def __getitem__(self, item):
+        """Attribute access by name (reference gibbs.py:159-160)."""
+        return getattr(self, item)
+
     # ------------------------------------------------------------------ #
     def _residue_fold(self) -> int:
         """Stable per-residue PRNG fold-in. Python's ``hash(str)`` is salted
