@@ -170,12 +170,16 @@ def plot_tau_hist(gibbs, scale=1.0, basename=None):
     return _save(fig, basename)
 
 
-def plot_hist_results(gibbs, bins=15, scale=1.0, basename=None):
+def plot_hist_results(gibbs, bins=15, scale=1.0, component=None,
+                      basename=None):
     """Posterior weight/rate/tau histograms per cluster
-    (reference gibbs.py:427-638, simplified layout)."""
+    (reference gibbs.py:427-638, simplified layout); ``component``
+    restricts to the given cluster id(s)."""
     rp = gibbs.processed
+    clusters = (np.unique(rp.labels) if component is None
+                else np.atleast_1d(component))
     fig, axs = plt.subplots(1, 3, figsize=(9 * scale, 3 * scale))
-    for i in np.unique(rp.labels):
+    for i in clusters:
         sel = rp.labels == i
         axs[0].hist(rp.data[sel, 0], bins=bins, alpha=0.5, density=True,
                     label=f"{i}", color=f"C{i % 10}")

@@ -44,6 +44,38 @@ class TestCheckpointResume:
         assert np.allclose(resumed.mcrates, full.mcrates)
         assert not os.path.exists(ckpt)  # cleaned up on completion
 
+    def test_pallas_resume_segmentation_independent(self, tmp_path, rng):
+        """The fused engine re-seeds per (seed, absolute sweep index), so a
+        resumed run — and even a differently-segmented run — reproduces the
+        uninterrupted chain bit-exactly."""
+        from basicrta_tpu.sampler.batch import bucket_residues, run_batch
+        x = discretize_times(simulate_hyperexp(
+            1500, [0.8, 0.2], [2.0, 0.1], rng), 0.1)
+        batch = bucket_residues({"A1": x}, floor=256)[0]
+        cfg = GibbsConfig(ncomp=4, niter=200, g=10, seed=4)
+
+        full = run_batch(batch, cfg, engine="pallas", segment_blocks=20)
+        # different segmentation, same chain
+        seg = run_batch(batch, cfg, engine="pallas", segment_blocks=7)
+        assert np.allclose(seg.mcweights, full.mcweights, atol=1e-6)
+
+        ckpt = str(tmp_path / "ckp.npz")
+
+        class Stop(Exception):
+            pass
+
+        def bomb(seg_idx, state, _):
+            if seg_idx == 2:
+                raise Stop
+
+        with pytest.raises(Stop):
+            run_batch(batch, cfg, engine="pallas", segment_blocks=5,
+                      checkpoint_path=ckpt, checkpoint_cb=bomb)
+        resumed = run_batch(batch, cfg, engine="pallas", segment_blocks=5,
+                            checkpoint_path=ckpt)
+        assert np.allclose(resumed.mcweights, full.mcweights, atol=1e-6)
+        assert np.allclose(resumed.mcrates, full.mcrates, atol=1e-6)
+
     def test_checkpoint_rejects_mismatched_workload(self, tmp_path, rng):
         from basicrta_tpu.sampler.batch import (bucket_residues,
                                                 save_checkpoint,
