@@ -344,6 +344,10 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
         c_single = c[small_rows:]
         v_single = v[small_rows:]
         prev_ind = jnp.ones_like(thresh)     # S_0 > t always
+    # (a trial-threshold variant for the small tier — 8 categoricals per
+    # element against the suffix sums — measured SLOWER than the 9-step
+    # inversion: the (8, rows, G, 128) trial tensors octuple the tile
+    # volume per stage)
     rem = c[:small_rows]
     v_hs = v[:small_rows]
     ns_list = []

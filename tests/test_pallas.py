@@ -74,10 +74,19 @@ def test_sweep_stats_exact_totals_and_moments(stats_case):
 
 @pytest.mark.parametrize("tiers", [(1, 3), (0, 4), (4, 4), (0, 0), (2, 2)])
 def test_sweep_stats_tier_configs(tiers, rng):
-    """All tier layouts (incl. single-branch) compile and conserve totals."""
+    """All tier layouts (incl. single-branch) compile and conserve totals.
+
+    Counts respect each tier's contract (head unbounded, small <= 8,
+    singleton <= 1) — the layout compute_tiers/pad_tiers_to_rows produces.
+    """
     B, V, K = 2, 512, 5
     vals = jnp.asarray(np.sort(rng.uniform(0.1, 30, (B, V))), jnp.float32)
-    cnts = jnp.asarray(rng.integers(0, 50, (B, V)), jnp.float32)
+    cnts = rng.integers(0, 50, (B, V)).astype(np.float64)
+    head, small = tiers
+    cnts[:, head * 128:small * 128] = np.minimum(
+        cnts[:, head * 128:small * 128], 8)
+    cnts[:, small * 128:] = np.minimum(cnts[:, small * 128:], 1)
+    cnts = jnp.asarray(cnts, jnp.float32)
     st0 = init_mixture_params(K)
     state = MixtureState(jnp.tile(st0.weights, (B, 1)),
                          jnp.tile(st0.rates, (B, 1)))
