@@ -33,7 +33,8 @@ def _cmd_contacts(args):
     meta = ContactMeta(top=args.top, traj=args.traj, sel1=args.sel1,
                        sel2=args.sel2, ts=u.timestep_ns())
     mapper = MapContacts(idx1, u.topology.resids[idx1], idx2,
-                         u.topology.resids[idx2], cfg=cfg, meta=meta)
+                         u.topology.resids[idx2], cfg=cfg, meta=meta,
+                         n_devices=args.ndevices)
     t0 = time.time()
     nframes = u.n_frames
 
@@ -176,6 +177,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--map-cutoff", type=float, default=10.0)
     c.add_argument("--batch", type=int, default=32,
                    help="trajectory frames per device batch")
+    c.add_argument("--ndevices", type=int, default=None,
+                   help="shard frame batches over this many devices "
+                        "(0: all visible; default: unsharded)")
     c.set_defaults(fn=_cmd_contacts)
 
     g = sub.add_parser("gibbs", help="run Gibbs samplers for all residues")

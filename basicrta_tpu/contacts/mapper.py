@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,7 +52,8 @@ class MapContacts:
     def __init__(self, indices1: np.ndarray, resids1: np.ndarray,
                  indices2: np.ndarray, resids2: np.ndarray,
                  cfg: ContactConfig = ContactConfig(),
-                 meta: Optional[ContactMeta] = None):
+                 meta: Optional[ContactMeta] = None,
+                 n_devices: Optional[int] = None):
         self.indices1 = np.asarray(indices1)
         self.indices2 = np.asarray(indices2)
         self.cfg = cfg
@@ -60,6 +62,17 @@ class MapContacts:
             np.zeros((len(indices1), 3)), np.asarray(resids1))
         self.group_idx2, self.uniq_resids2 = group_by_residue(
             np.zeros((len(indices2), 3)), np.asarray(resids2))
+        # frame-axis data parallelism over chips: the TPU equivalent of the
+        # reference's trajectory-slice pool fan-out (contacts.py:60-75;
+        # SURVEY.md section 2 parallelism item 1). Each device computes the
+        # distance kernel for its frame shard; no collectives needed.
+        self._sharding = None
+        if n_devices is not None:
+            import jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            n = n_devices if n_devices > 0 else len(jax.devices())
+            mesh = Mesh(np.asarray(jax.devices()[:n]), ("frames",))
+            self._sharding = NamedSharding(mesh, PartitionSpec("frames"))
 
     def run(self, trajectory: Iterable[FrameBatch],
             progress_cb=None) -> ContactRecords:
@@ -88,11 +101,29 @@ class MapContacts:
                 if boxarr is not None:
                     boxarr = np.concatenate(
                         [boxarr, np.repeat(boxarr[-1:], pad, axis=0)])
+            if self._sharding is not None:
+                # pad the frame axis to the device count and lay each
+                # shard's frames on its chip (padded frames' rows are
+                # sliced off by collect)
+                n = self._sharding.mesh.devices.size
+                fpad = -(-len(positions) // n) * n - len(positions)
+                if fpad:
+                    positions = np.concatenate(
+                        [positions, np.repeat(positions[-1:], fpad, axis=0)])
+                    if boxarr is not None:
+                        boxarr = np.concatenate(
+                            [boxarr, np.repeat(boxarr[-1:], fpad, axis=0)])
             pos = jnp.asarray(positions, jnp.float32)
+            box = None
+            use_pbc = self.cfg.use_pbc and boxarr is not None
+            if use_pbc:
+                box = jnp.asarray(boxarr, jnp.float32)
+            if self._sharding is not None:
+                pos = jax.device_put(pos, self._sharding)
+                if box is not None:
+                    box = jax.device_put(box, self._sharding)
             p1, m1 = gather_grouped(pos[:, self.indices1, :], self.group_idx1)
             p2, m2 = gather_grouped(pos[:, self.indices2, :], self.group_idx2)
-            use_pbc = self.cfg.use_pbc and boxarr is not None
-            box = (jnp.asarray(boxarr, jnp.float32) if use_pbc else None)
             triclinic = use_pbc and boxarr.ndim == 3
             return min_dist_per_residue_pair(
                 p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2,

@@ -87,6 +87,21 @@ def test_cli_gibbs_specific_resid(contacts_done, monkeypatch):
     assert os.path.exists("basicrta-7.0/W7/gibbs_1000.npz")
 
 
+def test_cli_gibbs_ndevices(contacts_done, monkeypatch):
+    """--ndevices shards the residue lanes over the device mesh — the
+    multi-chip product path (round-1 gap: mesh execution was unreachable
+    from the CLI)."""
+    monkeypatch.chdir(contacts_done)
+    main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "400",
+          "--g", "10", "--ncomp", "3", "--ndevices", "0",
+          "--engine", "pallas"])
+    assert os.path.exists("basicrta-7.0/W7/gibbs_400.npz")
+    from basicrta_tpu.sampler.gibbs import Gibbs
+    g = Gibbs.load("basicrta-7.0/W7/gibbs_400.npz")
+    assert np.isfinite(g.mcweights).all()
+    assert g.tau is not None
+
+
 def test_cli_unknown_resid(contacts_done, monkeypatch):
     monkeypatch.chdir(contacts_done)
     main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "300",

@@ -292,6 +292,27 @@ class TestMapContacts:
         with pytest.raises(ValueError, match="irregular"):
             mc.run(self._batches_for([0.0, 0.1, 0.3, 0.4], split=2))
 
+    def test_frame_sharded_matches_unsharded(self):
+        """n_devices shards the frame axis over the mesh (the TPU
+        equivalent of the reference's trajectory-slice pool,
+        contacts.py:60-75); results are identical to one device."""
+        ts = 0.1
+        rng = np.random.default_rng(8)
+        F, A = 37, 6   # deliberately not a multiple of 8 devices
+        pos = rng.uniform(0, 50, (F, A, 3)).astype(np.float32)
+        ids = np.arange(F)
+        batch = [FrameBatch(ids, ids * ts, pos,
+                            np.tile([50.0] * 3, (F, 1)))]
+        kw = dict(indices1=np.arange(3), resids1=np.array([1, 1, 2]),
+                  indices2=np.arange(3, 6), resids2=np.array([9, 9, 10]),
+                  cfg=ContactConfig(map_cutoff=30.0))
+        ref = MapContacts(**kw).run(
+            [FrameBatch(ids, ids * ts, pos, np.tile([50.0] * 3, (F, 1)))])
+        sharded = MapContacts(**kw, n_devices=0).run(batch)
+        assert len(ref) == len(sharded)
+        assert np.array_equal(ref.frames, sharded.frames)
+        assert np.allclose(ref.min_dist, sharded.min_dist, atol=1e-5)
+
     def test_explicit_ts_bypasses_inference(self):
         mc = self._tiny_mapper()
         mc.meta = ContactMeta(ts=0.05)
