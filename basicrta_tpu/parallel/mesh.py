@@ -75,8 +75,7 @@ def deal_columns(values: np.ndarray, counts: np.ndarray, n_shards: int,
         raise ValueError(f"V={V} not divisible by events={n_shards}")
     per = V // n_shards
     # position e*per + j <- old column j*n_shards + e
-    old = (np.arange(V).reshape(n_shards, per, order="C") * 0
-           + np.arange(per)[None, :] * n_shards
+    old = (np.arange(per)[None, :] * n_shards
            + np.arange(n_shards)[:, None]).reshape(-1)
     head = -(-tiers[0] // n_shards)
     single = max(-(-tiers[1] // n_shards), head)

@@ -263,10 +263,13 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     key = jax.random.key(cfg.seed)
     lane_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(Bs))
 
-    # the event-sharded step draws a different (per-shard) stream, so its
-    # checkpoints must not resume an unsharded run (and vice versa)
-    ckpt_engine = (engine if n_events_shards == 1
-                   else f"{engine}-ev{n_events_shards}")
+    # sharded runs draw different (per-shard) streams, so checkpoints are
+    # keyed by the sharding layout and never resume across mesh shapes
+    ckpt_engine = engine
+    if n_lanes > 1:
+        ckpt_engine += f"-l{n_lanes}"
+    if n_events_shards > 1:
+        ckpt_engine += f"-ev{n_events_shards}"
     Ws, Rs = [], []
     done = 0
     seg_idx = 0
