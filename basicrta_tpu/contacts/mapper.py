@@ -68,7 +68,6 @@ class MapContacts:
         # distance kernel for its frame shard; no collectives needed.
         self._sharding = None
         if n_devices is not None:
-            import jax
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
             n = n_devices if n_devices > 0 else len(jax.devices())
             mesh = Mesh(np.asarray(jax.devices()[:n]), ("frames",))
@@ -165,10 +164,16 @@ class MapContacts:
         if meta.ts is None and frame_diffs:
             # infer ts from the *full* frame-time vector — a first-two-frames
             # guess silently corrupts event merging on 1-frame first batches
-            # or irregular strides (events.py:33-40 keys durations off ts)
+            # or irregular strides (events.py:33-40 keys durations off ts).
+            # Trajectory times are stored as float32, so gaps between late
+            # frames carry ~|t| * 2^-23 of quantization jitter: take the
+            # median gap (jitter-unbiased, unlike the minimum) and size the
+            # regularity tolerance to the quantum.
             d = np.hstack(frame_diffs)
-            ts = float(d.min())
-            if ts <= 0 or float(d.max()) > ts * (1 + 1e-4):
+            ts = float(np.median(d))
+            quantum = 4.0 * abs(last_time) * 2.0 ** -23
+            tol = 1e-4 * ts + quantum
+            if ts <= 0 or float(np.abs(d - ts).max()) > tol:
                 raise ValueError(
                     f"irregular frame-time stride (gaps span {d.min():g} to "
                     f"{d.max():g} ns); event durations would be wrong. Pass "

@@ -32,13 +32,7 @@ from basicrta_tpu.postprocess.clustering import (ClusterResult,
                                                  select_lmode,
                                                  sort_labels_by_rate)
 from basicrta_tpu.postprocess.gmm import gmm_fit_predict
-
-
-def _next_pow2(n: int, floor: int = 64) -> int:
-    b = floor
-    while b < n:
-        b *= 2
-    return b
+from basicrta_tpu.sampler.batch import _next_pow2
 
 
 def _gmm_bucket(keys, train, train_w, data, lmode: int, cfg: GibbsConfig):
@@ -128,8 +122,8 @@ def process_residues_batched(
     # ---- stage 1: bucketed GMM fits ---------------------------------- #
     buckets: Dict[tuple, list] = {}
     for name, p in prepared.items():
-        key = (p["lmode"], _next_pow2(len(p["train"])),
-               _next_pow2(len(p["data"])))
+        key = (p["lmode"], _next_pow2(len(p["train"]), floor=64),
+               _next_pow2(len(p["data"]), floor=64))
         buckets.setdefault(key, []).append(name)
 
     base_key = jax.random.key(cfg.seed + 1)
@@ -167,7 +161,8 @@ def process_residues_batched(
     # ---- stage 2: bucketed vote accumulation -------------------------- #
     vbuckets: Dict[tuple, list] = {}
     for name, p in prepared.items():
-        key = (p["lmode"], _next_pow2(len(p["values"])), p["W"].shape)
+        key = (p["lmode"], _next_pow2(len(p["values"]), floor=64),
+               p["W"].shape)
         vbuckets.setdefault(key, []).append(name)
 
     results: Dict[str, ClusterResult] = {}

@@ -249,16 +249,22 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
             values_np, counts_np, n_events_shards, batch.tiers)
     values = jnp.asarray(values_np)
     counts = jnp.asarray(counts_np)
+    state_sharding = sharding
     if sharding is not None:
         values = jax.device_put(values, sharding)
         counts = jax.device_put(counts, sharding)
+        if n_events_shards > 1:
+            # the (Bs, K) state replicates over 'events' (K is not dealt
+            # onto event shards); only the lane axis is split
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            state_sharding = NamedSharding(mesh, P("lanes"))
 
     st0 = init_mixture_params(cfg.ncomp)
     state = MixtureState(jnp.tile(st0.weights, (Bs, 1)),
                          jnp.tile(st0.rates, (Bs, 1)))
-    if sharding is not None:
-        state = MixtureState(jax.device_put(state.weights, sharding),
-                             jax.device_put(state.rates, sharding))
+    if state_sharding is not None:
+        state = MixtureState(jax.device_put(state.weights, state_sharding),
+                             jax.device_put(state.rates, state_sharding))
     total_blocks = cfg.niter // cfg.g
     key = jax.random.key(cfg.seed)
     lane_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(Bs))
@@ -284,10 +290,10 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                         constant_values=1.0),
                 jnp.pad(ck_state.rates, ((0, pad), (0, 0)),
                         constant_values=1.0))
-            if sharding is not None:
+            if state_sharding is not None:
                 state = MixtureState(
-                    jax.device_put(state.weights, sharding),
-                    jax.device_put(state.rates, sharding))
+                    jax.device_put(state.weights, state_sharding),
+                    jax.device_put(state.rates, state_sharding))
     if engine == "pallas":
         from basicrta_tpu.sampler.pallas_sweep import (pad_tiers_to_rows,
                                                        segment_pallas)

@@ -482,7 +482,7 @@ def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
 
 
 def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
-                        use_hash_rng: bool,
+                        use_hash_rng: bool, tree: bool,
                         seed_ref, w_ref, r_ref, v_ref, c_ref,
                         ns_ref, ts_ref, z_scr):
     """Grid: (B // G,). Blocks: v/c (1, SL, G, 128); w/r (1, G, K);
@@ -491,8 +491,9 @@ def _sweep_stats_kernel(K: int, head_rows: int, small_rows: int,
     if not use_hash_rng:
         pltpu.prng_seed(seed_ref[0], group)
     rng = _Rng(use_hash_rng, seed_ref[0], group)
-    ns, ts = _suff_stats(rng, v_ref[0], c_ref[0], w_ref[0], r_ref[0],
-                         z_scr, K, head_rows, small_rows)
+    stats = _suff_stats_tree if tree else _suff_stats
+    ns, ts = stats(rng, v_ref[0], c_ref[0], w_ref[0], r_ref[0],
+                   z_scr, K, head_rows, small_rows)
     ns_ref[0] = ns
     ts_ref[0] = ts
 
@@ -506,31 +507,21 @@ def pad_tiers_to_rows(tiers: Tuple[int, int], V: int) -> Tuple[int, int]:
     return head, small
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("K", "tiers", "interpret"))
-def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
-                counts: jax.Array, K: int, tiers: Tuple[int, int],
-                interpret: bool = False):
-    """Batched sufficient statistics of one collapsed Gibbs sweep.
 
-    Args:
-        seed: int32 scalar (per-sweep; lanes decorrelate via program id).
-        state: (B, K) weights/rates.
-        values/counts: (B, V) with V a multiple of 128, sorted by
-            multiplicity descending, tiers aligned via pad_tiers_to_rows.
-    Returns:
-        (Ns, Ts): each (B, K).
+def _group_layout(state: MixtureState, values, counts, K: int,
+                  rows_per_lane: int):
+    """Lay the batch out as lane groups: pad B to a multiple of G (chosen
+    to fit ~12 MB of VMEM given ``rows_per_lane`` live (SL, G, 128) rows per
+    lane, capped by _GROUP and by the batch size — a small B inside a big
+    group is pure padding work) and reshape to grouped (NG, ...) tensors.
+
+    Returns (G, NG, Bp, w3, r3, v4, c4).
     """
     B, V = values.shape
     SL = V // _LANES
-    head_rows, small_rows = tiers
-    # group lanes so tier tensors are (rows, G, 128) full tiles; pad the
-    # batch with zero-count lanes to a multiple of G. The (K, SL, G, 128)
-    # suffix scratch plus inputs must stay well inside ~16 MB VMEM.
-    budget = 10 * 2 ** 20
-    g_fit = budget // max(1, (K + 3) * SL * _LANES * 4)
+    budget = 12 * 2 ** 20
+    g_fit = budget // max(1, rows_per_lane * SL * _LANES * 4)
     g_fit = max(8, (g_fit // 8) * 8)   # whole sublane tiles
-    # cap by the batch too: a small B inside a big group is pure padding
     G = int(min(_GROUP, g_fit, max(8, -(-B // 8) * 8)))
     Bp = -(-B // G) * G
     pad = Bp - B
@@ -542,11 +533,35 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
     # (NG, G, SL, 128) -> (NG, SL, G, 128)
     v4 = jnp.swapaxes(vals.reshape(NG, G, SL, _LANES), 1, 2)
     c4 = jnp.swapaxes(cnts.reshape(NG, G, SL, _LANES), 1, 2)
-    w3 = w.reshape(NG, G, K)
-    r3 = r.reshape(NG, G, K)
+    return G, NG, Bp, w.reshape(NG, G, K), r.reshape(NG, G, K), v4, c4
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "tiers", "interpret", "tree"))
+def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
+                counts: jax.Array, K: int, tiers: Tuple[int, int],
+                interpret: bool = False, tree: bool = False):
+    """Batched sufficient statistics of one collapsed Gibbs sweep.
+
+    Args:
+        seed: int32 scalar (per-sweep; lanes decorrelate via program id).
+        state: (B, K) weights/rates.
+        values/counts: (B, V) with V a multiple of 128, sorted by
+            multiplicity descending, tiers aligned via pad_tiers_to_rows.
+        tree: use the binary-splitting multinomial (log2(K) stacked levels
+            instead of the K-1 conditional chain; measured neutral at K=15,
+            an option for larger K).
+    Returns:
+        (Ns, Ts): each (B, K).
+    """
+    B, V = values.shape
+    SL = V // _LANES
+    head_rows, small_rows = tiers
+    G, NG, Bp, w3, r3, v4, c4 = _group_layout(state, values, counts, K,
+                                              K + 3)
 
     kernel = functools.partial(_sweep_stats_kernel, K, head_rows,
-                               small_rows, bool(interpret))
+                               small_rows, bool(interpret), bool(tree))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
@@ -660,25 +675,11 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     B, V = values.shape
     SL = V // _LANES
     head_rows, small_rows = tiers
-    # VMEM: z_scr (K rows) + the chain's per-stage temporaries + inputs/
-    # outputs must fit comfortably (the unused tree formulation needs
-    # ~4x K rows instead — shrink G before switching to it)
-    budget = 12 * 2 ** 20
-    g_fit = budget // max(1, (K + 12) * SL * _LANES * 4)
-    g_fit = max(8, (g_fit // 8) * 8)   # whole sublane tiles
-    # cap by the batch too: a small B inside a big group is pure padding
-    G = int(min(_GROUP, g_fit, max(8, -(-B // 8) * 8)))
-    Bp = -(-B // G) * G
-    pad = Bp - B
-    w = jnp.pad(state.weights, ((0, pad), (0, 0)), constant_values=1.0)
-    r = jnp.pad(state.rates, ((0, pad), (0, 0)), constant_values=1.0)
-    vals = jnp.pad(values, ((0, pad), (0, 0)), constant_values=1.0)
-    cnts = jnp.pad(counts, ((0, pad), (0, 0)))
-    NG = Bp // G
-    v4 = jnp.swapaxes(vals.reshape(NG, G, SL, _LANES), 1, 2)
-    c4 = jnp.swapaxes(cnts.reshape(NG, G, SL, _LANES), 1, 2)
-    w3 = w.reshape(NG, G, K)
-    r3 = r.reshape(NG, G, K)
+    # VMEM: z_scr (K rows) + the chain's per-stage temporaries (the tree
+    # formulation needs ~4x K rows instead — shrink the budget divisor
+    # before switching to it)
+    G, NG, Bp, w3, r3, v4, c4 = _group_layout(state, values, counts, K,
+                                              K + 12)
 
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                bool(interpret), cfg.g, n_blocks,

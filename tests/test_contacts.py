@@ -292,6 +292,17 @@ class TestMapContacts:
         with pytest.raises(ValueError, match="irregular"):
             mc.run(self._batches_for([0.0, 0.1, 0.3, 0.4], split=2))
 
+    def test_float32_quantized_times_accepted(self):
+        """Trajectory formats store times as float32; a long regular
+        trajectory's gaps jitter by ~|t| 2^-23 and must still infer a
+        clean ts (regression: a 1e-4 max/min tolerance rejected any real
+        trajectory past ~2000 frames)."""
+        F, ts = 5000, 0.1
+        times = (np.arange(F) * ts).astype(np.float32).astype(np.float64)
+        mc = self._tiny_mapper()
+        rec = mc.run(self._batches_for(times, split=1717))
+        assert rec.meta.ts == pytest.approx(ts, rel=1e-4)
+
     def test_frame_sharded_matches_unsharded(self):
         """n_devices shards the frame axis over the mesh (the TPU
         equivalent of the reference's trajectory-slice pool,

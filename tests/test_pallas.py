@@ -44,7 +44,8 @@ def stats_case():
     return vals, cnts, pad_tiers_to_rows(tiers, V), K
 
 
-def test_sweep_stats_exact_totals_and_moments(stats_case):
+@pytest.mark.parametrize("tree", [False, True])
+def test_sweep_stats_exact_totals_and_moments(stats_case, tree):
     vals, cnts, tiers, K = stats_case
     B = vals.shape[0]
     st0 = init_mixture_params(K)
@@ -56,7 +57,7 @@ def test_sweep_stats_exact_totals_and_moments(stats_case):
         ns, ts = sweep_stats(jnp.int32(s), state,
                              jnp.asarray(vals, jnp.float32),
                              jnp.asarray(cnts, jnp.float32), K, tiers,
-                             interpret=True)
+                             interpret=True, tree=tree)
         ns, ts = np.asarray(ns), np.asarray(ts)
         assert np.allclose(ns.sum(1), cnts.sum(1))               # exact N
         assert np.allclose(ts.sum(1), (vals * cnts).sum(1), rtol=1e-4)

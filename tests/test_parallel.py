@@ -114,6 +114,23 @@ def test_event_sharded_run_batch(rng):
             ref.mcrates[i][b:, kr].mean(), rel=0.08)
 
 
+def test_event_sharded_odd_ncomp(rng):
+    """The (B, K) state replicates over 'events'; K need not divide the
+    events axis (regression: device_put used the full lanes x events
+    sharding and crashed for any K not divisible by it, incl. the
+    production default K=15)."""
+    from basicrta_tpu.parallel.mesh import event_sharding
+    mesh = make_mesh(n_lanes=4, n_events=2)
+    x = discretize_times(simulate_hyperexp(
+        1000, [0.8, 0.2], [2.0, 0.1], rng), 0.1)
+    batch = bucket_residues({"L0": x}, floor=256)[0]
+    cfg = GibbsConfig(ncomp=5, niter=100, g=10, burnin=0, seed=2)
+    res = run_batch(batch, cfg, engine="xla",
+                    sharding=event_sharding(mesh))
+    assert res.mcweights.shape == (1, 10, 5)
+    assert np.all(np.isfinite(res.mcweights))
+
+
 def test_event_sharded_statistics(rng):
     """The event-sharded (psum) sampler matches the single-device chain's
     posterior on the same data."""
