@@ -145,6 +145,30 @@ class MapKinetics:
                 written.append(out)
         return written
 
+    def write_component_trajs(self, step: int = 1) -> list:
+        """One reduced trajectory per component over the frames of events
+        *assigned* to it (argmax of the membership probabilities), strided
+        by ``step`` — the reference's write_trajs/get_write_frames surface
+        (util.py:523-562, 'comp{k}_traj.xtc')."""
+        u = self._open_universe()
+        idx1 = u.select_atoms(self.meta.sel1 or "protein")
+        idx2 = u.select_atoms(self.meta.sel2 or "not protein")
+        table = self.frame_table()
+        ncomp = table.shape[1] - 2
+        assigned = np.argmax(table[:, 2:], axis=1)
+        os.makedirs(self.savedir, exist_ok=True)
+        written = []
+        for k in range(ncomp):
+            rows = np.where(assigned == k)[0][::step]
+            if len(rows) == 0:
+                continue
+            out = os.path.join(self.savedir, f"comp{k}_traj.xtc")
+            self._write_reduced(u, idx1, idx2,
+                                table[rows, 0].astype(int),
+                                table[rows, 1].astype(int), out)
+            written.append(out)
+        return written
+
     def _write_reduced(self, u: Universe, idx1, idx2, frames, lipids, out,
                        chunk: int = 256):
         resids2 = u.topology.resids[idx2]

@@ -274,6 +274,21 @@ class TestMapKinetics:
         with _pt.raises(FileExistsError):
             mk.create_traj()
 
+    def test_write_component_trajs(self, system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        from basicrta_tpu.io.native import XTCReader
+        root, g, ev, windows = system
+        mk = MapKinetics(g, ev)
+        written = mk.write_component_trajs()
+        assert 1 <= len(written) <= g.processed.lmode
+        total = sum(XTCReader(w).nframes for w in written)
+        # every bound frame is assigned to exactly one component
+        assert total == sum(n for _, n in windows)
+        # striding reduces frame counts
+        strided = MapKinetics(g, ev)
+        s2 = strided.write_component_trajs(step=2)
+        assert sum(XTCReader(w).nframes for w in s2) <= -(-total // 2) + len(s2)
+
     def test_create_traj_topn(self, system):
         from basicrta_tpu.kinetics.mapper import MapKinetics
         from basicrta_tpu.io.native import XTCReader
