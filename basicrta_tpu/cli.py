@@ -156,8 +156,12 @@ def _cmd_kinetics(args):
     written = mk.create_traj(top_n=args.top_n)
     for w in written:
         print(f"wrote {w}")
+    if args.comp_trajs:
+        for w in mk.write_component_trajs(step=args.step):
+            print(f"wrote {w}")
     if args.wdensity:
-        for w in mk.weighted_densities(step=args.step, top_n=args.top_n):
+        for w in mk.weighted_densities(step=args.step, top_n=args.top_n,
+                                       filterP=args.filterP):
             print(f"wrote {w}")
 
 
@@ -228,6 +232,12 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--top_n", type=int, default=None)
     k.add_argument("--step", type=int, default=1)
     k.add_argument("--wdensity", action="store_true")
+    k.add_argument("--filterP", type=float, default=0.0,
+                   help="zero membership weights below this before "
+                        "density accumulation (reference kinetics.py:127)")
+    k.add_argument("--comp-trajs", action="store_true",
+                   help="also write per-component assigned-event "
+                        "trajectories (comp{k}_traj.xtc)")
     k.set_defaults(fn=_cmd_kinetics)
     return p
 
