@@ -106,3 +106,18 @@ def test_cli_unknown_resid(contacts_done, monkeypatch):
     monkeypatch.chdir(contacts_done)
     main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "300",
           "--ncomp", "3", "--resid", "999"])  # no matching residue: no-op
+
+
+@pytest.mark.parametrize("module", [
+    "basicrta_tpu", "basicrta_tpu.contacts", "basicrta_tpu.gibbs",
+    "basicrta_tpu.cluster", "basicrta_tpu.kinetics"])
+def test_module_entry_points(module, monkeypatch, capsys):
+    """python -m parity with the reference's module entry points
+    (reference contacts.py:234, gibbs.py:781, cluster.py:178,
+    kinetics.py:207)."""
+    import runpy
+    monkeypatch.setattr("sys.argv", [module, "--help"])
+    with pytest.raises(SystemExit) as e:
+        runpy.run_module(module, run_name="__main__")
+    assert e.value.code == 0
+    assert "usage" in capsys.readouterr().out.lower()
