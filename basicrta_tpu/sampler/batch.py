@@ -56,12 +56,17 @@ class ResidueBatch:
 
 
 def bucket_residues(times_per_residue: Dict[str, np.ndarray],
-                    floor: int = 128) -> List[ResidueBatch]:
+                    floor: Optional[int] = None) -> List[ResidueBatch]:
     """Group residues into power-of-two unique-count buckets.
 
     Residence times are multiples of the trajectory interval, so the unique
     count V is small even for huge residues (the bundled 446,605-event W313
-    dataset has V = 870); bucketing bounds padding waste to 2x.
+    dataset has V = 870). ``floor=None`` (default) sizes one bucket to the
+    largest residue: zero-count padding columns land in the cheap singleton
+    tier, so a single coarse bucket outruns fine-grained buckets that
+    fragment lanes and multiply kernel launches (measured ~25% on the
+    300-residue bench; tier widths — the expensive rows — are set by the
+    multiplicity profile, not by V).
     """
     items = []
     for name, t in times_per_residue.items():
@@ -69,6 +74,8 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
             continue
         v, c = dedup_times(t)
         items.append((name, v, c))
+    if floor is None and items:
+        floor = _next_pow2(max(len(v) for _, v, _ in items))
     buckets: Dict[int, list] = {}
     for name, v, c in items:
         buckets.setdefault(_next_pow2(len(v), floor), []).append((name, v, c))
