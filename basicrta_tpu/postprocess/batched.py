@@ -17,6 +17,7 @@ log(weight, rate) pairs, indicator votes, rate-sorted relabeling.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -24,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from basicrta_tpu.config import GibbsConfig
-from basicrta_tpu.ops.random import multinomial as multinomial_counts
 from basicrta_tpu.postprocess.clustering import (ClusterResult,
                                                  _label_matrix,
                                                  component_counts,
@@ -32,46 +32,96 @@ from basicrta_tpu.postprocess.clustering import (ClusterResult,
                                                  select_lmode,
                                                  sort_labels_by_rate)
 from basicrta_tpu.postprocess.gmm import gmm_fit_predict
-from basicrta_tpu.sampler.batch import _next_pow2
+from basicrta_tpu.sampler.kernels import _tiered_multinomial, compute_tiers
+
+
+def _pad_size(n: int, floor: int = 128, step: int = 4) -> int:
+    """Geometric pad ladder. Coarser than pow2 (default 4x steps) so a
+    protein's residues land in a handful of compile signatures instead of
+    one per size class; EM/vote cost is linear in rows, so the bounded
+    padding waste is much cheaper than the avoided XLA compiles."""
+    b = floor
+    while b < n:
+        b *= step
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("lmode", "n_init", "max_iter"))
+def _gmm_bucket_core(keys, train, train_w, data, lmode: int, n_init: int,
+                     max_iter: int, tol: float):
+    fit = jax.vmap(lambda k, tr, tw, da: gmm_fit_predict(
+        k, tr, da, n_components=lmode, n_init=n_init,
+        max_iter=max_iter, tol=tol, train_weights=tw)[0])
+    return fit(keys, train, train_w, data)
 
 
 def _gmm_bucket(keys, train, train_w, data, lmode: int, cfg: GibbsConfig):
     """One vmapped GMM fit+predict over a bucket of residues sharing
     (lmode, padded shapes). Padded train rows carry zero weight; labels of
-    padded data rows are sliced off by the caller."""
-    fit = jax.vmap(lambda k, tr, tw, da: gmm_fit_predict(
-        k, tr, da, n_components=lmode, n_init=cfg.gmm_n_init,
-        max_iter=cfg.gmm_max_iter, tol=cfg.gmm_tol, train_weights=tw)[0])
-    return fit(keys, train, train_w, data)
+    padded data rows are sliced off by the caller. The jitted core lives at
+    module level so repeated buckets with the same signature reuse one
+    compilation."""
+    return _gmm_bucket_core(keys, train, train_w, data, lmode=lmode,
+                            n_init=cfg.gmm_n_init, max_iter=cfg.gmm_max_iter,
+                            tol=cfg.gmm_tol)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "tiers"))
+def _votes_bucket_core(keys, W, R, values, counts, L, n_clusters: int,
+                       tiers: Optional[Tuple[int, int]]):
+    def one(key, w_s, r_s, v, c, lab):
+        S = w_s.shape[0]
+
+        def step(votes, xs):
+            key_j, w, r, lb = xs
+            logz = (jnp.log(w)[None, :] + jnp.log(r)[None, :]
+                    - v[:, None] * r[None, :])
+            m = _tiered_multinomial(key_j, c, jax.nn.softmax(logz, axis=-1),
+                                    tiers)
+            onehot = jax.nn.one_hot(lb, n_clusters, dtype=m.dtype)
+            return votes + m @ onehot, None
+
+        sub = jax.random.split(key, S)
+        votes0 = jnp.zeros((v.shape[0], n_clusters), jnp.float32)
+        votes, _ = jax.lax.scan(step, votes0, (sub, w_s, r_s, lab))
+        return votes
+
+    return jax.vmap(one)(keys, W, R, values, counts, L)
+
+
+def _quantize_tier(n: int, cap: int) -> int:
+    """Round a tier boundary up to a power of two (floor 16) so compile
+    keys coalesce across buckets; rounding UP only moves columns into a
+    heavier (always-correct) sampler tier."""
+    if n <= 0:
+        return 0
+    b = 16
+    while b < n:
+        b *= 2
+    return min(b, cap)
 
 
 def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int):
     """Vmapped per-residue vote accumulation (clustering
     accumulate_cluster_votes semantics); padded value columns carry zero
-    counts and contribute nothing."""
-
-    @jax.jit
-    def run(keys, W, R, values, counts, L):
-        def one(key, w_s, r_s, v, c, lab):
-            S = w_s.shape[0]
-
-            def step(votes, xs):
-                key_j, w, r, lb = xs
-                logz = (jnp.log(w)[None, :] + jnp.log(r)[None, :]
-                        - v[:, None] * r[None, :])
-                m = multinomial_counts(key_j, c,
-                                       jax.nn.softmax(logz, axis=-1))
-                onehot = jax.nn.one_hot(lb, n_clusters, dtype=m.dtype)
-                return votes + m @ onehot, None
-
-            sub = jax.random.split(key, S)
-            votes0 = jnp.zeros((v.shape[0], n_clusters), jnp.float32)
-            votes, _ = jax.lax.scan(step, votes0, (sub, w_s, r_s, lab))
-            return votes
-
-        return jax.vmap(one)(keys, W, R, values, counts, L)
-
-    return np.asarray(run(keys, W, R, values, counts, L))
+    counts and contribute nothing. Value columns are re-sorted per lane by
+    multiplicity descending so the tiered multinomial applies — the same
+    skew exploitation as the sampler hot loop — with shared (max-over-lane)
+    tier boundaries quantized for compile-key reuse."""
+    counts_np = np.asarray(counts, np.float64)
+    order, (head_end, single_start) = compute_tiers(counts_np)
+    V_p = counts_np.shape[-1]
+    head_end = _quantize_tier(head_end, V_p)
+    single_start = max(_quantize_tier(single_start, V_p), head_end)
+    values_s = np.take_along_axis(np.asarray(values, np.float64), order, -1)
+    counts_s = np.take_along_axis(counts_np, order, -1)
+    votes_s = np.asarray(_votes_bucket_core(
+        keys, W, R, jnp.asarray(values_s, jnp.float32),
+        jnp.asarray(counts_s, jnp.float32), L, n_clusters,
+        (head_end, single_start)))
+    votes = np.empty_like(votes_s)
+    np.put_along_axis(votes, order[..., None], votes_s, axis=1)
+    return votes
 
 
 def select_chain(mcweights: np.ndarray, mcrates: np.ndarray, chain,
@@ -122,8 +172,8 @@ def process_residues_batched(
     # ---- stage 1: bucketed GMM fits ---------------------------------- #
     buckets: Dict[tuple, list] = {}
     for name, p in prepared.items():
-        key = (p["lmode"], _next_pow2(len(p["train"]), floor=64),
-               _next_pow2(len(p["data"]), floor=64))
+        key = (p["lmode"], _pad_size(len(p["train"])),
+               _pad_size(len(p["data"])))
         buckets.setdefault(key, []).append(name)
 
     base_key = jax.random.key(cfg.seed + 1)
@@ -161,7 +211,7 @@ def process_residues_batched(
     # ---- stage 2: bucketed vote accumulation -------------------------- #
     vbuckets: Dict[tuple, list] = {}
     for name, p in prepared.items():
-        key = (p["lmode"], _next_pow2(len(p["values"]), floor=64),
+        key = (p["lmode"], _pad_size(len(p["values"])),
                p["W"].shape)
         vbuckets.setdefault(key, []).append(name)
 

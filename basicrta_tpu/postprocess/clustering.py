@@ -22,6 +22,7 @@ Reproduces the observable pipeline of the reference's ``Gibbs.cluster`` /
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -29,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from basicrta_tpu.config import GibbsConfig
-from basicrta_tpu.ops.random import multinomial as multinomial_counts
 from basicrta_tpu.postprocess.gmm import gmm_fit_predict
 
 
@@ -103,6 +103,32 @@ def _label_matrix(inds, labels, shape) -> np.ndarray:
     return L
 
 
+@functools.partial(jax.jit, static_argnames=("n_clusters", "tiers"))
+def _votes_scan(key, W, R, values, counts, L, n_clusters: int,
+                tiers: Optional[Tuple[int, int]] = None) -> jax.Array:
+    """Device core of the vote accumulation: scan over the S saved samples,
+    drawing per-value component counts and accumulating them into the
+    cluster of each above-cutoff component. Keeps only the (V, C)
+    accumulator live. ``tiers`` (static) enables the multiplicity-tiered
+    multinomial — value columns must then be sorted by count descending."""
+    from basicrta_tpu.sampler.kernels import _tiered_multinomial
+    S = W.shape[0]
+
+    def step(votes, xs):
+        key_j, w, r, lab = xs
+        logz = (jnp.log(w)[None, :] + jnp.log(r)[None, :]
+                - values[:, None] * r[None, :])
+        m = _tiered_multinomial(key_j, counts,
+                                jax.nn.softmax(logz, axis=-1), tiers)
+        onehot = jax.nn.one_hot(lab, n_clusters, dtype=m.dtype)  # -1 -> 0
+        return votes + m @ onehot, None
+
+    keys = jax.random.split(key, S)
+    votes0 = jnp.zeros((values.shape[0], n_clusters), jnp.float32)
+    votes, _ = jax.lax.scan(step, votes0, (keys, W, R, L))
+    return votes
+
+
 def accumulate_cluster_votes(key, weights_post, rates_post, values, counts,
                              label_matrix, n_clusters: int) -> np.ndarray:
     """Per-unique-value cluster vote totals, shape (V, n_clusters).
@@ -110,33 +136,24 @@ def accumulate_cluster_votes(key, weights_post, rates_post, values, counts,
     For each saved posterior sample, draw the per-value component counts
     ``m_v ~ Multinomial(c_v, z_v(w, r))`` (the reference's stored indicator
     regenerated conditionally, cf. gibbs.py:321-334) and add them to the
-    cluster of each above-cutoff component (gibbs.py:264-272). The scan keeps
-    only a (V, C) accumulator on device.
+    cluster of each above-cutoff component (gibbs.py:264-272). Value columns
+    are re-sorted by multiplicity so the tiered multinomial applies (same
+    optimization as the sampler's hot loop); votes are returned in the
+    caller's value order.
     """
-    values = jnp.asarray(values, jnp.float32)
-    counts = jnp.asarray(counts, jnp.float32)
+    from basicrta_tpu.sampler.kernels import compute_tiers
+    counts_np = np.asarray(counts, np.float64)
+    order, tiers = compute_tiers(counts_np)
+    values_s = jnp.asarray(np.asarray(values, np.float64)[order], jnp.float32)
+    counts_s = jnp.asarray(counts_np[order], jnp.float32)
     W = jnp.asarray(weights_post, jnp.float32)
     R = jnp.asarray(rates_post, jnp.float32)
     L = jnp.asarray(label_matrix)
-    S = W.shape[0]
-
-    @jax.jit
-    def run(key):
-        def step(votes, xs):
-            key_j, w, r, lab = xs
-            logz = (jnp.log(w)[None, :] + jnp.log(r)[None, :]
-                    - values[:, None] * r[None, :])
-            m = multinomial_counts(key_j, counts,
-                                   jax.nn.softmax(logz, axis=-1))
-            onehot = jax.nn.one_hot(lab, n_clusters, dtype=m.dtype)  # -1 -> 0
-            return votes + m @ onehot, None
-
-        keys = jax.random.split(key, S)
-        votes0 = jnp.zeros((values.shape[0], n_clusters), jnp.float32)
-        votes, _ = jax.lax.scan(step, votes0, (keys, W, R, L))
-        return votes
-
-    return np.asarray(run(key))
+    votes_sorted = np.asarray(_votes_scan(key, W, R, values_s, counts_s, L,
+                                          n_clusters, tiers))
+    votes = np.empty_like(votes_sorted)
+    votes[order] = votes_sorted
+    return votes
 
 
 def sort_labels_by_rate(result: ClusterResult,

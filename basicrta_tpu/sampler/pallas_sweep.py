@@ -655,7 +655,7 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                    counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
                    tiers: Tuple[int, int], interpret: bool = False,
                    early_exit: Tuple[bool, bool, bool] = (False, True,
-                                                          False)):
+                                                          True)):
     """Advance all lanes by ``n_blocks`` thinning blocks in ONE fused
     ``pallas_call``: every sweep's sufficient statistics AND the conjugate
     Dirichlet/Gamma update run in VMEM; nothing touches HBM between sweeps
