@@ -61,12 +61,16 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
 
     Residence times are multiples of the trajectory interval, so the unique
     count V is small even for huge residues (the bundled 446,605-event W313
-    dataset has V = 870). ``floor=None`` (default) sizes one bucket to the
-    largest residue: zero-count padding columns land in the cheap singleton
-    tier, so a single coarse bucket outruns fine-grained buckets that
-    fragment lanes and multiply kernel launches (measured ~25% on the
-    300-residue bench; tier widths — the expensive rows — are set by the
-    multiplicity profile, not by V).
+    dataset has V = 870). ``floor=None`` (default) uses the 128-column
+    ladder: per-sweep cost in the fused kernel scales with a lane's value
+    rows, so letting small residues run in small-V buckets beats one
+    max-V bucket whose padding columns all lanes must walk (remeasured
+    with transfer-synced timing on v5e: ladder 684k vs single-bucket 513k
+    agg sweeps/s on the 300-residue bench; an earlier single-bucket win
+    was an artifact of ``block_until_ready`` not blocking on the
+    remote-attached device). Tier widths — the expensive rows — are set
+    by each bucket's multiplicity profile, so small buckets also carry
+    fewer heavy-sampler rows.
     """
     items = []
     for name, t in times_per_residue.items():
@@ -74,8 +78,8 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
             continue
         v, c = dedup_times(t)
         items.append((name, v, c))
-    if floor is None and items:
-        floor = _next_pow2(max(len(v) for _, v, _ in items))
+    if floor is None:
+        floor = 128
     buckets: Dict[int, list] = {}
     for name, v, c in items:
         buckets.setdefault(_next_pow2(len(v), floor), []).append((name, v, c))
@@ -359,8 +363,14 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
             else:
                 state, W, R = _segment(seg_keys, state, values, counts,
                                        cfg, nb, tiers)
-        Ws.append(np.asarray(W)[:B])
-        Rs.append(np.asarray(R)[:B])
+        if checkpoint_path is not None or checkpoint_cb is not None:
+            # checkpointing needs host copies now; otherwise keep the
+            # thinned samples on device so the next segment dispatches
+            # without a host sync (the transfer stall per segment is pure
+            # pipeline bubble on remote-attached devices)
+            W, R = np.asarray(W)[:B], np.asarray(R)[:B]
+        Ws.append(W)
+        Rs.append(R)
         done += nb
         seg_idx += 1
         if checkpoint_path is not None:
@@ -376,6 +386,9 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
 
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
+    # deferred device arrays (no-checkpoint path) transfer here, once
+    Ws = [np.asarray(w)[:B] for w in Ws]
+    Rs = [np.asarray(r)[:B] for r in Rs]
     return BatchResult(batch.names, np.concatenate(Ws, axis=1),
                        np.concatenate(Rs, axis=1), batch.n_events)
 

@@ -37,7 +37,10 @@ from basicrta_tpu.sampler.batch import bucket_residues, run_batch  # noqa: E402
 BASELINE_SWEEPS_PER_SEC = 2.11  # reference inner loop, 1 CPU core (BASELINE.md)
 # overridable for smoke runs (e.g. BENCH_RESIDUES=8 BENCH_SWEEPS=200)
 N_RESIDUES = int(os.environ.get("BENCH_RESIDUES", "300"))
-TIMED_SWEEPS = int(os.environ.get("BENCH_SWEEPS", "1000"))
+# one full production segment (segment_blocks=100 x g=100): short enough to
+# keep the bench fast, long enough that per-bucket dispatch/upload/sync
+# overheads amortize as they do in a real 110k-sweep run
+TIMED_SWEEPS = int(os.environ.get("BENCH_SWEEPS", "10000"))
 
 
 def make_workload(n_residues=N_RESIDUES, seed=0):
@@ -75,7 +78,7 @@ def _timed_agg(batches, cfg, engine):
 def main():
     residues = make_workload()
     cfg = GibbsConfig(ncomp=15, niter=TIMED_SWEEPS, g=100)
-    batches = bucket_residues(residues, floor=1024)
+    batches = bucket_residues(residues)
     info = [(b.values.shape, b.tiers) for b in batches]
     # padding waste: fraction of value columns carrying count 0
     cols = sum(b.values.size for b in batches)

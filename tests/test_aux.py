@@ -16,7 +16,9 @@ class TestCheckpointResume:
                                                 load_checkpoint)
         x = discretize_times(simulate_hyperexp(
             3000, [0.8, 0.2], [2.0, 0.1], rng), 0.1)
-        batch = bucket_residues({"A1": x, "B2": x[:500]})[0]
+        # explicit floor keeps both residues in ONE bucket (the default
+        # ladder may class them by unique-count into separate buckets)
+        batch = bucket_residues({"A1": x, "B2": x[:500]}, floor=1024)[0]
         cfg = GibbsConfig(ncomp=4, niter=600, g=10, seed=9)
 
         full = run_batch(batch, cfg, segment_blocks=20)
