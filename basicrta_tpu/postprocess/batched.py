@@ -89,6 +89,35 @@ def _votes_bucket_core(keys, W, R, values, counts, L, n_clusters: int,
     return jax.vmap(one)(keys, W, R, values, counts, L)
 
 
+def _n_shards0(sharding) -> int:
+    """Device count along the leading (residue) axis of a NamedSharding."""
+    if sharding is None or not sharding.spec:
+        return 1
+    spec0 = sharding.spec[0]
+    if spec0 is None:
+        return 1
+    axes = (spec0,) if isinstance(spec0, str) else tuple(spec0)
+    return int(np.prod([sharding.mesh.shape[a] for a in axes]))
+
+
+def _pad_lanes(arrs, n_shards: int):
+    """Pad each array's leading axis to a multiple of ``n_shards`` by
+    replicating the first lane (results are sliced back by the caller)."""
+    if n_shards <= 1:
+        return arrs
+    Bk = arrs[0].shape[0]
+    pad = (-Bk) % n_shards
+    if pad == 0:
+        return arrs
+    out = []
+    for a in arrs:
+        first = a[:1]
+        reps = jnp.repeat if isinstance(a, jax.Array) else np.repeat
+        cat = jnp.concatenate if isinstance(a, jax.Array) else np.concatenate
+        out.append(cat([a, reps(first, pad, axis=0)], axis=0))
+    return out
+
+
 def _quantize_tier(n: int, cap: int) -> int:
     """Round a tier boundary up to a power of two (floor 16) so compile
     keys coalesce across buckets; rounding UP only moves columns into a
@@ -101,13 +130,20 @@ def _quantize_tier(n: int, cap: int) -> int:
     return min(b, cap)
 
 
-def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int):
+def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int,
+                  sharding=None):
     """Vmapped per-residue vote accumulation (clustering
     accumulate_cluster_votes semantics); padded value columns carry zero
     counts and contribute nothing. Value columns are re-sorted per lane by
     multiplicity descending so the tiered multinomial applies — the same
     skew exploitation as the sampler hot loop — with shared (max-over-lane)
-    tier boundaries quantized for compile-key reuse."""
+    tier boundaries quantized for compile-key reuse. ``sharding`` splits
+    the residue axis over a device mesh (collective-free)."""
+
+    def put(a):
+        a = jnp.asarray(a)
+        return jax.device_put(a, sharding) if sharding is not None else a
+
     counts_np = np.asarray(counts, np.float64)
     order, (head_end, single_start) = compute_tiers(counts_np)
     V_p = counts_np.shape[-1]
@@ -116,8 +152,9 @@ def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int):
     values_s = np.take_along_axis(np.asarray(values, np.float64), order, -1)
     counts_s = np.take_along_axis(counts_np, order, -1)
     votes_s = np.asarray(_votes_bucket_core(
-        keys, W, R, jnp.asarray(values_s, jnp.float32),
-        jnp.asarray(counts_s, jnp.float32), L, n_clusters,
+        put(keys), put(W), put(R),
+        put(jnp.asarray(values_s, jnp.float32)),
+        put(jnp.asarray(counts_s, jnp.float32)), put(L), n_clusters,
         (head_end, single_start)))
     votes = np.empty_like(votes_s)
     np.put_along_axis(votes, order[..., None], votes_s, axis=1)
@@ -140,7 +177,8 @@ def select_chain(mcweights: np.ndarray, mcrates: np.ndarray, chain,
 
 def process_residues_batched(
         items: Dict[str, tuple], cfg: GibbsConfig,
-        chain=0, progress_cb=None) -> Dict[str, ClusterResult]:
+        chain=0, progress_cb=None,
+        sharding=None) -> Dict[str, ClusterResult]:
     """Post-process many residues' chains with bucketed device batching.
 
     Args:
@@ -148,10 +186,19 @@ def process_residues_batched(
             counts (V,))} — the sampler outputs plus each residue's
             deduplicated times.
         chain: chain index or 'pooled' (cf. Gibbs.process_gibbs).
+        sharding: optional ``NamedSharding`` splitting the leading residue
+            axis over a device mesh (see ``parallel.mesh.lane_sharding``).
+            Residues are independent, so every bucket program partitions
+            collective-free; lanes are padded to the shard count.
 
     Returns:
         {residue: ClusterResult} (sorted labels, pindicator, presorts).
     """
+    n_shards = _n_shards0(sharding)
+
+    def put(a):
+        a = jnp.asarray(a)
+        return jax.device_put(a, sharding) if sharding is not None else a
     b = cfg.burnin_samples
     prepared = {}
     for name, (mcw, mcr, values, counts) in items.items():
@@ -198,9 +245,11 @@ def process_residues_batched(
             train_w[i, :len(p["train"])] = 1.0
             data[i, :len(p["data"])] = np.log(p["data"])
         keys = jnp.stack([residue_key(n) for n in names])
+        keys, train, train_w, data = _pad_lanes(
+            [keys, train, train_w, data], n_shards)
         labels = np.asarray(_gmm_bucket(
-            keys, jnp.asarray(train), jnp.asarray(train_w),
-            jnp.asarray(data), lmode, cfg))
+            put(keys), put(train), put(train_w), put(data),
+            lmode, cfg))[:Bk]
         for i, name in enumerate(names):
             p = prepared[name]
             p["labels"] = labels[i, :len(p["data"])].astype(np.int32)
@@ -231,9 +280,10 @@ def process_residues_batched(
             Cb[i, :len(p["counts"])] = p["counts"]
             Lb[i] = _label_matrix(p["inds"], p["labels"], (S, K))
         keys = jnp.stack([residue_key(n, salt=1) for n in names])
-        votes = _votes_bucket(keys, jnp.asarray(Wb), jnp.asarray(Rb),
-                              jnp.asarray(Vb), jnp.asarray(Cb),
-                              jnp.asarray(Lb), lmode)
+        keys, Wb, Rb, Vb, Cb, Lb = _pad_lanes([keys, Wb, Rb, Vb, Cb, Lb],
+                                              n_shards)
+        votes = _votes_bucket(keys, Wb, Rb, Vb, Cb, Lb, lmode,
+                              sharding=sharding)[:Bk]
         for i, name in enumerate(names):
             p = prepared[name]
             v = votes[i, :len(p["values"])]

@@ -27,12 +27,15 @@ from basicrta_tpu.sampler.gibbs import Gibbs
 
 
 def finish_batch(gibbs_by_label: Dict[str, Gibbs], chain=0,
-                 save: bool = True, progress_cb=None) -> None:
+                 save: bool = True, progress_cb=None,
+                 sharding=None) -> None:
     """Post-process many residues' sampler outputs as bucketed device
     batches (one compile + one vmapped program per shape bucket instead of
     a fresh compile per residue) and fill each Gibbs with processed results,
     parameters, and tau. Replaces the reference's per-residue reprocess pool
-    (cluster.py:54-76) at device speed."""
+    (cluster.py:54-76) at device speed. ``sharding`` splits the residue
+    axis of every bucket program over a device mesh (residues are
+    independent, so the partition is collective-free)."""
     if not gibbs_by_label:
         return
     from basicrta_tpu.postprocess.batched import process_residues_batched
@@ -43,7 +46,8 @@ def finish_batch(gibbs_by_label: Dict[str, Gibbs], chain=0,
         items[lab] = (g.mcweights, g.mcrates, g._values, g._counts)
     cfg = next(iter(gibbs_by_label.values())).cfg
     results = process_residues_batched(items, cfg, chain=chain,
-                                       progress_cb=progress_cb)
+                                       progress_cb=progress_cb,
+                                       sharding=sharding)
     for lab, g in gibbs_by_label.items():
         g.processed = results[lab]
         g.parameters, g.intervals = estimate_params(g.processed)
@@ -180,7 +184,7 @@ class ParallelGibbs:
                           cfg=self.cfg, root=self.root)
                 g.mcweights, g.mcrates = W, R
                 out[lab] = g
-            finish_batch(out)
+            finish_batch(out, sharding=sharding)
         else:
             for lab in times:
                 g = Gibbs(times[lab], residue=lab, cutoff=self.cutoff,

@@ -65,6 +65,12 @@ def main():
     x = np.load(args.times)
     print(f"dataset: N={len(x)}, range [{x.min()}, {x.max()}] ns")
 
+    # absorb the remote-attachment warm-up (the first device->host transfer
+    # of a process can cost minutes on a tunneled device; it is a transport
+    # artifact, not pipeline cost)
+    import jax.numpy as jnp
+    np.asarray(jnp.ones((8,)) * 2)
+
     # ---- 1. full default-config run through the product pipeline ------- #
     from basicrta_tpu.sampler.gibbs import Gibbs
     cfg = GibbsConfig()  # ncomp=15, niter=110000, g=100, burnin=10000

@@ -103,6 +103,22 @@ def test_agrees_with_single_residue_path(batch_results):
                                batched.pindicator_values, atol=0.1)
 
 
+def test_sharded_matches_unsharded(batch_results):
+    """Lane-sharding the bucket programs over the 8-device mesh is a pure
+    partition (per-residue keys, shared tier maxima unchanged by the
+    replicated pad lanes): results must match the unsharded run."""
+    from basicrta_tpu.parallel.mesh import lane_sharding, make_mesh
+
+    items, results = batch_results
+    sh = lane_sharding(make_mesh(n_lanes=8))
+    sharded = process_residues_batched(items, _CFG, sharding=sh)
+    for name, res in results.items():
+        assert sharded[name].lmode == res.lmode
+        np.testing.assert_array_equal(sharded[name].labels, res.labels)
+        np.testing.assert_allclose(sharded[name].pindicator_values,
+                                   res.pindicator_values, atol=1e-5)
+
+
 def test_pooled_chain_selection():
     """chain='pooled' concatenates post-burn-in samples of every chain
     behind one burn-in prefix (cf. Gibbs.process_gibbs)."""
