@@ -102,7 +102,16 @@ def _cmd_gibbs(args):
     print(file=sys.stderr)
     for label, g in results.items():
         lo, tau, hi = g.tau
-        print(f"{label}: tau = {tau:.2f} ns  95% CI [{lo:.2f}, {hi:.2f}]")
+        line = f"{label}: tau = {tau:.2f} ns  95% CI [{lo:.2f}, {hi:.2f}]"
+        if args.nchains > 1:
+            # cross-chain convergence summary (no reference analogue — it
+            # runs one chain without diagnostics, gibbs.py:191)
+            d = g.diagnostics()
+            line += (f"  [R-hat {d['max_rhat']:.3f}, "
+                     f"ESS {d['min_ess']:,.0f}]")
+            if d["max_rhat"] > 1.1:
+                line += "  NOT CONVERGED"
+        print(line)
 
 
 def _cmd_cluster(args):

@@ -1,5 +1,10 @@
 """Numerics shared across pipeline stages (host + device helpers)."""
 
+from basicrta_tpu.ops.diagnostics import (
+    convergence_report,
+    effective_sample_size,
+    split_rhat,
+)
 from basicrta_tpu.ops.surv import (
     survival_function,
     survival_bins,
@@ -22,4 +27,7 @@ __all__ = [
     "start_stop_frames",
     "simulate_hyperexp",
     "unique_rate_count",
+    "split_rhat",
+    "effective_sample_size",
+    "convergence_report",
 ]

@@ -100,14 +100,25 @@ def _n_shards0(sharding) -> int:
     return int(np.prod([sharding.mesh.shape[a] for a in axes]))
 
 
-def _pad_lanes(arrs, n_shards: int):
-    """Pad each array's leading axis to a multiple of ``n_shards`` by
-    replicating the first lane (results are sliced back by the caller)."""
-    if n_shards <= 1:
-        return arrs
+def _lane_target(Bk: int, n_shards: int) -> int:
+    """Quantized lane count: next power of two (floor 8), rounded up to a
+    multiple of the shard count. The lane count is part of every XLA
+    compile signature — without quantization each protein's bucket sizes
+    force a fresh compile of every bucket program (~80 s of compiles for a
+    50-residue protein); padded lanes replicate lane 0 and cost only
+    linear compute."""
+    t = 8
+    while t < Bk:
+        t *= 2
+    return -(-t // n_shards) * n_shards
+
+
+def _pad_lanes(arrs, target: int):
+    """Pad each array's leading axis up to ``target`` lanes by replicating
+    the first lane (results are sliced back by the caller)."""
     Bk = arrs[0].shape[0]
-    pad = (-Bk) % n_shards
-    if pad == 0:
+    pad = target - Bk
+    if pad <= 0:
         return arrs
     out = []
     for a in arrs:
@@ -246,7 +257,7 @@ def process_residues_batched(
             data[i, :len(p["data"])] = np.log(p["data"])
         keys = jnp.stack([residue_key(n) for n in names])
         keys, train, train_w, data = _pad_lanes(
-            [keys, train, train_w, data], n_shards)
+            [keys, train, train_w, data], _lane_target(Bk, n_shards))
         labels = np.asarray(_gmm_bucket(
             put(keys), put(train), put(train_w), put(data),
             lmode, cfg))[:Bk]
@@ -281,7 +292,7 @@ def process_residues_batched(
             Lb[i] = _label_matrix(p["inds"], p["labels"], (S, K))
         keys = jnp.stack([residue_key(n, salt=1) for n in names])
         keys, Wb, Rb, Vb, Cb, Lb = _pad_lanes([keys, Wb, Rb, Vb, Cb, Lb],
-                                              n_shards)
+                                              _lane_target(Bk, n_shards))
         votes = _votes_bucket(keys, Wb, Rb, Vb, Cb, Lb, lmode,
                               sharding=sharding)[:Bk]
         for i, name in enumerate(names):

@@ -159,6 +159,19 @@ class Gibbs:
                                 self.parameters)
         return list(self.tau)
 
+    def diagnostics(self) -> dict:
+        """Convergence diagnostics over the thinned chains: split-R̂ and
+        bulk ESS of the live components' weights and log-rates (a
+        multi-chain capability upgrade — the reference runs one chain with
+        no convergence checking, gibbs.py:191). Most informative with
+        ``cfg.n_chains > 1``; with one chain the split halves still detect
+        within-chain drift."""
+        from basicrta_tpu.ops.diagnostics import convergence_report
+        return convergence_report(
+            self.mcweights, self.mcrates,
+            burnin_samples=self.cfg.burnin_samples,
+            wcutoff=self.cfg.wcutoff(len(self.times)))
+
     def pindicator_per_event(self) -> np.ndarray:
         """(N, lmode) membership probabilities broadcast from unique values
         back to events (rows of equal residence time are exchangeable)."""
