@@ -93,6 +93,9 @@ class ContactConfig:
     map_cutoff: float = 10.0     # primary contact-map cutoff [A]
     cutoff: float = 7.0          # analysis cutoff imposed on the map [A]
     frames_per_batch: int = 32   # trajectory frames per device batch
+    # per-frame capacity of the device-compacted contact transfer; frames
+    # with more sub-cutoff pairs trigger an exact dense-transfer fallback
+    transfer_cap: int = 2048
     use_pbc: bool = True         # minimum-image convention (orthorhombic)
 
     def to_json(self) -> str:

@@ -141,6 +141,31 @@ def min_dist_per_residue_pair(pos1: jnp.ndarray, pos2: jnp.ndarray,
     return jnp.sqrt(d2).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def compact_contacts(dmin: jnp.ndarray, cutoff: float, cap: int):
+    """Device-side sparsification of the dense (F, R1, R2) distance batch.
+
+    Contacts are sparse (tens to hundreds of sub-cutoff pairs per frame out
+    of R1*R2), but the dense matrix is what crosses the host link — on
+    PCIe/tunnel-attached hosts that transfer, not the kernel, bounds
+    contact throughput. ``top_k`` on the hit-masked negated distances packs
+    every sub-cutoff entry (exact f32 values) into a fixed (F, cap) buffer.
+
+    Returns:
+        (n_hits (F,) int32, flat_idx (F, cap) int32 into R1*R2,
+        dist (F, cap) f32 — slots beyond a frame's hits carry +inf).
+        A frame with ``n_hits > cap`` overflowed: the caller must fall
+        back to the dense transfer for that batch (exactness guard).
+    """
+    F = dmin.shape[0]
+    flat = dmin.reshape(F, -1)
+    hit = flat <= cutoff
+    n = jnp.sum(hit, axis=-1).astype(jnp.int32)
+    score = jnp.where(hit, -flat, -jnp.inf)
+    vals, idx = jax.lax.top_k(score, cap)
+    return n, idx.astype(jnp.int32), -vals
+
+
 def contacts_from_batch(min_dists: np.ndarray, frame_ids: np.ndarray,
                         frame_times: np.ndarray, resids1: np.ndarray,
                         resids2: np.ndarray, cutoff: float):
