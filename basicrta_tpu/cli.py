@@ -106,11 +106,16 @@ def _cmd_gibbs(args):
         if args.nchains > 1:
             # cross-chain convergence summary (no reference analogue — it
             # runs one chain without diagnostics, gibbs.py:191)
-            d = g.diagnostics()
-            line += (f"  [R-hat {d['max_rhat']:.3f}, "
-                     f"ESS {d['min_ess']:,.0f}]")
-            if d["max_rhat"] > 1.1:
-                line += "  NOT CONVERGED"
+            try:
+                d = g.diagnostics()
+                line += (f"  [R-hat {d['max_rhat']:.3f}, "
+                         f"ESS {d['min_ess']:,.0f}]")
+                if d["max_rhat"] > 1.1:
+                    line += "  NOT CONVERGED"
+            except ValueError as e:
+                # e.g. too few post-burn-in draws on a short run — never
+                # let the diagnostic abort the results printout
+                line += f"  [diagnostics unavailable: {e}]"
         print(line)
 
 

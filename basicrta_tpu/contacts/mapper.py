@@ -131,9 +131,13 @@ class MapContacts:
             # compact on device: only sub-cutoff entries cross the host
             # link (the dense (F, R1, R2) transfer, not the kernel, bounds
             # throughput on tunnel/PCIe-attached hosts). dmin stays on
-            # device as the exact fallback for overflowing frames.
+            # device as the exact fallback for overflowing frames. Small
+            # systems (n_pairs <= cap) skip compaction — the packed
+            # idx+dist buffers would be LARGER than the dense matrix.
             n_pairs = len(self.uniq_resids1) * len(self.uniq_resids2)
-            cap = min(int(self.cfg.transfer_cap), n_pairs)
+            cap = int(self.cfg.transfer_cap)
+            if n_pairs <= cap:
+                return dmin, None, None, None
             nhit, cidx, cdist = compact_contacts(dmin, self.cfg.map_cutoff,
                                                  cap)
             return dmin, nhit, cidx, cdist
@@ -141,11 +145,13 @@ class MapContacts:
         def collect(pack, F_real, batch):
             nonlocal last_time
             dmin_dev, nhit_dev, cidx_dev, cdist_dev = pack
-            nhit = np.asarray(nhit_dev)[:F_real]
-            cap = cidx_dev.shape[1]
             R2 = len(self.uniq_resids2)
-            if (nhit > cap).any():
-                # pathologically dense frame: exact dense fallback
+            if nhit_dev is not None:
+                nhit = np.asarray(nhit_dev)[:F_real]
+                cap = cidx_dev.shape[1]
+            if nhit_dev is None or (nhit > cap).any():
+                # small system (no compaction) or pathologically dense
+                # frame (cap overflow): exact dense transfer
                 dmin = np.asarray(dmin_dev)[:F_real]
                 f, s1, s2, dist, t = contacts_from_batch(
                     dmin, batch.frame_ids, batch.times, self.uniq_resids1,

@@ -108,7 +108,7 @@ def effective_sample_size(samples: np.ndarray) -> np.ndarray:
 
 def convergence_report(mcweights: np.ndarray, mcrates: np.ndarray,
                        burnin_samples: int = 0,
-                       wcutoff: Optional[float] = None) -> Dict[str, float]:
+                       wcutoff: Optional[float] = None) -> Dict[str, object]:
     """Summary diagnostics for one residue's thinned chains.
 
     Args:

@@ -32,7 +32,14 @@ from basicrta_tpu.postprocess.clustering import (ClusterResult,
                                                  select_lmode,
                                                  sort_labels_by_rate)
 from basicrta_tpu.postprocess.gmm import gmm_fit_predict
+from basicrta_tpu.sampler.batch import _next_pow2
 from basicrta_tpu.sampler.kernels import _tiered_multinomial, compute_tiers
+
+
+def _put(a, sharding):
+    """jnp array, laid out by ``sharding`` when one is given."""
+    a = jnp.asarray(a)
+    return jax.device_put(a, sharding) if sharding is not None else a
 
 
 def _pad_size(n: int, floor: int = 128, step: int = 4) -> int:
@@ -107,10 +114,7 @@ def _lane_target(Bk: int, n_shards: int) -> int:
     force a fresh compile of every bucket program (~80 s of compiles for a
     50-residue protein); padded lanes replicate lane 0 and cost only
     linear compute."""
-    t = 8
-    while t < Bk:
-        t *= 2
-    return -(-t // n_shards) * n_shards
+    return -(-_next_pow2(Bk, floor=8) // n_shards) * n_shards
 
 
 def _pad_lanes(arrs, target: int):
@@ -150,11 +154,6 @@ def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int,
     skew exploitation as the sampler hot loop — with shared (max-over-lane)
     tier boundaries quantized for compile-key reuse. ``sharding`` splits
     the residue axis over a device mesh (collective-free)."""
-
-    def put(a):
-        a = jnp.asarray(a)
-        return jax.device_put(a, sharding) if sharding is not None else a
-
     counts_np = np.asarray(counts, np.float64)
     order, (head_end, single_start) = compute_tiers(counts_np)
     V_p = counts_np.shape[-1]
@@ -163,10 +162,10 @@ def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int,
     values_s = np.take_along_axis(np.asarray(values, np.float64), order, -1)
     counts_s = np.take_along_axis(counts_np, order, -1)
     votes_s = np.asarray(_votes_bucket_core(
-        put(keys), put(W), put(R),
-        put(jnp.asarray(values_s, jnp.float32)),
-        put(jnp.asarray(counts_s, jnp.float32)), put(L), n_clusters,
-        (head_end, single_start)))
+        _put(keys, sharding), _put(W, sharding), _put(R, sharding),
+        _put(jnp.asarray(values_s, jnp.float32), sharding),
+        _put(jnp.asarray(counts_s, jnp.float32), sharding),
+        _put(L, sharding), n_clusters, (head_end, single_start)))
     votes = np.empty_like(votes_s)
     np.put_along_axis(votes, order[..., None], votes_s, axis=1)
     return votes
@@ -206,10 +205,6 @@ def process_residues_batched(
         {residue: ClusterResult} (sorted labels, pindicator, presorts).
     """
     n_shards = _n_shards0(sharding)
-
-    def put(a):
-        a = jnp.asarray(a)
-        return jax.device_put(a, sharding) if sharding is not None else a
     b = cfg.burnin_samples
     prepared = {}
     for name, (mcw, mcr, values, counts) in items.items():
@@ -259,7 +254,8 @@ def process_residues_batched(
         keys, train, train_w, data = _pad_lanes(
             [keys, train, train_w, data], _lane_target(Bk, n_shards))
         labels = np.asarray(_gmm_bucket(
-            put(keys), put(train), put(train_w), put(data),
+            _put(keys, sharding), _put(train, sharding),
+            _put(train_w, sharding), _put(data, sharding),
             lmode, cfg))[:Bk]
         for i, name in enumerate(names):
             p = prepared[name]

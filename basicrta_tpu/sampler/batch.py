@@ -277,7 +277,12 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         state = MixtureState(jax.device_put(state.weights, state_sharding),
                              jax.device_put(state.rates, state_sharding))
     total_blocks = cfg.niter // cfg.g
-    key = jax.random.key(cfg.seed)
+    # salt the stream by the bucket's residue set: lanes at the same index
+    # of DIFFERENT buckets (the default ladder yields several per protein)
+    # must not consume identical streams, or their posteriors correlate
+    import zlib
+    bucket_salt = zlib.crc32(",".join(batch.names).encode()) & 0x7FFFFFFF
+    key = jax.random.fold_in(jax.random.key(cfg.seed), bucket_salt)
     lane_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(Bs))
 
     # sharded runs draw different (per-shard) streams, so checkpoints are
@@ -310,7 +315,7 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                                                        segment_pallas)
         p_tiers = pad_tiers_to_rows(batch.tiers, values.shape[1])
         on_cpu = jax.devices()[0].platform == "cpu"
-        seed0 = jnp.int32(cfg.seed & 0x7FFFFFFF)
+        seed0 = jnp.int32((cfg.seed ^ bucket_salt) & 0x7FFFFFFF)
 
         if mesh is not None and n_lanes > 1:
             from jax.sharding import PartitionSpec as P
@@ -382,6 +387,12 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         if checkpoint_cb is not None:
             checkpoint_cb(seg_idx, state, (Ws, Rs))
         if progress_cb is not None:
+            # with deferred transfers the loop would otherwise report
+            # dispatch progress, not execution progress; a tiny state
+            # transfer syncs on the segment actually finishing
+            # (block_until_ready is not reliable on remote-attached
+            # platforms)
+            np.asarray(state.weights)
             progress_cb(done * cfg.g, cfg.niter)
 
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
