@@ -73,6 +73,17 @@ def _cmd_gibbs(args):
 
     driver = ParallelGibbs(args.contacts, cfg=cfg)
     run_resids = args.resid
+    if args.multihost:
+        # pod mapping: same command on every host; each host samples its
+        # own residue subset with its local chips (the reference's Slurm
+        # array shape, scripts/create_jobs.sh, at device speed)
+        import numpy as np
+        from basicrta_tpu.parallel.distributed import (
+            host_residue_partition, initialize)
+        initialize()
+        if run_resids is None:
+            all_r = [int(r) for r in np.unique(driver.events.sel1_resids)]
+            run_resids = host_residue_partition(all_r)
     if args.rerun_missing:
         # failure-detection sweep: run only residues without results
         # (reference scripts/get_rerun_residues.py + create_jobs.sh --rerun)
@@ -219,6 +230,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--ndevices", type=int, default=None,
                    help="shard residue lanes over this many devices "
                         "(0: all visible devices; default: unsharded)")
+    g.add_argument("--multihost", action="store_true",
+                   help="join the pod's global runtime and sample this "
+                        "host's residue subset (run the same command on "
+                        "every host)")
     g.add_argument("--rerun-missing", action="store_true",
                    help="run only residues without results (failure-"
                         "detection sweep)")

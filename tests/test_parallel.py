@@ -169,3 +169,22 @@ def test_event_sharded_statistics(rng):
             ref.mcweights[i][b:, kr].mean(), rel=0.05)
         assert R[i][b:, k].mean() == pytest.approx(
             ref.mcrates[i][b:, kr].mean(), rel=0.08)
+
+
+class TestDistributed:
+    """Multi-host helpers (single-process behaviors; pod wiring is the
+    standard jax.distributed path, parallel/distributed.py)."""
+
+    def test_global_lane_mesh_covers_all_devices(self):
+        import jax
+        from basicrta_tpu.parallel.distributed import global_lane_mesh
+        mesh = global_lane_mesh()
+        assert mesh.shape["lanes"] == len(jax.devices())
+        assert mesh.shape["events"] == 1
+
+    def test_local_result_slice_partitions(self):
+        from basicrta_tpu.parallel.distributed import (is_multihost,
+                                                       local_result_slice)
+        assert not is_multihost()
+        s = local_result_slice(13)  # single process owns everything
+        assert (s.start, s.stop) == (0, 13)
