@@ -131,7 +131,11 @@ def dense_sweep(key: jax.Array, state: MixtureState, times: jax.Array,
 
 # Multiplicity bound of the middle tier: values with counts <= this use the
 # complete small-table inversion sampler instead of the general one.
-SMALL_NMAX = 8
+# 16 measured best on v5e (745k vs 742k agg sweeps/s at 8): widening the
+# middle tier shrinks the expensive inversion+BTRS head tier by a whole
+# 128-lane row on W313-profile data while the 17-step fixed inversion
+# stays pure straight-line vector code.
+SMALL_NMAX = 16
 
 
 def _tiered_multinomial(key: jax.Array, counts: jax.Array, probs: jax.Array,
