@@ -329,3 +329,74 @@ class TestMapContacts:
         mc.meta = ContactMeta(ts=0.05)
         rec = mc.run(self._batches_for([0.0, 0.1, 0.3, 0.4], split=2))
         assert rec.meta.ts == pytest.approx(0.05)
+
+
+class TestCompactContacts:
+    """Device-side contact compaction (distances.compact_contacts): only
+    sub-cutoff entries cross the host link; rows must be bit-identical to
+    the dense path, with an exact dense fallback on cap overflow."""
+
+    def test_compact_reconstructs_dense_rows(self, rng):
+        from basicrta_tpu.contacts.distances import (compact_contacts,
+                                                     contacts_from_batch)
+        F, R1, R2 = 4, 20, 30
+        dmin = rng.uniform(0.0, 30.0, (F, R1, R2)).astype(np.float32)
+        cutoff = 10.0
+        n, idx, dist = (np.asarray(a) for a in
+                        compact_contacts(jnp.asarray(dmin), cutoff, 512))
+        assert np.array_equal(n, (dmin <= cutoff).sum(axis=(1, 2)))
+        fk, kk = np.nonzero(dist <= cutoff)
+        flat = idx[fk, kk]
+        order = np.lexsort((flat, fk))
+        fk, flat = fk[order], flat[order]
+        got = np.stack([fk, flat // R2, flat % R2], axis=1)
+        f, s1, s2, d, _ = contacts_from_batch(
+            dmin, np.arange(F), np.arange(F, dtype=float),
+            np.arange(R1), np.arange(R2), cutoff)
+        np.testing.assert_array_equal(got, np.stack([f, s1, s2], axis=1))
+        np.testing.assert_array_equal(
+            dist[fk, kk[order]], d)  # exact f32 values survive top_k
+
+    def test_overflow_detected(self, rng):
+        from basicrta_tpu.contacts.distances import compact_contacts
+        dmin = np.full((2, 4, 4), 1.0, np.float32)   # every pair is a hit
+        n, idx, dist = compact_contacts(jnp.asarray(dmin), 5.0, 8)
+        assert np.all(np.asarray(n) == 16) and np.all(np.asarray(n) > 8)
+
+    def _system(self, rng, transfer_cap):
+        """4x2-residue system, n_pairs=8; per-frame hits controlled."""
+        ts = 0.1
+        F = 6
+        A = 6  # sel1: 4 single-atom residues; sel2: 2 single-atom
+        pos = np.zeros((F, A, 3), np.float32)
+        pos[:, 0] = [0.0, 0.0, 0.0]
+        pos[:, 1] = [30.0, 0.0, 0.0]
+        pos[:, 2] = [0.0, 30.0, 0.0]
+        pos[:, 3] = [30.0, 30.0, 0.0]
+        pos[:, 4] = [100.0, 100.0, 100.0]
+        pos[:, 5] = [120.0, 100.0, 100.0]
+        # frame 1: lig A near residue 1 only; frame 3: lig A near all four
+        # residues (4 hits) + lig B near residues 1-2 (2 hits) -> 6 hits
+        pos[1, 4] = [2.0, 0.0, 0.0]
+        pos[3, 4] = [15.0, 15.0, 0.0]
+        pos[3, 5] = [15.0, 0.0, 0.0]
+        mc = MapContacts(
+            indices1=np.arange(4), resids1=np.array([1, 2, 3, 4]),
+            indices2=np.array([4, 5]), resids2=np.array([9, 10]),
+            cfg=ContactConfig(map_cutoff=25.0, use_pbc=False,
+                              transfer_cap=transfer_cap),
+            meta=ContactMeta(ts=ts))
+        return mc.run([FrameBatch(np.arange(F), np.arange(F) * ts, pos)])
+
+    def test_mapper_compact_matches_dense(self, rng):
+        dense = self._system(rng, transfer_cap=4096)   # n_pairs<=cap: dense
+        # cap 7 < n_pairs 8 activates compaction; max 6 hits/frame fits ->
+        # the pure compact path. cap 4 overflows on frame 3 -> exact
+        # dense-fallback path. All three must be bit-identical.
+        compact = self._system(rng, transfer_cap=7)
+        overflow = self._system(rng, transfer_cap=4)
+        for rec in (compact, overflow):
+            np.testing.assert_array_equal(rec.frames, dense.frames)
+            np.testing.assert_array_equal(rec.sel1_resids, dense.sel1_resids)
+            np.testing.assert_array_equal(rec.sel2_resids, dense.sel2_resids)
+            np.testing.assert_array_equal(rec.min_dist, dense.min_dist)
