@@ -5,6 +5,8 @@ DCD trajectories go through the native C++ library (native/mdio.cpp), and
 OpenDX densities have a pure-Python writer.
 """
 
+from basicrta_tpu.io.legacy import (load_reference_contacts,
+                                    load_reference_gibbs)
 from basicrta_tpu.io.native import XTCReader, XTCWriter, DCDReader, DCDWriter
 from basicrta_tpu.io.topology import Topology, read_gro, read_pdb, write_pdb
 from basicrta_tpu.io.universe import Universe
@@ -12,5 +14,5 @@ from basicrta_tpu.io.universe import Universe
 __all__ = [
     "XTCReader", "XTCWriter", "DCDReader", "DCDWriter",
     "Topology", "read_gro", "read_pdb", "write_pdb",
-    "Universe",
+    "Universe", "load_reference_contacts", "load_reference_gibbs",
 ]
