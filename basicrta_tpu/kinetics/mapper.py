@@ -39,7 +39,11 @@ class MapKinetics:
     def __init__(self, gibbs: Gibbs, contacts, root: Optional[str] = None):
         self.gibbs = gibbs
         if isinstance(contacts, str):
-            contacts = ContactEvents.load(contacts)
+            if contacts.endswith(".pkl"):   # reference pickle (io/legacy)
+                from basicrta_tpu.io.legacy import load_reference_contacts
+                contacts = load_reference_contacts(contacts)
+            else:
+                contacts = ContactEvents.load(contacts)
         self.events = contacts
         self.meta = contacts.meta
         self.root = root or gibbs.root

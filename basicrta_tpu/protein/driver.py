@@ -113,7 +113,18 @@ class ParallelGibbs:
                 raise FileNotFoundError(
                     f"contacts file not found: {contacts}")
             self.cutoff = cutoff_from_filename(contacts)
-            self.events = ContactEvents.load(contacts)
+            if contacts.endswith(".pkl"):
+                # the reference's pickled event table works directly
+                # (migration path; io/legacy.py restricted unpickler)
+                from basicrta_tpu.io.legacy import load_reference_contacts
+                self.events = load_reference_contacts(contacts)
+                if not isinstance(self.events, ContactEvents):
+                    raise ValueError(
+                        f"{contacts} is a primary contact map; run "
+                        "ProcessContacts (or the reference's) to produce "
+                        "the residence-event table first")
+            else:
+                self.events = ContactEvents.load(contacts)
             if self.events.meta.cutoff is not None:
                 self.cutoff = self.events.meta.cutoff
         else:

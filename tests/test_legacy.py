@@ -148,3 +148,29 @@ class TestReferenceGibbs:
         ours.process_gibbs(save=False)
         assert ours.processed is not None
         assert ours.parameters.shape[1] == 2
+
+
+def test_parallel_gibbs_accepts_reference_pickle(tmp_path, rng):
+    """The driver consumes a reference contacts_{cutoff}.pkl directly."""
+    from basicrta_tpu.protein.driver import ParallelGibbs
+
+    mods, _, _, AtomGroup = _fake_modules()
+    try:
+        dtype = np.dtype(np.float64, metadata={
+            "top": "top.gro", "traj": "traj.xtc",
+            "ag1": AtomGroup("p"), "ag2": AtomGroup("l"),
+            "ts": 0.1, "cutoff": 7.0})
+        rows = np.stack([
+            np.repeat([5, 8], 20),                      # sel1 resids
+            np.full(40, 900),                           # sel2 resid
+            np.arange(40, dtype=float),                 # start times
+            np.round(rng.exponential(0.5, 40), 1) + .1  # durations
+        ], axis=1)
+        p = str(tmp_path / "contacts_7.0.pkl")
+        _pickle_and_forget(rows.astype(dtype), p)
+    finally:
+        _cleanup(mods)
+
+    pg = ParallelGibbs(p, root=str(tmp_path))
+    assert pg.cutoff == pytest.approx(7.0)
+    assert len(pg.events.times_for_residue(5)) == 20
