@@ -248,7 +248,12 @@ class ProcessProtein:
         for adir in self._result_dirs():
             label = os.path.basename(adir)
             path = os.path.join(adir, f"gibbs_{self.cfg.niter}.npz")
-            self.residues[label] = path if os.path.exists(path) else None
+            if not os.path.exists(path):
+                # a reference-package results tree works directly
+                # (Gibbs.load dispatches .pkl to io/legacy)
+                legacy = os.path.join(adir, f"gibbs_{self.cfg.niter}.pkl")
+                path = legacy if os.path.exists(legacy) else None
+            self.residues[label] = path
         return self.residues
 
     def missing_residues(self) -> List[str]:

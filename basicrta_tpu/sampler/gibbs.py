@@ -213,7 +213,17 @@ class Gibbs:
 
     @classmethod
     def load(cls, path: str) -> "Gibbs":
-        """Rehydrate from :meth:`save` output (reference gibbs.py:351-381)."""
+        """Rehydrate from :meth:`save` output (reference gibbs.py:351-381).
+
+        A reference-package ``gibbs_{niter}.pkl`` loads too (chains +
+        configuration; re-run :meth:`process_gibbs` for processed state) —
+        see :mod:`basicrta_tpu.io.legacy`.
+        """
+        if path.endswith(".pkl"):
+            from basicrta_tpu.io.legacy import load_reference_gibbs
+            return load_reference_gibbs(
+                path, root=os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(path)))))
         with np.load(path, allow_pickle=False) as z:
             meta = json.loads(str(z["_meta"]))
             g = cls(times=z["times"], residue=meta["residue"],

@@ -174,3 +174,38 @@ def test_parallel_gibbs_accepts_reference_pickle(tmp_path, rng):
     pg = ParallelGibbs(p, root=str(tmp_path))
     assert pg.cutoff == pytest.approx(7.0)
     assert len(pg.events.times_for_residue(5)) == 20
+
+
+def test_process_protein_over_reference_tree(tmp_path, rng):
+    """A reference-package results tree (per-residue gibbs_{niter}.pkl)
+    drives ProcessProtein collect/reprocess/get_taus unchanged."""
+    from basicrta_tpu.config import GibbsConfig
+    from basicrta_tpu.protein.driver import ProcessProtein
+
+    S, K = 60, 5
+    mods, Gibbs_ref, Results, _ = _fake_modules()
+    try:
+        for label in ("W5", "L8"):
+            g = Gibbs_ref()
+            g.times = np.round(rng.exponential(1.0, 2000), 1) + 0.1
+            g.residue = label
+            g.ncomp, g.niter, g.g, g.burnin = K, (S - 1) * 10, 10, 100
+            g.cutoff = 7.0
+            g.ts = 0.1
+            g.mcweights = rng.dirichlet(np.ones(K), S)
+            g.mcrates = rng.gamma(2.0, 1.0, (S, K))
+            g.processed_results = Results()
+            d = tmp_path / "basicrta-7.0" / label
+            d.mkdir(parents=True)
+            _pickle_and_forget(g, str(d / "gibbs_590.pkl"))
+    finally:
+        _cleanup(mods)
+
+    pp = ProcessProtein(cfg=GibbsConfig(ncomp=K, niter=590, g=10,
+                                        burnin=100, gmm_n_init=8),
+                        cutoff=7.0, root=str(tmp_path))
+    found = pp.collect_results()
+    assert all(p is not None and p.endswith(".pkl") for p in found.values())
+    pp.reprocess()
+    taus, bars = pp.get_taus()
+    assert taus.shape == (2,) and np.all(np.isfinite(taus))
