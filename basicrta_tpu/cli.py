@@ -71,19 +71,12 @@ def _cmd_gibbs(args):
         print(f"\rgibbs: sweep {done}/{total} ({rate:,.0f} sweeps/s/lane)",
               end="", file=sys.stderr)
 
+    if args.multihost:
+        # must precede anything that could initialize an XLA backend
+        from basicrta_tpu.parallel.distributed import initialize
+        initialize()
     driver = ParallelGibbs(args.contacts, cfg=cfg)
     run_resids = args.resid
-    if args.multihost:
-        # pod mapping: same command on every host; each host samples its
-        # own residue subset with its local chips (the reference's Slurm
-        # array shape, scripts/create_jobs.sh, at device speed)
-        import numpy as np
-        from basicrta_tpu.parallel.distributed import (
-            host_residue_partition, initialize)
-        initialize()
-        if run_resids is None:
-            all_r = [int(r) for r in np.unique(driver.events.sel1_resids)]
-            run_resids = host_residue_partition(all_r)
     if args.rerun_missing:
         # failure-detection sweep: run only residues without results
         # (reference scripts/get_rerun_residues.py + create_jobs.sh --rerun)
@@ -96,6 +89,18 @@ def _cmd_gibbs(args):
         run_resids = [int(lab[1:]) for lab in missing]
         print(f"rerunning {len(run_resids)} residues: "
               f"{' '.join(missing)}", file=sys.stderr)
+    if args.multihost:
+        # pod mapping: same command on every host; each host samples its
+        # own residue subset with its local chips (the reference's Slurm
+        # array shape, scripts/create_jobs.sh, at device speed). Applies
+        # AFTER --rerun-missing so the rerun set also partitions instead
+        # of every host redoing (and racing on) the same residues.
+        import numpy as np
+        from basicrta_tpu.parallel.distributed import host_residue_partition
+        if run_resids is None:
+            run_resids = [int(r) for r in np.unique(
+                driver.events.sel1_resids)]
+        run_resids = host_residue_partition([int(r) for r in run_resids])
     if args.profile:
         # device trace viewable with TensorBoard / xprof
         # (the reference's only observability is tqdm bars + Slurm logs,

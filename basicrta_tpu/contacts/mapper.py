@@ -70,8 +70,9 @@ class MapContacts:
         self._sharding = None
         if n_devices is not None:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
-            n = n_devices if n_devices > 0 else len(jax.devices())
-            mesh = Mesh(np.asarray(jax.devices()[:n]), ("frames",))
+            devs = jax.local_devices()   # per-host chips (pod-safe)
+            n = n_devices if n_devices > 0 else len(devs)
+            mesh = Mesh(np.asarray(devs[:n]), ("frames",))
             self._sharding = NamedSharding(mesh, PartitionSpec("frames"))
 
     def run(self, trajectory: Iterable[FrameBatch],

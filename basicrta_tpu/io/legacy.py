@@ -13,9 +13,11 @@ sampler chains migrate into this framework without the legacy stack:
     g = load_reference_gibbs("basicrta-7.0/W313/gibbs_110000.pkl")
     g.process_gibbs()                                      # TPU pipeline
 
-Anything outside numpy/stdlib-container/basicrta/MDAnalysis namespaces is
-refused outright. Pickles execute code by design — only load files you
-created.
+Class resolution is allowlisted: numpy array-reconstruction machinery,
+container types, and stubbed basicrta/MDAnalysis classes; everything else
+(including ``builtins`` callables like ``eval``) is refused. This blocks
+the standard pickle code-execution gadgets, but pickle is not a security
+boundary — still only load files you (or someone you trust) created.
 """
 
 from __future__ import annotations
@@ -32,7 +34,18 @@ __all__ = ["load_reference_pickle", "load_reference_contacts",
            "load_reference_gibbs"]
 
 _STUBBED_ROOTS = ("basicrta", "MDAnalysis")
-_ALLOWED_ROOTS = ("numpy", "collections", "builtins", "copyreg")
+# exact module paths whose attributes may resolve (numpy's array/dtype
+# reconstruction lives here; notably NOT numpy.ctypeslib etc.)
+_ALLOWED_MODULES = frozenset({
+    "numpy", "numpy.core.multiarray", "numpy._core.multiarray",
+    "numpy.core.numeric", "numpy._core.numeric", "numpy.core._multiarray_umath",
+    "numpy._core._multiarray_umath", "collections", "copyreg",
+})
+# builtins are dangerous wholesale (eval/exec/getattr...); allow only the
+# plain container/scalar types pickles legitimately reference
+_ALLOWED_BUILTINS = frozenset({
+    "complex", "frozenset", "set", "slice", "range", "bytearray",
+})
 
 
 class _Opaque:
@@ -54,7 +67,8 @@ class _RefUnpickler(pickle.Unpickler):
         root = module.split(".")[0]
         if root in _STUBBED_ROOTS:
             return _Opaque
-        if root in _ALLOWED_ROOTS:
+        if module in _ALLOWED_MODULES or (module == "builtins"
+                                          and name in _ALLOWED_BUILTINS):
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"blocked class {module}.{name} (only numpy payloads and "

@@ -42,8 +42,14 @@ class MapKinetics:
             if contacts.endswith(".pkl"):   # reference pickle (io/legacy)
                 from basicrta_tpu.io.legacy import load_reference_contacts
                 contacts = load_reference_contacts(contacts)
-            else:
+        if not isinstance(contacts, ContactEvents):
+            if isinstance(contacts, str):
                 contacts = ContactEvents.load(contacts)
+            else:
+                raise ValueError(
+                    "MapKinetics needs the residence-EVENT table "
+                    "(contacts_{cutoff}); got a primary contact map — run "
+                    "ProcessContacts (or the reference's) first")
         self.events = contacts
         self.meta = contacts.meta
         self.root = root or gibbs.root

@@ -19,10 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
-
-__all__ = ["initialize", "global_lane_mesh", "is_multihost",
-           "local_result_slice"]
+__all__ = ["initialize", "is_multihost", "host_residue_partition"]
 
 _initialized = False
 
@@ -33,19 +30,21 @@ def initialize(coordinator_address: Optional[str] = None,
     """Join this process into the global JAX runtime (idempotent).
 
     With no arguments, relies on the TPU runtime's automatic environment
-    (Cloud TPU VMs / GKE set the coordinator for the pod slice). On other
-    clusters pass the coordinator explicitly or export
-    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
-    ``JAX_PROCESS_ID``.
+    (Cloud TPU VMs / GKE set the coordinator for the pod slice); when that
+    is absent (single process) it degrades to a no-op. On other clusters
+    pass the coordinator explicitly or export ``JAX_COORDINATOR_ADDRESS``
+    / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``.
+
+    Must run before anything initializes an XLA backend —
+    ``jax.distributed.initialize`` is called FIRST here (never after a
+    ``jax.process_count()`` probe, which would itself create the backend
+    and make cluster initialization impossible).
     """
     global _initialized
     if _initialized:
         return
     import jax
 
-    if jax.process_count() > 1:      # already initialized by the runtime
-        _initialized = True
-        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -53,39 +52,19 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        if kwargs:
+            raise          # explicit cluster config failed: surface it
+        # no explicit config and none auto-detected: single-process run,
+        # or the runtime already wired the pod before we got here
     _initialized = True
 
 
 def is_multihost() -> bool:
     import jax
     return jax.process_count() > 1
-
-
-def global_lane_mesh():
-    """('lanes', 'events'(=1)) mesh over every device of every host.
-
-    Lanes placed host-major: each host's local devices hold a contiguous
-    lane block, so per-host result collection (``local_result_slice``)
-    needs no cross-host transfer.
-    """
-    import jax
-    from jax.sharding import Mesh
-
-    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-    arr = np.asarray(devs).reshape(len(devs), 1)
-    return Mesh(arr, ("lanes", "events"))
-
-
-def local_result_slice(n_lanes: int) -> slice:
-    """Lane-index range owned by this host under ``global_lane_mesh``
-    placement, for per-host persistence of an (n_lanes, ...) result."""
-    import jax
-
-    n_proc = jax.process_count()
-    per = -(-n_lanes // n_proc)
-    lo = jax.process_index() * per
-    return slice(lo, min(lo + per, n_lanes))
 
 
 def host_residue_partition(labels):

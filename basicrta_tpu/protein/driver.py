@@ -175,9 +175,13 @@ class ParallelGibbs:
         if n_devices is not None:
             import jax
             from basicrta_tpu.parallel.mesh import make_mesh, lane_sharding
-            n = n_devices if n_devices > 0 else len(jax.devices())
-            sharding = lane_sharding(
-                make_mesh(n_lanes=n, devices=jax.devices()[:n]))
+            # local devices: on a multi-host pod each host runs its own
+            # residue subset on its own chips (parallel/distributed.py);
+            # a mesh over the global device list would mix non-addressable
+            # chips into a per-host program
+            devs = jax.local_devices()
+            n = n_devices if n_devices > 0 else len(devs)
+            sharding = lane_sharding(make_mesh(n_lanes=n, devices=devs[:n]))
 
         out: Dict[str, Gibbs] = {}
         if mode == "batched":

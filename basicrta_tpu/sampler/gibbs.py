@@ -175,6 +175,8 @@ class Gibbs:
     def pindicator_per_event(self) -> np.ndarray:
         """(N, lmode) membership probabilities broadcast from unique values
         back to events (rows of equal residence time are exchangeable)."""
+        if self.processed is None:   # e.g. chains imported from a
+            self.process_gibbs()     # reference pickle (io/legacy.py)
         pv = self.processed.pindicator_values
         idx = np.searchsorted(self._values, self.times)
         return pv[idx]

@@ -110,8 +110,12 @@ def main():
 
     from basicrta_tpu.cli import main as cli
 
+    # honor the CLI's platform override BEFORE touching the backend, then
     # absorb the remote-attachment warm-up so stage timings reflect the
     # pipeline, not the transport's first-transfer cost
+    plat = os.environ.get("BASICRTA_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     np.asarray(jnp.ones((8,)) * 2)
 

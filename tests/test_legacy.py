@@ -209,3 +209,19 @@ def test_process_protein_over_reference_tree(tmp_path, rng):
     pp.reprocess()
     taus, bars = pp.get_taus()
     assert taus.shape == (2,) and np.all(np.isfinite(taus))
+
+
+def test_builtins_gadgets_refused(tmp_path):
+    """builtins callables (eval/exec/getattr...) must NOT resolve — the
+    classic pickle code-execution gadgets."""
+    import pickletools  # noqa: F401  (documentation of intent)
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, ("1+1",))
+
+    p = str(tmp_path / "gadget.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(Evil(), f)
+    with pytest.raises(pickle.UnpicklingError):
+        load_reference_pickle(p)
