@@ -4,9 +4,11 @@ draws must be uniform — a whole-posterior correctness check. The full-size
 run lives in scripts/sbc.py (VALIDATION.md); this is a reduced fixed-seed
 version sized for CI."""
 
+import os
 import sys
 
-sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, "scripts"))
 
 
 def test_sbc_ranks_uniform():
