@@ -121,3 +121,17 @@ def test_module_entry_points(module, monkeypatch, capsys):
         runpy.run_module(module, run_name="__main__")
     assert e.value.code == 0
     assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_cli_gibbs_profile_and_multihost_single_process(contacts_done,
+                                                        monkeypatch,
+                                                        tmp_path):
+    """--profile writes a device trace; --multihost on a single process
+    degrades to the full residue set (partition of one)."""
+    monkeypatch.chdir(contacts_done)
+    trace_dir = str(tmp_path / "trace")
+    main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "200",
+          "--g", "10", "--ncomp", "3", "--profile", trace_dir,
+          "--multihost"])
+    assert os.path.exists("basicrta-7.0/W7/gibbs_200.npz")
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
