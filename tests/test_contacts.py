@@ -64,6 +64,54 @@ class TestMergeEvents:
         ev = merge_events(rec, 7.0)
         assert len(ev) == 3
 
+    def test_random_agrees_with_bruteforce(self, rng):
+        """Property test: random contact tables vs an independent python
+        brute-force run-length merge (many pairs, gaps, singles, and
+        sub/super-cutoff rows interleaved)."""
+        ts = 0.1
+        for trial in range(5):
+            frames, s1s, s2s, dists = [], [], [], []
+            for r1 in (1, 2, 3):
+                for r2 in (100, 101):
+                    hit = rng.random(40) < 0.45
+                    f = np.nonzero(hit)[0]
+                    frames.append(f)
+                    s1s.append(np.full(len(f), r1))
+                    s2s.append(np.full(len(f), r2))
+                    # ~1/4 of rows land beyond the analysis cutoff
+                    dists.append(np.where(rng.random(len(f)) < 0.25,
+                                          8.5, 3.0))
+            order = np.argsort(np.concatenate(frames), kind="stable")
+            rows = np.stack([np.concatenate(frames),
+                             np.concatenate(s1s), np.concatenate(s2s),
+                             np.concatenate(dists)], axis=1)[order]
+            rec = _records([tuple(r) for r in rows])
+            ev = merge_events(rec, 7.0)
+
+            # brute force: per pair, walk sorted frames, split on gaps
+            expected = []
+            keep = rows[rows[:, 3] <= 7.0]
+            for r1 in (1, 2, 3):
+                for r2 in (100, 101):
+                    f = np.sort(keep[(keep[:, 1] == r1)
+                                     & (keep[:, 2] == r2), 0]).astype(int)
+                    i = 0
+                    while i < len(f):
+                        j = i
+                        while j + 1 < len(f) and f[j + 1] == f[j] + 1:
+                            j += 1
+                        expected.append((r1, r2, f[i] * ts,
+                                         (j - i + 1) * ts))
+                        i = j + 1
+            got = sorted(zip(ev.sel1_resids, ev.sel2_resids,
+                             ev.start_times, ev.durations))
+            exp = sorted(expected)
+            assert len(got) == len(exp), trial
+            for g, e in zip(got, exp):
+                assert g[0] == e[0] and g[1] == e[1]
+                assert g[2] == pytest.approx(e[2])
+                assert g[3] == pytest.approx(e[3])
+
     def test_cutoff_filter(self):
         # distances above the analysis cutoff break the run
         rec = _records([(1, 1, 100, 3.0), (2, 1, 100, 8.5),
