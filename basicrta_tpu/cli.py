@@ -199,6 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="basicrta-tpu",
         description="TPU-native Bayesian residence-time analysis")
+    from basicrta_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     sub = p.add_subparsers(dest="command", required=True)
 
     c = sub.add_parser("contacts", help="extract the contact map and "
