@@ -200,7 +200,8 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
               checkpoint_path: Optional[str] = None,
               checkpoint_cb=None,
               sharding: Optional[jax.sharding.NamedSharding] = None,
-              progress_cb=None, engine: str = "xla") -> BatchResult:
+              progress_cb=None, engine: str = "xla",
+              defer_transfer: bool = False) -> BatchResult:
     """Run full chains for one bucket of residues.
 
     Args:
@@ -397,11 +398,36 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
 
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
+    if defer_transfer:
+        # caller pipelines several buckets: the thinned samples stay on
+        # device until finalize_batch, so the next bucket's segments
+        # dispatch without waiting for this one's transfer
+        return _DeferredBatch(batch.names, Ws, Rs, batch.n_events, B)
     # deferred device arrays (no-checkpoint path) transfer here, once
     Ws = [np.asarray(w)[:B] for w in Ws]
     Rs = [np.asarray(r)[:B] for r in Rs]
     return BatchResult(batch.names, np.concatenate(Ws, axis=1),
                        np.concatenate(Rs, axis=1), batch.n_events)
+
+
+@dataclasses.dataclass
+class _DeferredBatch:
+    """run_batch output with samples still on device (defer_transfer)."""
+    names: List[str]
+    Ws: list
+    Rs: list
+    n_events: np.ndarray
+    B: int
+
+
+def finalize_batch(deferred) -> BatchResult:
+    """Transfer a ``defer_transfer=True`` result to host."""
+    if isinstance(deferred, BatchResult):
+        return deferred
+    Ws = [np.asarray(w)[:deferred.B] for w in deferred.Ws]
+    Rs = [np.asarray(r)[:deferred.B] for r in deferred.Rs]
+    return BatchResult(deferred.names, np.concatenate(Ws, axis=1),
+                       np.concatenate(Rs, axis=1), deferred.n_events)
 
 
 def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
@@ -426,13 +452,20 @@ def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
         for ch in range(n_chains):
             expanded[f"{name}#{ch}"] = t
     out: Dict[str, list] = {name: [None] * n_chains for name in nonempty}
+    # dispatch every bucket with deferred transfers, then finalize: bucket
+    # i+1's segments enqueue while bucket i's results stream back (pure
+    # pipeline win on remote-attached devices; with checkpointing the
+    # per-segment syncs dominate and the deferral is a no-op)
+    pending = []
     for batch in bucket_residues(expanded):
         ckpt = None
         if checkpoint_dir is not None:
             os.makedirs(checkpoint_dir, exist_ok=True)
             ckpt = os.path.join(
                 checkpoint_dir, f"ckpt_{_checkpoint_key(batch, cfg)}.npz")
-        res = run_batch(batch, cfg, checkpoint_path=ckpt, **kwargs)
+        pending.append(run_batch(batch, cfg, checkpoint_path=ckpt,
+                                 defer_transfer=True, **kwargs))
+    for res in map(finalize_batch, pending):
         for i, lane_name in enumerate(res.names):
             name, ch = lane_name.rsplit("#", 1)
             out[name][int(ch)] = (res.mcweights[i], res.mcrates[i])

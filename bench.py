@@ -32,7 +32,8 @@ jax.config.update("jax_compilation_cache_dir",
 from basicrta_tpu.config import GibbsConfig  # noqa: E402
 from basicrta_tpu.ops.surv import (discretize_times,  # noqa: E402
                                    simulate_hyperexp)
-from basicrta_tpu.sampler.batch import bucket_residues, run_batch  # noqa: E402
+from basicrta_tpu.sampler.batch import (bucket_residues,  # noqa: E402
+                                        finalize_batch, run_batch)
 
 BASELINE_SWEEPS_PER_SEC = 2.11  # reference inner loop, 1 CPU core (BASELINE.md)
 # overridable for smoke runs (e.g. BENCH_RESIDUES=8 BENCH_SWEEPS=200)
@@ -65,12 +66,16 @@ _GUARDS = {"pallas": 500_000.0, "xla": 140_000.0, "flagship": 25_000.0}
 
 
 def _timed_agg(batches, cfg, engine):
-    """Aggregate sweeps/s for one engine (after its own warmup pass)."""
+    """Aggregate sweeps/s for one engine (after its own warmup pass).
+    Buckets dispatch with deferred transfers (the product-path shape,
+    run_residues): bucket i+1 computes while bucket i streams back."""
     for b in batches:
         run_batch(b, cfg, engine=engine)
     t0 = time.time()
-    for b in batches:
-        run_batch(b, cfg, engine=engine)
+    outs = [run_batch(b, cfg, engine=engine, defer_transfer=True)
+            for b in batches]
+    for o in outs:
+        finalize_batch(o)
     elapsed = time.time() - t0
     return sum(b.size for b in batches) * cfg.niter / elapsed
 
