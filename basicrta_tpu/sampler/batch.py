@@ -201,7 +201,7 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
               checkpoint_cb=None,
               sharding: Optional[jax.sharding.NamedSharding] = None,
               progress_cb=None, engine: str = "xla",
-              defer_transfer: bool = False) -> BatchResult:
+              defer_transfer: bool = False):
     """Run full chains for one bucket of residues.
 
     Args:
@@ -220,6 +220,14 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         engine: 'xla' (vmapped sweep graph), 'pallas' (fused VMEM kernel
             for the per-sweep sufficient statistics; ~3.5x faster on real
             TPUs), or 'auto' (pallas on TPU, xla elsewhere).
+        defer_transfer: return a ``_DeferredBatch`` whose thinned samples
+            are still on device — pass it to :func:`finalize_batch`. Lets
+            a caller running several buckets dispatch the next bucket's
+            segments before this one's results transfer.
+
+    Returns:
+        :class:`BatchResult`, or a ``_DeferredBatch`` when
+        ``defer_transfer=True``.
     """
     if engine == "auto":
         engine = ("pallas" if jax.devices()[0].platform == "tpu"
@@ -398,16 +406,13 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
 
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
+    deferred = _DeferredBatch(batch.names, Ws, Rs, batch.n_events, B)
     if defer_transfer:
         # caller pipelines several buckets: the thinned samples stay on
         # device until finalize_batch, so the next bucket's segments
         # dispatch without waiting for this one's transfer
-        return _DeferredBatch(batch.names, Ws, Rs, batch.n_events, B)
-    # deferred device arrays (no-checkpoint path) transfer here, once
-    Ws = [np.asarray(w)[:B] for w in Ws]
-    Rs = [np.asarray(r)[:B] for r in Rs]
-    return BatchResult(batch.names, np.concatenate(Ws, axis=1),
-                       np.concatenate(Rs, axis=1), batch.n_events)
+        return deferred
+    return finalize_batch(deferred)
 
 
 @dataclasses.dataclass
@@ -456,6 +461,7 @@ def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
     # i+1's segments enqueue while bucket i's results stream back (pure
     # pipeline win on remote-attached devices; with checkpointing the
     # per-segment syncs dominate and the deferral is a no-op)
+    kwargs.pop("defer_transfer", None)   # pipelining is managed here
     pending = []
     for batch in bucket_residues(expanded):
         ckpt = None

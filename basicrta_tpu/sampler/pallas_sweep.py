@@ -20,7 +20,8 @@ must be sorted by multiplicity descending with tier boundaries aligned to
 whole 128-lane rows:
 
 - rows [0, head_rows): unbounded counts -> 64-term inversion + BTRS,
-- rows [head_rows, small_rows): counts <= SMALL_NMAX -> 9-term inversion,
+- rows [head_rows, small_rows): counts <= SMALL_NMAX -> complete
+  fixed-depth inversion (SMALL_NMAX + 1 terms),
 - rows [small_rows, SL): counts in {0, 1} -> Bernoulli thinning.
 """
 
