@@ -34,12 +34,26 @@ __all__ = ["load_reference_pickle", "load_reference_contacts",
            "load_reference_gibbs"]
 
 _STUBBED_ROOTS = ("basicrta", "MDAnalysis")
-# exact module paths whose attributes may resolve (numpy's array/dtype
-# reconstruction lives here; notably NOT numpy.ctypeslib etc.)
-_ALLOWED_MODULES = frozenset({
-    "numpy", "numpy.core.multiarray", "numpy._core.multiarray",
-    "numpy.core.numeric", "numpy._core.numeric", "numpy.core._multiarray_umath",
-    "numpy._core._multiarray_umath", "collections", "copyreg",
+# exact (module, name) pairs of the array/dtype reconstruction machinery a
+# numpy pickle legitimately references (both the numpy<2 'numpy.core' and
+# numpy>=2 'numpy._core' spellings). Whole-module allowlisting is unsafe:
+# 'numpy' itself exposes file-writing callables (numpy.save, numpy.fromfile)
+# a crafted pickle could invoke. '_frombuffer' here is numpy's protocol-5
+# reconstructor over in-band bytes — no file or code access.
+_ALLOWED_CLASSES = frozenset({
+    ("numpy", "ndarray"), ("numpy", "dtype"), ("numpy", "memmap"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy._core.numeric", "_frombuffer"),
+    ("_codecs", "encode"),               # protocol-2 bytes round-trip
+    ("collections", "OrderedDict"),
+    ("collections", "defaultdict"),
+    ("collections", "deque"),
+    ("collections", "Counter"),
+    ("copyreg", "_reconstructor"),
 })
 # builtins are dangerous wholesale (eval/exec/getattr...); allow only the
 # plain container/scalar types pickles legitimately reference
@@ -67,8 +81,12 @@ class _RefUnpickler(pickle.Unpickler):
         root = module.split(".")[0]
         if root in _STUBBED_ROOTS:
             return _Opaque
-        if module in _ALLOWED_MODULES or (module == "builtins"
-                                          and name in _ALLOWED_BUILTINS):
+        # protocol-4 STACK_GLOBAL resolves dotted names as attribute
+        # chains (e.g. ('numpy', 'random.default_rng')); legit numpy
+        # pickles never need that, so refuse it outright
+        if "." not in name and (
+                (module, name) in _ALLOWED_CLASSES
+                or (module == "builtins" and name in _ALLOWED_BUILTINS)):
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"blocked class {module}.{name} (only numpy payloads and "

@@ -199,7 +199,7 @@ def binomial_small(key: jax.Array, n: jax.Array, p: jax.Array, nmax: int,
 
     Pure CDF inversion with an (nmax+1)-term PMF table — complete support,
     no rejection rounds, far cheaper than the general sampler when the bound
-    is small (the Gibbs tail tier uses nmax = 8).
+    is small (the Gibbs tail tier uses nmax = kernels.SMALL_NMAX).
     """
     tiny = jnp.finfo(dtype).tiny
     n = jnp.asarray(n, dtype)

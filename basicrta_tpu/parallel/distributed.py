@@ -17,11 +17,40 @@ coordinator/process env on Cloud TPU VMs automatically):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 __all__ = ["initialize", "is_multihost", "host_residue_partition"]
 
 _initialized = False
+
+
+def _cluster_env_detected() -> bool:
+    """True when the environment advertises a multi-process cluster.
+
+    Used to tell apart 'no cluster here' (an expected single-process
+    no-op) from 'there IS a cluster but joining it failed' — the latter
+    must never be swallowed, or a degraded host would run single-process,
+    get assigned ALL residues by :func:`host_residue_partition`, and race
+    the other hosts' writes into the shared results tree.
+    """
+    env = os.environ
+    if env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS"):
+        return True
+    for var in ("SLURM_JOB_NUM_NODES", "SLURM_NNODES",
+                "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        try:
+            if int(env.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    # Cloud TPU pod slices export the worker host list / megascale
+    # coordinator on every VM. A single-entry host list (the local runtime
+    # exports TPU_WORKER_HOSTNAMES=localhost even on one VM) is not a
+    # multi-process cluster.
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    return ("," in hostnames
+            or bool(env.get("MEGASCALE_COORDINATOR_ADDRESS")))
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -57,6 +86,11 @@ def initialize(coordinator_address: Optional[str] = None,
     except (RuntimeError, ValueError):
         if kwargs:
             raise          # explicit cluster config failed: surface it
+        if _cluster_env_detected():
+            # a cluster IS advertised but joining it failed — falling back
+            # to single-process would duplicate every other host's work
+            # and race their writes into the shared results tree
+            raise
         # no explicit config and none auto-detected: single-process run,
         # or the runtime already wired the pod before we got here
     _initialized = True

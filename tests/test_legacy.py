@@ -225,3 +225,37 @@ def test_builtins_gadgets_refused(tmp_path):
         pickle.dump(Evil(), f)
     with pytest.raises(pickle.UnpicklingError):
         load_reference_pickle(p)
+
+
+def test_numpy_gadgets_refused(tmp_path):
+    """Top-level numpy callables (numpy.save = arbitrary file write,
+    numpy.fromfile) and dotted attribute paths must NOT resolve — only
+    the exact array-reconstruction pairs are allowlisted."""
+    for target in ((np.save, (str(tmp_path / "pwned.npy"), [1])),
+                   (np.fromfile, (str(tmp_path / "x"),))):
+        class Evil:
+            def __reduce__(self, _t=target):
+                return _t
+
+        p = str(tmp_path / "np_gadget.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(Evil(), f)
+        with pytest.raises(pickle.UnpicklingError):
+            load_reference_pickle(p)
+        assert not (tmp_path / "pwned.npy").exists()
+
+    # protocol-4 dotted-name resolution (module attr chains) is refused:
+    # craft PROTO 4; SHORT_BINUNICODE x2; STACK_GLOBAL; EMPTY_TUPLE;
+    # REDUCE; STOP by hand (pickle.dumps never emits dotted names itself)
+    def short_unicode(s):
+        b = s.encode()
+        return b"\x8c" + bytes([len(b)]) + b
+
+    evil = (b"\x80\x04" + short_unicode("numpy")
+            + short_unicode("random.default_rng")
+            + b"\x93" + b")" + b"R" + b".")
+    p2 = str(tmp_path / "dotted.pkl")
+    with open(p2, "wb") as f:
+        f.write(evil)
+    with pytest.raises(pickle.UnpicklingError):
+        load_reference_pickle(p2)

@@ -182,3 +182,37 @@ class TestDistributed:
         assert not is_multihost()
         # one process owns every residue, in sorted order
         assert host_residue_partition([3, 1, 2]) == [1, 2, 3]
+
+    def test_cluster_env_detection(self, monkeypatch):
+        """A failed join must not degrade to single-host when the
+        environment advertises a real cluster (the degraded host would
+        duplicate every other host's residues and race their writes)."""
+        from basicrta_tpu.parallel import distributed as d
+        for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                    "SLURM_JOB_NUM_NODES", "SLURM_NNODES",
+                    "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
+                    "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        assert not d._cluster_env_detected()
+        # the local axon runtime exports a one-entry host list: not a pod
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+        assert not d._cluster_env_detected()
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+        assert d._cluster_env_detected()
+        monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+        monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+        assert d._cluster_env_detected()
+        monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+        assert not d._cluster_env_detected()
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        assert d._cluster_env_detected()
+        # with a cluster advertised, a failed initialize must surface
+        import jax
+        monkeypatch.setattr(d, "_initialized", False)
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: (_ for _ in ()).throw(RuntimeError("conn refused")))
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            d.initialize()
+        assert not d._initialized
