@@ -43,21 +43,35 @@ class ResidueBatch:
 
     Value columns are sorted by multiplicity descending per lane so the
     multiplicity-tiered multinomial sampler applies (kernels.SMALL_NMAX).
+
+    ``pack > 1`` marks a *packed* bucket: ``values``/``counts`` have width
+    ``128 // pack`` and the fused kernel lays ``pack`` consecutive logical
+    lanes side by side in one physical 128-column lane, sharing the
+    expensive per-row binomial draws while keeping one independent
+    (weights, rates) chain per logical lane. The XLA engine runs the
+    logical lanes directly (no 128-column requirement).
     """
     names: List[str]               # residue labels, length B
     values: np.ndarray             # (B, V) unique residence times
     counts: np.ndarray             # (B, V) multiplicities, 0 marks padding
     n_events: np.ndarray           # (B,) true event count per residue
     tiers: Tuple[int, int] = (0, 0)  # static tier boundaries
+    pack: int = 1                  # logical lanes per physical kernel lane
 
     @property
     def size(self) -> int:
         return len(self.names)
 
 
+# packed widths for small residues: V <= width shares a 128-column physical
+# lane with (128 // width) peers in the fused kernel
+_PACK_WIDTHS = (16, 32, 64)
+
+
 def bucket_residues(times_per_residue: Dict[str, np.ndarray],
-                    floor: Optional[int] = None) -> List[ResidueBatch]:
-    """Group residues into power-of-two unique-count buckets.
+                    floor: Optional[int] = None,
+                    pack_small: bool = True) -> List[ResidueBatch]:
+    """Group residues into 128-column-quantized unique-count buckets.
 
     Residence times are multiples of the trajectory interval, so the unique
     count V is small even for huge residues (the bundled 446,605-event W313
@@ -68,9 +82,19 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
     with transfer-synced timing on v5e: ladder 684k vs single-bucket 513k
     agg sweeps/s on the 300-residue bench; an earlier single-bucket win
     was an artifact of ``block_until_ready`` not blocking on the
-    remote-attached device). Tier widths — the expensive rows — are set
-    by each bucket's multiplicity profile, so small buckets also carry
-    fewer heavy-sampler rows.
+    remote-attached device). Widths quantize to whole 128-lane rows — the
+    fused kernel's work unit — rather than powers of two: a V=300 residue
+    walks 3 rows, not 4. Tier widths — the expensive rows — are set by
+    each bucket's multiplicity profile, so small buckets also carry fewer
+    heavy-sampler rows.
+
+    With ``pack_small`` (default, applies only to the default ladder —
+    an explicit ``floor`` keeps the caller's single-bucket layout),
+    residues with V <= 64 go to *packed* buckets of width 16/32/64: the
+    fused kernel runs 8/4/2 of them per physical 128-column lane, which
+    removes most of the padding waste the 128-column floor would cost
+    them (measured 59% of value columns in the 300-residue bench were
+    count-0 padding in the floor bucket).
     """
     items = []
     for name, t in times_per_residue.items():
@@ -78,11 +102,16 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
             continue
         v, c = dedup_times(t)
         items.append((name, v, c))
+    packing = pack_small and floor is None
     if floor is None:
         floor = 128
     buckets: Dict[int, list] = {}
     for name, v, c in items:
-        buckets.setdefault(_next_pow2(len(v), floor), []).append((name, v, c))
+        if packing and len(v) <= _PACK_WIDTHS[-1]:
+            width = next(w for w in _PACK_WIDTHS if len(v) <= w)
+        else:
+            width = max(floor, -(-len(v) // 128) * 128)
+        buckets.setdefault(width, []).append((name, v, c))
 
     out = []
     for V, group in sorted(buckets.items()):
@@ -101,7 +130,8 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
         values = np.take_along_axis(values, order, axis=-1)
         counts = np.take_along_axis(counts, order, axis=-1)
         out.append(ResidueBatch(names, values, counts,
-                                np.asarray(n_events), tiers))
+                                np.asarray(n_events), tiers,
+                                pack=(128 // V if V < 128 else 1)))
     return out
 
 
@@ -247,9 +277,11 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
         checkpoint_path += ".npz"
     B = batch.size
-    # pad lanes to a multiple of the lane-shard count; padded lanes carry
-    # zero counts (no events) and are sliced off the results
-    Bs = -(-B // n_lanes) * n_lanes
+    pack = batch.pack
+    # pad lanes to a multiple of the lane-shard count (and of the packing
+    # factor, so each shard reshapes whole physical lanes); padded lanes
+    # carry zero counts (no events) and are sliced off the results
+    Bs = -(-B // (n_lanes * pack)) * (n_lanes * pack)
     values_np = np.ones((Bs, batch.values.shape[1]), np.float32)
     values_np[:B] = batch.values
     counts_np = np.zeros((Bs, batch.counts.shape[1]), np.float32)
@@ -301,6 +333,8 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         ckpt_engine += f"-l{n_lanes}"
     if n_events_shards > 1:
         ckpt_engine += f"-ev{n_events_shards}"
+    if pack > 1:
+        ckpt_engine += f"-p{pack}"
     Ws, Rs = [], []
     done = 0
     seg_idx = 0
@@ -320,9 +354,13 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                     jax.device_put(state.weights, state_sharding),
                     jax.device_put(state.rates, state_sharding))
     if engine == "pallas":
-        from basicrta_tpu.sampler.pallas_sweep import (pad_tiers_to_rows,
+        from basicrta_tpu.sampler.pallas_sweep import (packed_row_tiers,
+                                                       pad_tiers_to_rows,
                                                        segment_pallas)
-        p_tiers = pad_tiers_to_rows(batch.tiers, values.shape[1])
+        if pack > 1:
+            p_tiers = packed_row_tiers(batch.tiers)
+        else:
+            p_tiers = pad_tiers_to_rows(batch.tiers, values.shape[1])
         on_cpu = jax.devices()[0].platform == "cpu"
         seed0 = jnp.int32((cfg.seed ^ bucket_salt) & 0x7FFFFFFF)
 
@@ -339,7 +377,7 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                         0x3504F333)
                     st, W, R = segment_pallas(
                         local_seed, off, MixtureState(w, r), v, c, cfg,
-                        nb, p_tiers, interpret=on_cpu)
+                        nb, p_tiers, interpret=on_cpu, pack=pack)
                     return st.weights, st.rates, W, R
 
                 sharded = jax.shard_map(
@@ -357,7 +395,7 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
             def run_segment(offset, state, nb):
                 return segment_pallas(seed0, jnp.int32(offset), state,
                                       values, counts, cfg, nb, p_tiers,
-                                      interpret=on_cpu)
+                                      interpret=on_cpu, pack=pack)
     event_steps: Dict[int, object] = {}
     while done < total_blocks:
         nb = min(segment_blocks, total_blocks - done)
@@ -457,21 +495,29 @@ def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
         for ch in range(n_chains):
             expanded[f"{name}#{ch}"] = t
     out: Dict[str, list] = {name: [None] * n_chains for name in nonempty}
-    # dispatch every bucket with deferred transfers, then finalize: bucket
-    # i+1's segments enqueue while bucket i's results stream back (pure
-    # pipeline win on remote-attached devices; with checkpointing the
-    # per-segment syncs dominate and the deferral is a no-op)
+    # one-deep pipeline: dispatch bucket i+1's segments (async), then
+    # finalize bucket i while the device works on i+1. Bucket i's results
+    # stream back under compute, but at most one bucket's thinned samples
+    # are deferred on device at a time — deferring ALL buckets to the end
+    # would hold every bucket's sample buffers in HBM simultaneously.
+    # (With checkpointing the per-segment syncs dominate and the deferral
+    # is a no-op.)
     kwargs.pop("defer_transfer", None)   # pipelining is managed here
-    pending = []
+    results, prev = [], None
     for batch in bucket_residues(expanded):
         ckpt = None
         if checkpoint_dir is not None:
             os.makedirs(checkpoint_dir, exist_ok=True)
             ckpt = os.path.join(
                 checkpoint_dir, f"ckpt_{_checkpoint_key(batch, cfg)}.npz")
-        pending.append(run_batch(batch, cfg, checkpoint_path=ckpt,
-                                 defer_transfer=True, **kwargs))
-    for res in map(finalize_batch, pending):
+        cur = run_batch(batch, cfg, checkpoint_path=ckpt,
+                        defer_transfer=True, **kwargs)
+        if prev is not None:
+            results.append(finalize_batch(prev))
+        prev = cur
+    if prev is not None:
+        results.append(finalize_batch(prev))
+    for res in results:
         for i, lane_name in enumerate(res.names):
             name, ch = lane_name.rsplit("#", 1)
             out[name][int(ch)] = (res.mcweights[i], res.mcrates[i])

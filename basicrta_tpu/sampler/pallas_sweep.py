@@ -412,6 +412,111 @@ def _suffix_sums(v, w_gk, r_gk, z_scr, K: int):
         z_scr[k] = zsum
 
 
+def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
+                       head_rows: int, small_rows: int, pack: int,
+                       early_exit: Tuple[bool, bool, bool] = (True, True,
+                                                              True)):
+    """Segmented sufficient statistics: every physical lane of the
+    (SL, G, 128) tile carries ``pack`` independent logical lanes side by
+    side in 128//pack-column segments, each with its own (w, r) chain.
+
+    ``w_pgk``/``r_pgk``: (pack, G, K). Per-column responsibilities pick the
+    owning segment's state via a static mask blend — pack * K fused
+    multiply-adds on (G, 128) tiles per suffix pass, negligible next to the
+    binomial chain the whole row then shares. The (N_k, T_k) reductions
+    split per segment the same way. Returns (ns, ts), each (pack, G, K).
+
+    Small residues are where the padding waste lived: a V<=16 residue in
+    the 128-column floor bucket paid a full head-tier row for 16 live
+    columns; packed 8-up, that row's draws are amortized across 8 residues.
+    """
+    SL, G = v.shape[0], v.shape[1]
+    W = _LANES // pack
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    masks = [((col >= s * W) & (col < (s + 1) * W)).astype(jnp.float32)
+             for s in range(pack)]                       # each (1, 128)
+
+    def col_state(st, k):
+        # (G, 128): per-column state value from the owning segment
+        out = masks[0] * st[0][:, k][:, None]
+        for s in range(1, pack):
+            out = out + masks[s] * st[s][:, k][:, None]
+        return out
+
+    zsum = jnp.zeros_like(v)
+    for k in range(K - 1, -1, -1):
+        w_col = col_state(w_pgk, k)
+        r_col = col_state(r_pgk, k)
+        z_k = (w_col * r_col)[None] * jnp.exp(-r_col[None] * v)
+        zsum = zsum + z_k
+        z_scr[k] = zsum
+
+    def seg_sums(draw3, vals3):
+        # (rows, G, 128) draws -> per-segment (pack, G) count / time sums
+        ns = jnp.stack([jnp.sum(draw3 * m[None], axis=(0, 2))
+                        for m in masks])
+        ts = jnp.stack([jnp.sum(vals3 * draw3 * m[None], axis=(0, 2))
+                        for m in masks])
+        return ns, ts
+
+    if SL > small_rows:
+        u1 = rng.uniform((SL - small_rows, G, _LANES))
+        thresh = u1 * z_scr[0][small_rows:]
+        c_single = c[small_rows:]
+        v_single = v[small_rows:]
+        prev_ind = jnp.ones_like(thresh)
+    rem = c[:small_rows]
+    v_hs = v[:small_rows]
+    ns_list, ts_list = [], []
+    for k in range(K - 1):
+        ns_k = jnp.zeros((pack, G), jnp.float32)
+        ts_k = jnp.zeros((pack, G), jnp.float32)
+        if small_rows > 0:
+            suffix = z_scr[k][:small_rows]
+            nxt = z_scr[k + 1][:small_rows]
+            pcond = jnp.clip((suffix - nxt) / jnp.maximum(suffix, _TINY),
+                             0.0, 1.0)
+            parts = []
+            if head_rows > 0:
+                parts.append(_binom_full(rng, rem[:head_rows],
+                                         pcond[:head_rows], early_exit[0],
+                                         early_exit[1]))
+            if small_rows > head_rows:
+                u = rng.uniform((small_rows - head_rows, G, _LANES))
+                parts.append(_binom_inversion(u, rem[head_rows:],
+                                              pcond[head_rows:],
+                                              _INV_SMALL, early_exit[2]))
+            draw = (parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=0))
+            dns, dts = seg_sums(draw, v_hs)
+            ns_k = ns_k + dns
+            ts_k = ts_k + dts
+            rem = rem - draw
+        if SL > small_rows:
+            ind = jnp.where(z_scr[k + 1][small_rows:] > thresh, 1.0, 0.0)
+            sdraw = c_single * (prev_ind - ind)
+            prev_ind = ind
+            dns, dts = seg_sums(sdraw, v_single)
+            ns_k = ns_k + dns
+            ts_k = ts_k + dts
+        ns_list.append(ns_k)
+        ts_list.append(ts_k)
+    ns_K = jnp.zeros((pack, G), jnp.float32)
+    ts_K = jnp.zeros((pack, G), jnp.float32)
+    if small_rows > 0:
+        dns, dts = seg_sums(rem, v_hs)
+        ns_K = ns_K + dns
+        ts_K = ts_K + dts
+    if SL > small_rows:
+        sdraw = c_single * prev_ind
+        dns, dts = seg_sums(sdraw, v_single)
+        ns_K = ns_K + dns
+        ts_K = ts_K + dts
+    ns_list.append(ns_K)
+    ts_list.append(ts_K)
+    return jnp.stack(ns_list, axis=-1), jnp.stack(ts_list, axis=-1)
+
+
 def _tiered_binom(rng, n, p, head_rows: int, small_rows: int, SL: int,
                   early_exit):
     """Tier-dispatched exact binomial draws on stacked (..., rows, G, 128)
@@ -508,6 +613,15 @@ def pad_tiers_to_rows(tiers: Tuple[int, int], V: int) -> Tuple[int, int]:
     return head, small
 
 
+def packed_row_tiers(tiers: Tuple[int, int]) -> Tuple[int, int]:
+    """Row tiers for a packed bucket (one physical row of mixed segments):
+    the row runs the most general sampler any packed column needs — exact
+    for every smaller count, so mixing multiplicities is safe."""
+    head = 1 if tiers[0] > 0 else 0
+    small = max(head, 1 if tiers[1] > 0 else 0)
+    return head, small
+
+
 
 def _group_layout(state: MixtureState, values, counts, K: int,
                   rows_per_lane: int):
@@ -523,8 +637,14 @@ def _group_layout(state: MixtureState, values, counts, K: int,
     budget = 12 * 2 ** 20
     g_fit = budget // max(1, rows_per_lane * SL * _LANES * 4)
     g_fit = max(8, (g_fit // 8) * 8)   # whole sublane tiles
-    G = int(min(_GROUP, g_fit, max(8, -(-B // 8) * 8)))
-    Bp = -(-B // G) * G
+    cap = int(min(_GROUP, g_fit))
+    # minimize padded lanes: fix the grid length NG implied by the cap,
+    # then shrink G to the smallest sublane-tile multiple covering B in
+    # NG programs (B=75 runs as 2 groups of 40 = 10 sublane tiles/op,
+    # not 2 groups of 64 = 16 — padded lanes are real VPU work)
+    NG = -(-B // cap)
+    G = max(8, (-(-B // NG) + 7) // 8 * 8)
+    Bp = NG * G
     pad = Bp - B
     w = jnp.pad(state.weights, ((0, pad), (0, 0)), constant_values=1.0)
     r = jnp.pad(state.rates, ((0, pad), (0, 0)), constant_values=1.0)
@@ -600,6 +720,7 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
 def _segment_kernel(K: int, head_rows: int, small_rows: int,
                     use_hash_rng: bool, g: int, n_blocks: int,
                     alpha: float, ga: float, gb: float, early_exit,
+                    pack: int,
                     seed_ref, w0_ref, r0_ref, v_ref, c_ref,
                     w_out_ref, r_out_ref, w_fin_ref, r_fin_ref, z_scr):
     """Run ``n_blocks * g`` whole Gibbs sweeps for one group of G lanes with
@@ -608,6 +729,10 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
 
     Grid: (B // G,). Blocks: v/c (1, SL, G, 128); w0/r0 (1, G, K);
     outputs w/r thinned (1, n_blocks, G, K) and final state (1, G, K).
+    With ``pack > 1`` the state blocks grow a leading pack axis —
+    w0/r0/fin (1, pack, G, K), thinned (1, n_blocks * pack, G, K) with
+    block ``blk`` of logical sub-lane ``s`` at index ``blk * pack + s`` —
+    and the sufficient statistics come from :func:`_suff_stats_packed`.
 
     The PRNG is re-seeded per sweep from (base seed, group, absolute sweep
     index), so chains are reproducible for any segmentation of the run —
@@ -629,16 +754,26 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
         if not use_hash_rng:
             pltpu.prng_seed(seed_sweep, group)
         rng = _Rng(use_hash_rng, seed_sweep, group)
-        ns, ts = _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K,
-                             head_rows, small_rows, early_exit)
+        if pack == 1:
+            ns, ts = _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K,
+                                 head_rows, small_rows, early_exit)
+        else:
+            ns, ts = _suff_stats_packed(rng, v, c, w_gk, r_gk, z_scr, K,
+                                        head_rows, small_rows, pack,
+                                        early_exit)
         w_new, r_new = _conjugate_in_kernel(rng, ns, ts, alpha, ga, gb)
 
         blk = (i + 1) // g - 1
 
         @pl.when((i + 1) % g == 0)
         def _():
-            w_out_ref[0, blk] = w_new
-            r_out_ref[0, blk] = r_new
+            if pack == 1:
+                w_out_ref[0, blk] = w_new
+                r_out_ref[0, blk] = r_new
+            else:
+                for s in range(pack):
+                    w_out_ref[0, blk * pack + s] = w_new[s]
+                    r_out_ref[0, blk * pack + s] = r_new[s]
 
         return (w_new, r_new)
 
@@ -650,13 +785,14 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_blocks", "tiers", "interpret",
-                                    "early_exit"))
+                                    "early_exit", "pack"))
 def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                    state: MixtureState, values: jax.Array,
                    counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
                    tiers: Tuple[int, int], interpret: bool = False,
                    early_exit: Tuple[bool, bool, bool] = (False, True,
-                                                          True)):
+                                                          True),
+                   pack: int = 1):
     """Advance all lanes by ``n_blocks`` thinning blocks in ONE fused
     ``pallas_call``: every sweep's sufficient statistics AND the conjugate
     Dirichlet/Gamma update run in VMEM; nothing touches HBM between sweeps
@@ -669,13 +805,28 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     Args:
         seed: int32 scalar base seed (shard-offset for multi-chip lanes).
         sweep_offset: int32 absolute sweep index of the segment start.
+        pack: logical lanes per physical 128-column lane (static). With
+            ``pack > 1``, ``values``/``counts`` are (B, 128 // pack) —
+            B a multiple of pack — and ``tiers`` are ROW tiers from
+            :func:`packed_row_tiers`; consecutive groups of ``pack``
+            logical lanes share one physical lane (see
+            :func:`_suff_stats_packed`).
     Returns:
         (state, W, R) with W/R (B, n_blocks, K) thinned samples.
     """
     K = cfg.ncomp
     B, V = values.shape
-    SL = V // _LANES
     head_rows, small_rows = tiers
+    if pack > 1:
+        if B % pack or V * pack != _LANES:
+            raise ValueError(
+                f"packed batch needs B % pack == 0 and width 128 // pack; "
+                f"got B={B}, V={V}, pack={pack}")
+        return _segment_pallas_packed(seed, sweep_offset, state, values,
+                                      counts, cfg, n_blocks, head_rows,
+                                      small_rows, interpret, early_exit,
+                                      pack)
+    SL = V // _LANES
     # VMEM: z_scr (K rows) + the chain's per-stage temporaries (the tree
     # formulation needs ~4x K rows instead — shrink the budget divisor
     # before switching to it)
@@ -685,7 +836,7 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                bool(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
-                               cfg.gamma_rate, early_exit)
+                               cfg.gamma_rate, early_exit, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
@@ -729,3 +880,95 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     R = jnp.swapaxes(R4, 1, 2).reshape(Bp, n_blocks, K)[:B]
     st = MixtureState(wf.reshape(Bp, K)[:B], rf.reshape(Bp, K)[:B])
     return st, W, R
+
+
+def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
+                           n_blocks, head_rows, small_rows, interpret,
+                           early_exit, pack):
+    """segment_pallas for packed buckets: pack logical (B, 128 // pack)
+    lanes into physical (B // pack, 128) lanes (row-major reshape keeps
+    each group of ``pack`` consecutive logical lanes in one physical
+    lane's fixed-width segments)."""
+    K = cfg.ncomp
+    B, W = values.shape
+    Bph = B // pack
+    v_ph = values.reshape(Bph, _LANES)
+    c_ph = counts.reshape(Bph, _LANES)
+
+    budget = 12 * 2 ** 20
+    # per-physical-lane VMEM: z_scr + temps ((K + 12) rows) plus the
+    # thinned output tiles (2 * n_blocks * pack * K floats)
+    per_lane = (K + 12) * _LANES * 4 + 2 * n_blocks * pack * K * 4
+    g_fit = max(8, (budget // max(1, per_lane)) // 8 * 8)
+    cap = int(min(_GROUP, g_fit))
+    NG = -(-Bph // cap)
+    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
+    Bpp = NG * G
+    pad_ph = Bpp - Bph
+    v4 = jnp.pad(v_ph, ((0, pad_ph), (0, 0)),
+                 constant_values=1.0).reshape(NG, 1, G, _LANES)
+    c4 = jnp.pad(c_ph, ((0, pad_ph), (0, 0))).reshape(NG, 1, G, _LANES)
+    # state: (B, K) logical -> (NG, pack, G, K)
+    def to_pgk(x, fill):
+        x = x.reshape(Bph, pack, K)
+        x = jnp.pad(x, ((0, pad_ph), (0, 0), (0, 0)), constant_values=fill)
+        return jnp.swapaxes(x.reshape(NG, G, pack, K), 1, 2)
+
+    w4 = to_pgk(state.weights, 1.0)
+    r4 = to_pgk(state.rates, 1.0)
+
+    kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
+                               bool(interpret), cfg.g, n_blocks,
+                               cfg.alpha_eff, cfg.gamma_shape,
+                               cfg.gamma_rate, early_exit, pack)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_blocks * pack, G, K),
+                         lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blocks * pack, G, K),
+                         lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, 1, G, _LANES), jnp.float32)],
+    )
+    seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                       jnp.asarray(sweep_offset, jnp.int32)])
+    W4, R4, wf, rf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NG, n_blocks * pack, G, K), jnp.float32),
+            jax.ShapeDtypeStruct((NG, n_blocks * pack, G, K), jnp.float32),
+            jax.ShapeDtypeStruct((NG, pack, G, K), jnp.float32),
+            jax.ShapeDtypeStruct((NG, pack, G, K), jnp.float32)],
+        interpret=bool(interpret),   # see segment_pallas on interpret mode
+    )(seeds, w4, r4, v4, c4)
+
+    def thinned(x):
+        # (NG, n_blocks * pack, G, K) -> (B, n_blocks, K) logical lanes
+        x = x.reshape(NG, n_blocks, pack, G, K)
+        x = jnp.transpose(x, (0, 3, 2, 1, 4))      # (NG, G, pack, nb, K)
+        return x.reshape(Bpp * pack, n_blocks, K)[:B]
+
+    def final(x):
+        x = jnp.swapaxes(x, 1, 2)                  # (NG, G, pack, K)
+        return x.reshape(Bpp * pack, K)[:B]
+
+    return (MixtureState(final(wf), final(rf)), thinned(W4), thinned(R4))

@@ -119,3 +119,125 @@ def test_pad_tiers_to_rows():
     assert pad_tiers_to_rows((1, 130), 512) == (1, 2)
     assert pad_tiers_to_rows((128, 128), 512) == (1, 1)
     assert pad_tiers_to_rows((513, 600), 512) == (4, 4)  # clamped to SL
+
+
+def test_packed_row_tiers():
+    from basicrta_tpu.sampler.pallas_sweep import packed_row_tiers
+    assert packed_row_tiers((0, 0)) == (0, 0)     # all singleton
+    assert packed_row_tiers((0, 7)) == (0, 1)     # small-tier row
+    assert packed_row_tiers((3, 20)) == (1, 1)    # head-tier row
+    assert packed_row_tiers((3, 0)) == (1, 1)
+
+
+class TestPackedBuckets:
+    """Sub-lane packing: small residues share a physical 128-column lane
+    (8/4/2-up by width 16/32/64) with per-segment chains in the fused
+    kernel — the round-3 answer to the 37.6% padding waste of the
+    128-column floor (VERDICT round 2)."""
+
+    def _small_residue(self, rng, n, vmax, rate=2.0):
+        # small-V data with a clean (unimodal) posterior: V grid points
+        # with geometric multiplicities matching an exponential at `rate`
+        # (truncating real hyperexp draws to their smallest V uniques
+        # would amputate the tail and leave a mis-specified, multi-modal
+        # posterior that mixes too slowly for an equivalence test)
+        ts = 3.0 / (rate * vmax)
+        vals = ts * np.arange(1, vmax + 1)
+        w = np.exp(-rate * vals)
+        counts = np.maximum(1, np.round(n * w / w.sum())).astype(int)
+        x = np.repeat(vals, counts)
+        return rng.permutation(x)
+
+    def test_bucket_layout(self, rng):
+        residues = {
+            "A": self._small_residue(rng, 200, 12),
+            "B": self._small_residue(rng, 400, 30),
+            "C": self._small_residue(rng, 800, 55),
+            "D": discretize_times(simulate_hyperexp(
+                20000, [0.7, 0.3], [3.0, 0.1], rng), 0.1),
+        }
+        batches = bucket_residues(residues)
+        by_pack = {b.pack: b for b in batches}
+        assert by_pack[8].values.shape[1] == 16 and by_pack[8].names == ["A"]
+        assert by_pack[4].values.shape[1] == 32 and by_pack[4].names == ["B"]
+        assert by_pack[2].values.shape[1] == 64 and by_pack[2].names == ["C"]
+        assert by_pack[1].values.shape[1] % 128 == 0
+        # an explicit floor keeps the caller's single-bucket layout
+        solo = bucket_residues(residues, floor=1024)
+        assert len(solo) == 1 and solo[0].pack == 1
+
+    def test_packed_lane_isolation(self, rng):
+        """Packed lanes must not leak data across segments: residues with
+        very different rates packed together recover their own rates."""
+        fast = self._small_residue(rng, 3000, 14, rate=4.0)
+        slow = self._small_residue(rng, 3000, 14, rate=0.1)
+        residues = {}
+        for i in range(4):
+            residues[f"F{i}"] = fast
+            residues[f"S{i}"] = slow
+        batch = bucket_residues(residues)[0]
+        assert batch.pack == 8 and batch.size == 8
+        cfg = GibbsConfig(ncomp=4, niter=2000, g=10, seed=5)
+        res = run_batch(batch, cfg, engine="pallas")
+        b = 60
+        for i, name in enumerate(res.names):
+            w = res.mcweights[i][b:]
+            r = res.mcrates[i][b:]
+            k = w.mean(0).argmax()
+            dominant_rate = r[:, k].mean()
+            if name.startswith("F"):
+                assert dominant_rate > 1.0, (name, dominant_rate)
+            else:
+                assert dominant_rate < 0.4, (name, dominant_rate)
+
+    def test_packed_engine_agreement(self, rng):
+        """Packed pallas posterior matches the (unpacked) XLA engine on
+        the same logical lanes."""
+        residues = {f"R{i}": self._small_residue(rng, 8000, 28 + i)
+                    for i in range(5)}
+        batch = bucket_residues(residues)[0]
+        assert batch.pack == 4
+        cfg = GibbsConfig(ncomp=4, niter=1600, g=10, seed=2)
+        rp = run_batch(batch, cfg, engine="pallas")
+        rx = run_batch(batch, cfg, engine="xla")
+        b = 60
+        for i in range(batch.size):
+            # compare a label/splitting-invariant functional: the mixture
+            # mean residence time sum_k w_k / r_k (the dominant-component
+            # weight is NOT invariant — chains may split the dominant mass
+            # across equal-rate components for long stretches)
+            mt_p = (rp.mcweights[i][b:] / rp.mcrates[i][b:]).sum(-1)
+            mt_x = (rx.mcweights[i][b:] / rx.mcrates[i][b:]).sum(-1)
+            assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
+            assert mt_p.std() == pytest.approx(mt_x.std(), rel=0.5,
+                                               abs=0.2 * mt_x.mean())
+
+    def test_packed_checkpoint_resume_exact(self, rng, tmp_path):
+        """Segment-keyed RNG makes packed runs resume bit-exactly."""
+        residues = {f"R{i}": self._small_residue(rng, 1000, 24)
+                    for i in range(3)}
+        batch = bucket_residues(residues)[0]
+        assert batch.pack == 4
+        cfg = GibbsConfig(ncomp=3, niter=400, g=10, seed=9)
+        full = run_batch(batch, cfg, engine="pallas")
+
+        calls = {"n": 0}
+        ck = str(tmp_path / "ck.npz")
+
+        class Stop(Exception):
+            pass
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise Stop
+
+        try:
+            run_batch(batch, cfg, engine="pallas", segment_blocks=10,
+                      checkpoint_path=ck, checkpoint_cb=boom)
+        except Stop:
+            pass
+        resumed = run_batch(batch, cfg, engine="pallas",
+                            segment_blocks=10, checkpoint_path=ck)
+        np.testing.assert_array_equal(resumed.mcweights, full.mcweights)
+        np.testing.assert_array_equal(resumed.mcrates, full.mcrates)
