@@ -97,6 +97,17 @@ class ContactConfig:
     # with more sub-cutoff pairs trigger an exact dense-transfer fallback
     transfer_cap: int = 2048
     use_pbc: bool = True         # minimum-image convention (orthorhombic)
+    # bounding-sphere prefilter: skip residue pairs whose centroid-distance
+    # lower bound clears the map cutoff (exact — see distances.min_dist_
+    # pruned). 'auto' enables it when the dense kernel's per-frame atom-
+    # pair count crosses prefilter_auto_pairs; True/False force it.
+    prefilter: object = "auto"
+    prefilter_cap: int = 4096    # plausible residue pairs per frame
+    prefilter_auto_pairs: int = 1_000_000
+    # host-memory valve: accumulated contact rows spill to an on-disk
+    # memmap past this budget (the reference's nslices memory valve,
+    # contacts.py:45-48, at device speed); 0 disables spilling
+    host_row_budget: int = 8_000_000
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -56,6 +56,37 @@ def gather_grouped(positions: jnp.ndarray, idx: np.ndarray):
     return gathered, jnp.asarray(idx >= 0)
 
 
+def _min_image_d2(d, box, use_pbc: bool, triclinic: bool, n_lead: int):
+    """Squared norms of displacement vectors under the minimum-image
+    convention. ``d``: (F, ..., 3) with ``n_lead`` axes between F and the
+    vector axis; ``box``: (F, 3) lengths or (F, 3, 3) reduced matrix.
+
+    Orthorhombic: one per-axis round. Triclinic: staircase reduction over
+    the lower-triangular lattice rows, then an exact 27-image search
+    (reference semantics: MDAnalysis capped_distance on triclinic
+    dimensions, contacts.py:115-117).
+    """
+    bshape = (slice(None),) + (None,) * n_lead
+    if use_pbc and triclinic:
+        H = box                                    # (F, 3, 3)
+        for i in (2, 1, 0):
+            hvec = H[:, i, :][bshape]
+            hii = H[:, i, i][bshape]
+            d = d - hvec * jnp.round(d[..., i] / hii)[..., None]
+        d2 = jnp.full(d.shape[:-1], jnp.inf)
+        for sa in (-1, 0, 1):
+            for sb in (-1, 0, 1):
+                for sc in (-1, 0, 1):
+                    s = sa * H[:, 0] + sb * H[:, 1] + sc * H[:, 2]  # (F, 3)
+                    dd = d + s[bshape]
+                    d2 = jnp.minimum(d2, jnp.sum(dd * dd, axis=-1))
+        return d2
+    if use_pbc:
+        b = box[bshape]
+        d = d - b * jnp.round(d / b)
+    return jnp.sum(d * d, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "use_pbc",
                                              "triclinic"))
 def min_dist_per_residue_pair(pos1: jnp.ndarray, pos2: jnp.ndarray,
@@ -104,34 +135,9 @@ def min_dist_per_residue_pair(pos1: jnp.ndarray, pos2: jnp.ndarray,
         p1, m1 = args
         # p1: (F, chunk, P1, 3); broadcast against (F, R2, P2, 3)
         d = (p1[:, :, :, None, None, :] - pos2[:, None, None, :, :, :])
-        if use_pbc and triclinic:
-            # staircase reduction: lattice rows are lower-triangular, so
-            # reducing components in c, b, a order leaves each within half
-            # a diagonal element of zero
-            H = box                                # (F, 3, 3)
-            for i in (2, 1, 0):
-                hvec = H[:, i, :][:, None, None, None, None, :]
-                hii = H[:, i, i][:, None, None, None, None]
-                d = d - hvec * jnp.round(d[..., i] / hii)[..., None]
-            valid = (m1[None, :, :, None, None]
-                     & mask2[None, None, None, :, :])
-            # exact minimum image for reduced boxes lies within one shift
-            # of the staircase-reduced vector: take the min over 27 images
-            d2 = jnp.full(d.shape[:-1], jnp.inf)
-            for sa in (-1, 0, 1):
-                for sb in (-1, 0, 1):
-                    for sc in (-1, 0, 1):
-                        s = (sa * H[:, 0] + sb * H[:, 1]
-                             + sc * H[:, 2])       # (F, 3)
-                        dd = d + s[:, None, None, None, None, :]
-                        d2 = jnp.minimum(d2, jnp.sum(dd * dd, axis=-1))
-        else:
-            if use_pbc:
-                b = box[:, None, None, None, None, :]
-                d = d - b * jnp.round(d / b)
-            d2 = jnp.sum(d * d, axis=-1)           # (F, chunk, P1, R2, P2)
-            valid = (m1[None, :, :, None, None]
-                     & mask2[None, None, None, :, :])
+        d2 = _min_image_d2(d, box, use_pbc, triclinic, n_lead=4)
+        valid = (m1[None, :, :, None, None]
+                 & mask2[None, None, None, :, :])
         d2 = jnp.where(valid, d2, jnp.inf)
         return jnp.min(d2, axis=(2, 4))            # (F, chunk, R2)
 
@@ -164,6 +170,92 @@ def compact_contacts(dmin: jnp.ndarray, cutoff: float, cap: int):
     score = jnp.where(hit, -flat, -jnp.inf)
     vals, idx = jax.lax.top_k(score, cap)
     return n, idx.astype(jnp.int32), -vals
+
+
+@functools.partial(jax.jit, static_argnames=("cap_pairs", "chunk",
+                                             "use_pbc", "triclinic"))
+def min_dist_pruned(pos1: jnp.ndarray, pos2: jnp.ndarray,
+                    cutoff: float, box: Optional[jnp.ndarray] = None,
+                    cap_pairs: int = 4096, chunk: int = 256,
+                    use_pbc: bool = True,
+                    mask1: Optional[jnp.ndarray] = None,
+                    mask2: Optional[jnp.ndarray] = None,
+                    triclinic: bool = False):
+    """Bounding-sphere-pruned minimum distances: exact sub-cutoff contacts
+    at a fraction of the dense kernel's work.
+
+    The dense kernel visits all R1*P1*R2*P2 atom pairs per frame (the
+    reference's ``capped_distance`` is a cell-list O(N) search it out-brute-
+    forces only on small systems, contacts.py:115-117). Here a coarse stage
+    computes per-residue centroids and bounding radii — O(R1*P1 + R2*P2) —
+    and a centroid distance matrix — O(R1*R2) — giving the lower bound
+    ``min_atom_dist >= d_centroid - rad1 - rad2`` (triangle inequality; it
+    holds under PBC because the torus metric is a metric and the free-space
+    radius bounds the torus radius). Only pairs whose bound reaches the
+    cutoff get the exact P1*P2 atom sweep, packed into a fixed (F,
+    cap_pairs) buffer.
+
+    Returns:
+        (n_plausible (F,) int32, flat_idx (F, cap_pairs) int32 into R1*R2,
+        dist (F, cap_pairs) f32 — +inf beyond a frame's plausible pairs).
+        A frame with ``n_plausible > cap_pairs`` overflowed: the caller
+        must fall back to the dense kernel for that batch (exactness
+        guard — dropped pairs are only ever provably beyond the cutoff).
+    """
+    F, R1, P1, _ = pos1.shape
+    _, R2, P2, _ = pos2.shape
+    if mask1 is None:
+        mask1 = jnp.ones((R1, P1), bool)
+    if mask2 is None:
+        mask2 = jnp.ones((R2, P2), bool)
+
+    def centroid_rad(pos, mask):
+        # masked centroid + free-space bounding radius per (frame, residue)
+        m = mask[None, :, :, None].astype(pos.dtype)
+        n = jnp.maximum(jnp.sum(mask, axis=-1), 1)[None, :, None]
+        c = jnp.sum(pos * m, axis=2) / n                     # (F, R, 3)
+        d2 = jnp.sum((pos - c[:, :, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(mask[None], d2, 0.0)
+        return c, jnp.sqrt(jnp.max(d2, axis=-1))             # (F, R)
+
+    c1, rad1 = centroid_rad(pos1, mask1)
+    c2, rad2 = centroid_rad(pos2, mask2)
+    dc = c1[:, :, None, :] - c2[:, None, :, :]               # (F, R1, R2, 3)
+    d_cent = jnp.sqrt(_min_image_d2(dc, box, use_pbc, triclinic, n_lead=2))
+    lb = d_cent - rad1[:, :, None] - rad2[:, None, :]        # (F, R1, R2)
+    plausible = lb <= cutoff
+    n_pl = jnp.sum(plausible.reshape(F, -1), axis=-1).astype(jnp.int32)
+    score = jnp.where(plausible, -lb, -jnp.inf).reshape(F, -1)
+    top, flat_idx = jax.lax.top_k(score, min(cap_pairs, R1 * R2))
+    flat_idx = flat_idx.astype(jnp.int32)
+    live = jnp.isfinite(top)                                 # (F, cap)
+
+    cap = flat_idx.shape[1]
+    nchunks = -(-cap // chunk)
+    pad = nchunks * chunk - cap
+    idx_p = jnp.pad(flat_idx, ((0, 0), (0, pad)))
+    live_p = jnp.pad(live, ((0, 0), (0, pad)))
+    idx_c = jnp.moveaxis(idx_p.reshape(F, nchunks, chunk), 1, 0)
+    live_c = jnp.moveaxis(live_p.reshape(F, nchunks, chunk), 1, 0)
+
+    def per_chunk(args):
+        idx, lv = args                                       # (F, chunk)
+        i = idx // R2
+        j = idx % R2
+        g1 = jnp.take_along_axis(pos1, i[:, :, None, None], axis=1)
+        g2 = jnp.take_along_axis(pos2, j[:, :, None, None], axis=1)
+        m1 = mask1[i]                                        # (F, chunk, P1)
+        m2 = mask2[j]
+        d = g1[:, :, :, None, :] - g2[:, :, None, :, :]
+        d2 = _min_image_d2(d, box, use_pbc, triclinic, n_lead=3)
+        valid = (m1[:, :, :, None] & m2[:, :, None, :]
+                 & lv[:, :, None, None])
+        d2 = jnp.where(valid, d2, jnp.inf)
+        return jnp.min(d2, axis=(2, 3))                      # (F, chunk)
+
+    d2min = jax.lax.map(per_chunk, (idx_c, live_c))
+    d2min = jnp.moveaxis(d2min, 0, 1).reshape(F, nchunks * chunk)[:, :cap]
+    return n_pl, flat_idx, jnp.sqrt(d2min).astype(jnp.float32)
 
 
 def contacts_from_batch(min_dists: np.ndarray, frame_ids: np.ndarray,

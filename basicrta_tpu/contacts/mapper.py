@@ -13,6 +13,8 @@ The trajectory source is any iterable of ``FrameBatch`` — provided by
 from __future__ import annotations
 
 import dataclasses
+import os
+import tempfile
 from typing import Iterable, Optional
 
 import jax
@@ -24,10 +26,80 @@ from basicrta_tpu.contacts.distances import (compact_contacts,
                                              contacts_from_batch,
                                              gather_grouped,
                                              group_by_residue,
-                                             min_dist_per_residue_pair)
+                                             min_dist_per_residue_pair,
+                                             min_dist_pruned)
 from basicrta_tpu.contacts.events import merge_events
 from basicrta_tpu.contacts.records import (ContactEvents, ContactMeta,
                                            ContactRecords)
+
+_COLUMN_SPEC = (("frames", np.int64), ("s1", np.int32), ("s2", np.int32),
+                ("dist", np.float32), ("times", np.float64))
+
+
+class _ColumnStore:
+    """Contact-row accumulator with a host-memory valve.
+
+    Rows accumulate in RAM lists; past ``budget_rows`` they spill to
+    anonymous on-disk files that finalize as ``np.memmap`` columns — the
+    reference streams shards into a disk memmap with ``nslices`` as the
+    explicit memory valve (contacts.py:45-48,86-92); this is the same
+    valve without the text round-trip. Spill files are unlinked immediately
+    after mapping, so nothing is left behind on any exit path.
+    """
+
+    def __init__(self, budget_rows: int = 0,
+                 spill_dir: Optional[str] = None):
+        self.budget = int(budget_rows)
+        self.spill_dir = spill_dir
+        self.lists = {k: [] for k, _ in _COLUMN_SPEC}
+        self.ram_rows = 0
+        self.total_rows = 0
+        self.spilled = False
+        self._files = {}
+
+    def append(self, frames, s1, s2, dist, times):
+        for (k, dt), col in zip(_COLUMN_SPEC,
+                                (frames, s1, s2, dist, times)):
+            self.lists[k].append(np.asarray(col, dt))
+        self.ram_rows += len(frames)
+        self.total_rows += len(frames)
+        if self.budget and self.ram_rows > self.budget:
+            self._flush()
+
+    def _flush(self):
+        if not self._files:
+            for k, dt in _COLUMN_SPEC:
+                fd, path = tempfile.mkstemp(prefix=f".contacts_{k}_",
+                                            suffix=".bin",
+                                            dir=self.spill_dir)
+                self._files[k] = (os.fdopen(fd, "wb"), path)
+        for k, dt in _COLUMN_SPEC:
+            for arr in self.lists[k]:
+                self._files[k][0].write(
+                    np.ascontiguousarray(arr, dt).tobytes())
+            self.lists[k].clear()
+        self.ram_rows = 0
+        self.spilled = True
+
+    def finalize(self):
+        """Return the concatenated columns; memmap-backed when spilled."""
+        if not self._files:
+            return {k: (np.concatenate(v) if v
+                        else np.zeros(0, dict(_COLUMN_SPEC)[k]))
+                    for k, v in self.lists.items()}
+        self._flush()
+        out = {}
+        for k, dt in _COLUMN_SPEC:
+            f, path = self._files[k]
+            f.close()
+            if self.total_rows:
+                out[k] = np.memmap(path, dtype=dt, mode="r",
+                                   shape=(self.total_rows,))
+            else:
+                out[k] = np.zeros(0, dt)
+            os.unlink(path)   # mapping stays valid; leaves no file behind
+        self._files.clear()
+        return out
 
 
 @dataclasses.dataclass
@@ -75,17 +147,29 @@ class MapContacts:
             mesh = Mesh(np.asarray(devs[:n]), ("frames",))
             self._sharding = NamedSharding(mesh, PartitionSpec("frames"))
 
-    def run(self, trajectory: Iterable[FrameBatch],
-            progress_cb=None) -> ContactRecords:
+    def _prefilter_active(self) -> bool:
+        """Bounding-sphere pruning on/off (ContactConfig.prefilter)."""
+        mode = self.cfg.prefilter
+        if mode == "auto":
+            P1 = self.group_idx1.shape[1]
+            P2 = self.group_idx2.shape[1]
+            pairs = (len(self.uniq_resids1) * P1
+                     * len(self.uniq_resids2) * P2)
+            return pairs > int(self.cfg.prefilter_auto_pairs)
+        return bool(mode)
+
+    def run(self, trajectory: Iterable[FrameBatch], progress_cb=None,
+            spill_dir: Optional[str] = None) -> ContactRecords:
         """Stream frame batches through the distance kernel and collect all
         residue pairs within the map cutoff."""
-        cols = {k: [] for k in ("frames", "s1", "s2", "dist", "times")}
+        cols = _ColumnStore(self.cfg.host_row_budget, spill_dir)
         last_time = None
         frame_diffs: list = []   # every consecutive frame-time gap
         nominal = None
         pending = None  # (device result, real frame count, batch)
+        prefilter = self._prefilter_active()
 
-        def dispatch(batch):
+        def prepare(batch):
             nonlocal nominal
             F_real = len(batch.frame_ids)
             # pad the trailing partial batch to the first batch's size so
@@ -125,7 +209,10 @@ class MapContacts:
                     box = jax.device_put(box, self._sharding)
             p1, m1 = gather_grouped(pos[:, self.indices1, :], self.group_idx1)
             p2, m2 = gather_grouped(pos[:, self.indices2, :], self.group_idx2)
-            triclinic = use_pbc and boxarr.ndim == 3
+            triclinic = use_pbc and boxarr is not None and boxarr.ndim == 3
+            return p1, m1, p2, m2, box, use_pbc, triclinic
+
+        def dense_pack(p1, m1, p2, m2, box, use_pbc, triclinic):
             dmin = min_dist_per_residue_pair(
                 p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2,
                 triclinic=triclinic)
@@ -138,45 +225,73 @@ class MapContacts:
             n_pairs = len(self.uniq_resids1) * len(self.uniq_resids2)
             cap = int(self.cfg.transfer_cap)
             if n_pairs <= cap:
-                return dmin, None, None, None
+                return "dense", (dmin, None, None, None)
             nhit, cidx, cdist = compact_contacts(dmin, self.cfg.map_cutoff,
                                                  cap)
-            return dmin, nhit, cidx, cdist
+            return "dense", (dmin, nhit, cidx, cdist)
 
-        def collect(pack, F_real, batch):
+        def dispatch(batch):
+            prep = prepare(batch)
+            if prefilter:
+                p1, m1, p2, m2, box, use_pbc, triclinic = prep
+                n_pl, cidx, cdist = min_dist_pruned(
+                    p1, p2, self.cfg.map_cutoff, box,
+                    cap_pairs=int(self.cfg.prefilter_cap),
+                    use_pbc=use_pbc, mask1=m1, mask2=m2,
+                    triclinic=triclinic)
+                return "pruned", (n_pl, cidx, cdist)
+            return dense_pack(*prep)
+
+        def decode_compact(cidx, cd, batch, F_real, R2):
+            fk, kk = np.nonzero(cd <= self.cfg.map_cutoff)
+            flat = cidx[fk, kk]
+            # re-sort within frames by pair index: identical row order
+            # (and bit-identical distances) to the dense path
+            order = np.lexsort((flat, fk))
+            fk, flat = fk[order], flat[order]
+            dist = cd[fk, kk[order]].astype(np.float32)
+            i, j = flat // R2, flat % R2
+            s1 = self.uniq_resids1[i].astype(np.int32)
+            s2 = self.uniq_resids2[j].astype(np.int32)
+            f = np.asarray(batch.frame_ids)[fk].astype(np.int64)
+            t = np.asarray(batch.times, np.float64)[fk]
+            return f, s1, s2, dist, t
+
+        def collect(kind, pack, F_real, batch):
             nonlocal last_time
-            dmin_dev, nhit_dev, cidx_dev, cdist_dev = pack
             R2 = len(self.uniq_resids2)
-            if nhit_dev is not None:
-                nhit = np.asarray(nhit_dev)[:F_real]
+            if kind == "pruned":
+                n_pl_dev, cidx_dev, cdist_dev = pack
+                n_pl = np.asarray(n_pl_dev)[:F_real]
                 cap = cidx_dev.shape[1]
-            if nhit_dev is None or (nhit > cap).any():
-                # small system (no compaction) or pathologically dense
-                # frame (cap overflow): exact dense transfer
-                dmin = np.asarray(dmin_dev)[:F_real]
-                f, s1, s2, dist, t = contacts_from_batch(
-                    dmin, batch.frame_ids, batch.times, self.uniq_resids1,
-                    self.uniq_resids2, self.cfg.map_cutoff)
-            else:
-                cidx = np.asarray(cidx_dev)[:F_real]
-                cd = np.asarray(cdist_dev)[:F_real]
-                fk, kk = np.nonzero(cd <= self.cfg.map_cutoff)
-                flat = cidx[fk, kk]
-                # re-sort within frames by pair index: identical row order
-                # (and bit-identical distances) to the dense path
-                order = np.lexsort((flat, fk))
-                fk, flat = fk[order], flat[order]
-                dist = cd[fk, kk[order]].astype(np.float32)
-                i, j = flat // R2, flat % R2
-                s1 = self.uniq_resids1[i].astype(np.int32)
-                s2 = self.uniq_resids2[j].astype(np.int32)
-                f = np.asarray(batch.frame_ids)[fk].astype(np.int64)
-                t = np.asarray(batch.times, np.float64)[fk]
-            cols["frames"].append(f)
-            cols["s1"].append(s1)
-            cols["s2"].append(s2)
-            cols["dist"].append(dist)
-            cols["times"].append(t)
+                if (n_pl > cap).any():
+                    # a frame had more plausible residue pairs than the
+                    # packing cap: redo the batch densely (exactness
+                    # guard; the prefilter only ever drops pairs that are
+                    # provably beyond the cutoff)
+                    kind, pack = dense_pack(*prepare(batch))
+                else:
+                    rows = decode_compact(np.asarray(cidx_dev)[:F_real],
+                                          np.asarray(cdist_dev)[:F_real],
+                                          batch, F_real, R2)
+            if kind == "dense":
+                dmin_dev, nhit_dev, cidx_dev, cdist_dev = pack
+                if nhit_dev is not None:
+                    nhit = np.asarray(nhit_dev)[:F_real]
+                    cap = cidx_dev.shape[1]
+                if nhit_dev is None or (nhit > cap).any():
+                    # small system (no compaction) or pathologically dense
+                    # frame (cap overflow): exact dense transfer
+                    dmin = np.asarray(dmin_dev)[:F_real]
+                    rows = contacts_from_batch(
+                        dmin, batch.frame_ids, batch.times,
+                        self.uniq_resids1, self.uniq_resids2,
+                        self.cfg.map_cutoff)
+                else:
+                    rows = decode_compact(np.asarray(cidx_dev)[:F_real],
+                                          np.asarray(cdist_dev)[:F_real],
+                                          batch, F_real, R2)
+            cols.append(*rows)
             bt = np.asarray(batch.times, np.float64)[:F_real]
             if len(bt) > 0:
                 if last_time is not None:
@@ -191,10 +306,10 @@ class MapContacts:
         # decodes batch i+1 from the trajectory (dispatch is async; the
         # sync happens in collect)
         for batch in trajectory:
-            pack = dispatch(batch)
+            kind, pack = dispatch(batch)
             if pending is not None:
                 collect(*pending)
-            pending = (pack, len(batch.frame_ids), batch)
+            pending = (kind, pack, len(batch.frame_ids), batch)
         if pending is not None:
             collect(*pending)
 
@@ -217,8 +332,7 @@ class MapContacts:
                     f"{d.max():g} ns); event durations would be wrong. Pass "
                     "an explicit ContactMeta(ts=...) for this trajectory.")
             meta.ts = ts
-        cat = {k: (np.concatenate(v) if v else np.zeros(0))
-               for k, v in cols.items()}
+        cat = cols.finalize()
         return ContactRecords(cat["frames"], cat["s1"], cat["s2"],
                               cat["dist"], cat["times"], meta)
 

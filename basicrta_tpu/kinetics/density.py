@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -53,8 +54,11 @@ def _accumulate(positions: jnp.ndarray, weights: jnp.ndarray,
     w = jnp.broadcast_to(weights.T[:, :, None], (K, F, A))
     out = jnp.zeros((K * (nvox + 1),), jnp.float32)
     out = out.at[ids.reshape(-1)].add(w.reshape(-1))
-    out = out.reshape(K, nvox + 1)[:, :nvox]
-    return out.reshape(K, nx, ny, nz)
+    out = out.reshape(K, nvox + 1)
+    # the spill bin carries the total weight of out-of-grid atoms, so the
+    # caller can warn about silent density loss (reference
+    # wdensity.py:206-218 warns when the histogram misses the user grid)
+    return out[:, :nvox].reshape(K, nx, ny, nz), out[:, nvox]
 
 
 def weighted_histogram_3d(positions: np.ndarray, weights: np.ndarray,
@@ -85,13 +89,24 @@ def weighted_histogram_3d(positions: np.ndarray, weights: np.ndarray,
 
     K = weights.shape[1]
     grids = np.zeros((K,) + tuple(nbins), np.float32)
+    spilled = np.zeros((K,), np.float64)
     dvec = jnp.asarray((gmax - gmin) / nbins, jnp.float32)
     gmin_j = jnp.asarray(gmin, jnp.float32)
     for lo in range(0, len(positions), frame_chunk):
-        grids += np.asarray(_accumulate(
+        g, s = _accumulate(
             jnp.asarray(positions[lo:lo + frame_chunk]),
             jnp.asarray(weights[lo:lo + frame_chunk]),
-            gmin_j, dvec, tuple(int(n) for n in nbins)))
+            gmin_j, dvec, tuple(int(n) for n in nbins))
+        grids += np.asarray(g)
+        spilled += np.asarray(s, np.float64)
+    total = grids.reshape(K, -1).sum(axis=-1, dtype=np.float64) + spilled
+    lost = spilled.sum()
+    if lost > 0 and total.sum() > 0:
+        warnings.warn(
+            f"{lost / total.sum():.1%} of weighted density falls outside "
+            "the grid and was dropped; enlarge the grid dimensions or "
+            "recenter it (reference wdensity.py:206-218 contract)",
+            stacklevel=2)
     return grids, edges
 
 

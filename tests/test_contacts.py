@@ -448,3 +448,168 @@ class TestCompactContacts:
             np.testing.assert_array_equal(rec.sel1_resids, dense.sel1_resids)
             np.testing.assert_array_equal(rec.sel2_resids, dense.sel2_resids)
             np.testing.assert_array_equal(rec.min_dist, dense.min_dist)
+
+
+class TestPrefilter:
+    """Bounding-sphere pruning (distances.min_dist_pruned): exact parity
+    with the dense kernel — dropped pairs are provably beyond the cutoff
+    (VERDICT round 2 item 2)."""
+
+    def _random_system(self, rng, F=4, R1=8, P1=5, R2=6, P2=4, spread=24.0):
+        resids1 = np.repeat(np.arange(R1), P1)
+        resids2 = np.repeat(np.arange(R2) + 100, P2)
+        # clustered residues (compact bounding spheres) scattered in a box
+        c1 = rng.uniform(0, spread, (F, R1, 3))
+        c2 = rng.uniform(0, spread, (F, R2, 3))
+        pos1 = (c1[:, :, None, :]
+                + rng.normal(0, 1.0, (F, R1, P1, 3))).reshape(F, R1 * P1, 3)
+        pos2 = (c2[:, :, None, :]
+                + rng.normal(0, 1.0, (F, R2, P2, 3))).reshape(F, R2 * P2, 3)
+        pos = np.concatenate([pos1, pos2], axis=1).astype(np.float32)
+        return pos, resids1, resids2, R1 * P1
+
+    @pytest.mark.parametrize("use_pbc", [False, True])
+    def test_pruned_matches_dense_kernel(self, rng, use_pbc):
+        from basicrta_tpu.contacts.distances import min_dist_pruned
+        pos, resids1, resids2, A1 = self._random_system(rng)
+        F = len(pos)
+        box = np.tile(np.array([25.0, 28.0, 30.0], np.float32), (F, 1))
+        idx1, u1 = group_by_residue(pos[0, :A1], resids1)
+        idx2, u2 = group_by_residue(pos[0, A1:], resids2)
+        p1, m1 = gather_grouped(jnp.asarray(pos[:, :A1]), idx1)
+        p2, m2 = gather_grouped(jnp.asarray(pos[:, A1:]), idx2)
+        boxj = jnp.asarray(box) if use_pbc else None
+        cutoff = 8.0
+        dense = np.asarray(min_dist_per_residue_pair(
+            p1, p2, boxj, use_pbc=use_pbc, mask1=m1, mask2=m2))
+        n_pl, idx, dist = (np.asarray(a) for a in min_dist_pruned(
+            p1, p2, cutoff, boxj, cap_pairs=64, chunk=16,
+            use_pbc=use_pbc, mask1=m1, mask2=m2))
+        R2 = len(u2)
+        cap = dist.shape[1]
+        assert (n_pl <= cap).all()
+        got = {}
+        for f in range(F):
+            for k in range(cap):
+                if np.isfinite(dist[f, k]):
+                    got[(f, idx[f, k] // R2, idx[f, k] % R2)] = dist[f, k]
+        # every dense sub-cutoff pair must be present with the same value
+        for f in range(F):
+            for i in range(len(u1)):
+                for j in range(R2):
+                    if dense[f, i, j] <= cutoff:
+                        assert (f, i, j) in got
+                        assert got[(f, i, j)] == pytest.approx(
+                            dense[f, i, j], rel=1e-5)
+
+    def test_pruned_matches_dense_triclinic(self, rng):
+        from basicrta_tpu.contacts.distances import min_dist_pruned
+        pos, resids1, resids2, A1 = self._random_system(rng, spread=18.0)
+        F = len(pos)
+        H = np.zeros((3, 3), np.float32)
+        H[0] = [22.0, 0, 0]
+        H[1] = [8.0, 24.0, 0]
+        H[2] = [-6.0, 7.0, 26.0]
+        box = np.tile(H, (F, 1, 1))
+        idx1, u1 = group_by_residue(pos[0, :A1], resids1)
+        idx2, u2 = group_by_residue(pos[0, A1:], resids2)
+        p1, m1 = gather_grouped(jnp.asarray(pos[:, :A1]), idx1)
+        p2, m2 = gather_grouped(jnp.asarray(pos[:, A1:]), idx2)
+        cutoff = 7.0
+        dense = np.asarray(min_dist_per_residue_pair(
+            p1, p2, jnp.asarray(box), mask1=m1, mask2=m2, triclinic=True))
+        n_pl, idx, dist = (np.asarray(a) for a in min_dist_pruned(
+            p1, p2, cutoff, jnp.asarray(box), cap_pairs=64, chunk=16,
+            mask1=m1, mask2=m2, triclinic=True))
+        R2 = len(u2)
+        hits = 0
+        for f in range(F):
+            sl = {}
+            for k in range(dist.shape[1]):
+                if np.isfinite(dist[f, k]):
+                    sl[(idx[f, k] // R2, idx[f, k] % R2)] = dist[f, k]
+            for i in range(len(u1)):
+                for j in range(R2):
+                    if dense[f, i, j] <= cutoff:
+                        hits += 1
+                        assert sl[(i, j)] == pytest.approx(dense[f, i, j],
+                                                           rel=1e-5)
+        assert hits > 0   # the system must actually produce contacts
+
+    def test_mapper_prefilter_matches_dense(self, rng):
+        """End-to-end MapContacts parity: prefilter on vs off, including
+        the cap-overflow dense fallback."""
+        pos, resids1, resids2, A1 = self._random_system(rng, F=6)
+        ts = 0.1
+        box = np.tile(np.array([25.0, 28.0, 30.0], np.float32), (6, 1))
+
+        def run(prefilter, cap=4096):
+            mc = MapContacts(
+                indices1=np.arange(A1), resids1=resids1,
+                indices2=np.arange(A1, pos.shape[1]), resids2=resids2,
+                cfg=ContactConfig(map_cutoff=10.0, prefilter=prefilter,
+                                  prefilter_cap=cap),
+                meta=ContactMeta(ts=ts))
+            return mc.run([FrameBatch(np.arange(6), np.arange(6) * ts,
+                                      pos, box=box)])
+
+        dense = run(False)
+        pruned = run(True)
+        overflow = run(True, cap=4)   # forces the dense-fallback path
+        assert len(dense.frames) > 0
+        for rec in (pruned, overflow):
+            np.testing.assert_array_equal(rec.frames, dense.frames)
+            np.testing.assert_array_equal(rec.sel1_resids, dense.sel1_resids)
+            np.testing.assert_array_equal(rec.sel2_resids, dense.sel2_resids)
+            np.testing.assert_allclose(rec.min_dist, dense.min_dist,
+                                       rtol=1e-5)
+
+
+class TestColumnStore:
+    """Host-memory valve: contact rows spill to disk memmaps past the row
+    budget (reference contacts.py:45-48,86-92 parity)."""
+
+    def test_spill_roundtrip(self, rng, tmp_path):
+        from basicrta_tpu.contacts.mapper import _ColumnStore
+        ram = _ColumnStore(budget_rows=0)
+        spill = _ColumnStore(budget_rows=100, spill_dir=str(tmp_path))
+        chunks = []
+        for _ in range(7):
+            n = int(rng.integers(20, 80))
+            chunk = (rng.integers(0, 1000, n), rng.integers(0, 50, n),
+                     rng.integers(100, 150, n),
+                     rng.uniform(0, 10, n).astype(np.float32),
+                     rng.uniform(0, 99.0, n))
+            chunks.append(chunk)
+            ram.append(*chunk)
+            spill.append(*chunk)
+        assert spill.spilled and not ram.spilled
+        a, b = ram.finalize(), spill.finalize()
+        for k in a:
+            np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+            assert a[k].dtype == b[k].dtype
+        assert isinstance(b["frames"], np.memmap)
+        # spill files are unlinked immediately (no litter)
+        assert not [p for p in tmp_path.iterdir()
+                    if p.name.startswith(".contacts_")]
+
+    def test_mapper_spill_matches_in_ram(self, rng):
+        pos, resids1, resids2, A1 = TestPrefilter()._random_system(rng, F=6)
+        box = np.tile(np.array([25.0, 28.0, 30.0], np.float32), (6, 1))
+
+        def run(budget):
+            mc = MapContacts(
+                indices1=np.arange(A1), resids1=resids1,
+                indices2=np.arange(A1, pos.shape[1]), resids2=resids2,
+                cfg=ContactConfig(map_cutoff=10.0, host_row_budget=budget),
+                meta=ContactMeta(ts=0.1))
+            return mc.run([FrameBatch(np.arange(3), np.arange(3) * 0.1,
+                                      pos[:3], box=box[:3]),
+                           FrameBatch(np.arange(3, 6),
+                                      np.arange(3, 6) * 0.1,
+                                      pos[3:], box=box[3:])])
+
+        a, b = run(0), run(1)   # budget 1 row -> spills every batch
+        np.testing.assert_array_equal(a.frames, b.frames)
+        np.testing.assert_array_equal(a.min_dist, b.min_dist)
+        np.testing.assert_array_equal(a.times, b.times)
