@@ -1,18 +1,21 @@
 """MD file I/O: topologies, trajectories, and density grids.
 
-No MDAnalysis/gridData dependency: GRO/PDB topologies parse in Python, XTC/
-DCD trajectories go through the native C++ library (native/mdio.cpp), and
-OpenDX densities have a pure-Python writer.
+No MDAnalysis/gridData dependency: GRO/PDB/PSF topologies parse in Python,
+XTC/TRR/DCD trajectories go through the native C++ library
+(native/mdio.cpp), and OpenDX densities have a pure-Python writer.
 """
 
 from basicrta_tpu.io.legacy import (load_reference_contacts,
                                     load_reference_gibbs)
-from basicrta_tpu.io.native import XTCReader, XTCWriter, DCDReader, DCDWriter
-from basicrta_tpu.io.topology import Topology, read_gro, read_pdb, write_pdb
+from basicrta_tpu.io.native import (XTCReader, XTCWriter, TRRReader,
+                                    TRRWriter, DCDReader, DCDWriter)
+from basicrta_tpu.io.topology import (Topology, read_gro, read_pdb,
+                                      read_psf, write_pdb)
 from basicrta_tpu.io.universe import Universe
 
 __all__ = [
-    "XTCReader", "XTCWriter", "DCDReader", "DCDWriter",
-    "Topology", "read_gro", "read_pdb", "write_pdb",
+    "XTCReader", "XTCWriter", "TRRReader", "TRRWriter",
+    "DCDReader", "DCDWriter",
+    "Topology", "read_gro", "read_pdb", "read_psf", "write_pdb",
     "Universe", "load_reference_contacts", "load_reference_gibbs",
 ]

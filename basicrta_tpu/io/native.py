@@ -79,6 +79,22 @@ def _load() -> ctypes.CDLL:
                                   c.POINTER(c.c_float), c.POINTER(c.c_float),
                                   c.POINTER(c.c_int), c.POINTER(c.c_float),
                                   c.c_float, c.c_int]
+    lib.bmd_trr_open.restype = c.c_void_p
+    lib.bmd_trr_open.argtypes = [c.c_char_p]
+    lib.bmd_trr_natoms.restype = c.c_int
+    lib.bmd_trr_natoms.argtypes = [c.c_void_p]
+    lib.bmd_trr_nframes.restype = c.c_long
+    lib.bmd_trr_nframes.argtypes = [c.c_void_p]
+    lib.bmd_trr_read.restype = c.c_long
+    lib.bmd_trr_read.argtypes = [c.c_void_p, c.POINTER(c.c_long), c.c_long,
+                                 c.POINTER(c.c_float), c.POINTER(c.c_float),
+                                 c.POINTER(c.c_int), c.POINTER(c.c_float)]
+    lib.bmd_trr_close.argtypes = [c.c_void_p]
+    lib.bmd_trr_write.restype = c.c_long
+    lib.bmd_trr_write.argtypes = [c.c_char_p, c.c_int, c.c_long,
+                                  c.POINTER(c.c_float), c.POINTER(c.c_float),
+                                  c.POINTER(c.c_int), c.POINTER(c.c_float),
+                                  c.c_int]
     lib.bmd_dcd_open.restype = c.c_void_p
     lib.bmd_dcd_open.argtypes = [c.c_char_p]
     lib.bmd_dcd_natoms.restype = c.c_int
@@ -190,6 +206,106 @@ class XTCWriter:
         self._first = False
         if got != F:
             raise IOError(f"XTC write failed with code {got}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class TRRReader:
+    """Random-access TRR reader (frame offsets indexed at open).
+
+    Same big-endian XDR wire format as XTC without the 3dfcoord
+    compression (reference reach: contacts.py:246-249 accepts every
+    format MDAnalysis reads; TRR is the common full-precision one).
+    Single- and double-precision files both decode (to float32).
+    """
+
+    def __init__(self, path: str):
+        self._lib = _load()
+        self._h = self._lib.bmd_trr_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(f"cannot open TRR file: {path}")
+        self.natoms = self._lib.bmd_trr_natoms(self._h)
+        self.nframes = self._lib.bmd_trr_nframes(self._h)
+
+    def read(self, frames: Optional[Sequence[int]] = None):
+        """Read frames (default all).
+
+        Returns:
+            coords (F, natoms, 3) float32 [Angstrom],
+            times (F,) float64 [ns],
+            box (F, 3, 3) float32 [Angstrom],
+            steps (F,) int32.
+        """
+        if frames is None:
+            frames = np.arange(self.nframes)
+        idx = np.ascontiguousarray(frames, dtype=np.int64)
+        F = len(idx)
+        coords = np.empty((F, self.natoms, 3), np.float32)
+        times = np.empty(F, np.float32)
+        steps = np.empty(F, np.int32)
+        box = np.empty((F, 3, 3), np.float32)
+        got = self._lib.bmd_trr_read(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), F,
+            _fptr(coords), _fptr(times),
+            steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _fptr(box))
+        if got != F:
+            if got == -5:
+                raise IOError("TRR frame carries no coordinates (velocity/"
+                              "force-only frame)")
+            raise IOError(f"TRR read failed with code {got}")
+        return (coords * 10.0, times.astype(np.float64) / 1000.0,
+                box * 10.0, steps)
+
+    def close(self):
+        if self._h:
+            self._lib.bmd_trr_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __len__(self):
+        return self.nframes
+
+
+class TRRWriter:
+    """TRR writer (Angstrom/ns in, nm/ps on disk; single precision,
+    box + coordinates only)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._first = True
+
+    def write(self, coords: np.ndarray, times: np.ndarray,
+              box: np.ndarray, steps: Optional[np.ndarray] = None):
+        """coords (F, A, 3) Angstrom; times (F,) ns; box (F, 3, 3) or
+        (F, 3) Angstrom (diagonal)."""
+        lib = _load()
+        coords = np.ascontiguousarray(coords, np.float32) / 10.0
+        F, A, _ = coords.shape
+        times_ps = np.ascontiguousarray(times, np.float32) * 1000.0
+        box = np.asarray(box, np.float32)
+        if box.ndim == 2:  # diagonal lengths -> full matrix
+            full = np.zeros((F, 3, 3), np.float32)
+            full[:, 0, 0] = box[:, 0]
+            full[:, 1, 1] = box[:, 1]
+            full[:, 2, 2] = box[:, 2]
+            box = full
+        box = np.ascontiguousarray(box / 10.0)
+        if steps is None:
+            steps = np.arange(F, dtype=np.int32)
+        steps = np.ascontiguousarray(steps, np.int32)
+        got = lib.bmd_trr_write(
+            self.path.encode(), A, F, _fptr(coords), _fptr(times_ps),
+            steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _fptr(box),
+            0 if self._first else 1)
+        self._first = False
+        if got != F:
+            raise IOError(f"TRR write failed with code {got}")
 
     def __enter__(self):
         return self

@@ -1,18 +1,28 @@
-"""Topology parsing (GRO/PDB) and a selection mini-language.
+"""Topology parsing (GRO/PDB/PSF) and a selection mini-language.
 
 Replaces the MDAnalysis Universe/AtomGroup machinery the reference uses for
 atom selection and PDB b-factor export (reference contacts.py:246-249,
-cluster.py:157-175). The selection grammar covers the expressions the
-pipeline needs::
+cluster.py:157-175). The selection grammar covers the expressions reference
+users routinely pass through ``--sel1/--sel2``::
 
     protein | backbone | all
-    name CA CB ... | resname CHOL POPC ... | resid 313 | resid 100-200
+    name CA CB H* ... | resname CHOL POPC ... | segid PROA ...
+    resid 313 | resid 100-200 | index 0 5 10-20
+    around 5.0 TERM | byres TERM
     not EXPR | EXPR and EXPR | EXPR or EXPR | ( EXPR )
+
+``name``/``resname``/``segid`` values accept ``*``/``?`` glob wildcards.
+``around X TERM`` selects atoms within X Angstrom of TERM's atoms
+(excluding TERM itself, minimum-image when the topology has a box —
+MDAnalysis ``around`` semantics); ``byres`` expands a selection to whole
+residues.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import fnmatch
+import re
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -53,10 +63,17 @@ class Topology:
     resnames: np.ndarray   # (A,) str
     positions: Optional[np.ndarray] = None  # (A, 3) float32 [Angstrom]
     box: Optional[np.ndarray] = None        # (3,) float32 [Angstrom]
+    segids: Optional[np.ndarray] = None     # (A,) str (PSF/PDB segments)
 
     @property
     def natoms(self) -> int:
         return len(self.names)
+
+    @property
+    def segids_or_default(self) -> np.ndarray:
+        if self.segids is None:
+            return np.full(self.natoms, "SYSTEM")
+        return self.segids
 
     def select(self, expr: str) -> np.ndarray:
         """Atom indices matching a selection expression."""
@@ -131,12 +148,49 @@ class _SelectionParser:
 
     def _values(self) -> List[str]:
         vals = []
-        stop = {"and", "or", "not", "(", ")"}
+        # 'around'/'byres' stop value lists so a missing 'and' is a loud
+        # parse error instead of silently matching them as names
+        stop = {"and", "or", "not", "(", ")", "around", "byres"}
         while self._peek() is not None and self._peek() not in stop:
             vals.append(self._next())
         if not vals:
             raise ValueError("selection keyword needs at least one value")
         return vals
+
+    @staticmethod
+    def _str_matcher(vals):
+        """Matcher over a string column supporting * and ? glob wildcards
+        (MDAnalysis accepts e.g. ``name H*`` to select all hydrogens)."""
+        plain = [v for v in vals if not any(c in v for c in "*?[")]
+        globs = [v for v in vals if any(c in v for c in "*?[")]
+        pattern = None
+        if globs:
+            pattern = re.compile("|".join(
+                fnmatch.translate(g) for g in globs))
+
+        def match(column):
+            col = np.char.upper(column.astype(str))
+            m = np.isin(col, plain) if plain else np.zeros(len(col), bool)
+            if pattern is not None:
+                uniq = np.unique(col)
+                ok = np.asarray([bool(pattern.match(u)) for u in uniq])
+                m |= np.isin(col, uniq[ok])
+            return m
+        return match
+
+    @staticmethod
+    def _int_spec(vals):
+        """Parse int values/ranges ('313', '100-200', '5:9')."""
+        ids: List[int] = []
+        ranges = []
+        for v in vals:
+            if "-" in v[1:] or ":" in v:
+                sep = ":" if ":" in v else "-"
+                lo, hi = v.split(sep)
+                ranges.append((int(lo), int(hi)))
+            else:
+                ids.append(int(v))
+        return tuple(ids), tuple(ranges)
 
     def _primitive(self):
         tok = self._next()
@@ -153,30 +207,72 @@ class _SelectionParser:
             return lambda t: prot(t) & np.isin(
                 np.char.upper(t.names.astype(str)), list(BACKBONE_NAMES))
         if tok == "name":
-            vals = [v.upper() for v in self._values()]
-            return lambda t: np.isin(np.char.upper(t.names.astype(str)),
-                                     vals)
+            match = self._str_matcher([v.upper() for v in self._values()])
+            return lambda t: match(t.names)
         if tok == "resname":
-            vals = [v.upper() for v in self._values()]
-            return lambda t: np.isin(np.char.upper(t.resnames.astype(str)),
-                                     vals)
+            match = self._str_matcher([v.upper() for v in self._values()])
+            return lambda t: match(t.resnames)
+        if tok == "segid":
+            match = self._str_matcher([v.upper() for v in self._values()])
+            return lambda t: match(t.segids_or_default)
         if tok == "resid":
-            vals = self._values()
-            ids: List[int] = []
-            ranges = []
-            for v in vals:
-                if "-" in v[1:] or ":" in v:
-                    sep = ":" if ":" in v else "-"
-                    lo, hi = v.split(sep)
-                    ranges.append((int(lo), int(hi)))
-                else:
-                    ids.append(int(v))
+            ids, ranges = self._int_spec(self._values())
 
-            def fn(t, ids=tuple(ids), ranges=tuple(ranges)):
+            def fn(t, ids=ids, ranges=ranges):
                 m = np.isin(t.resids, ids)
                 for lo, hi in ranges:
                     m |= (t.resids >= lo) & (t.resids <= hi)
                 return m
+            return fn
+        if tok == "index":
+            ids, ranges = self._int_spec(self._values())
+
+            def fn(t, ids=ids, ranges=ranges):
+                idx = np.arange(t.natoms)
+                m = np.isin(idx, ids)
+                for lo, hi in ranges:
+                    m |= (idx >= lo) & (idx <= hi)
+                return m
+            return fn
+        if tok == "around":
+            cut = self._next()
+            try:
+                cutoff = float(cut)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"'around' needs a numeric cutoff, got {cut!r}") from None
+            inner = self._term()
+
+            def fn(t, cutoff=cutoff, inner=inner):
+                if t.positions is None:
+                    raise ValueError(
+                        "'around' selections need atom coordinates in the "
+                        "topology")
+                ref = inner(t)
+                if not ref.any():
+                    return np.zeros(t.natoms, bool)
+                # minimum-image pairwise distances, chunked over reference
+                # atoms to bound memory (MDAnalysis 'around' semantics:
+                # strictly within cutoff of the inner group, excluding it)
+                pos = np.asarray(t.positions, np.float32)
+                refpos = pos[ref]
+                best = np.full(t.natoms, np.inf, np.float32)
+                box = (np.asarray(t.box, np.float32)
+                       if t.box is not None else None)
+                for lo in range(0, len(refpos), 256):
+                    d = pos[:, None, :] - refpos[None, lo:lo + 256, :]
+                    if box is not None:
+                        d -= box * np.round(d / box)
+                    best = np.minimum(
+                        best, np.sqrt((d * d).sum(-1)).min(axis=1))
+                return (best <= cutoff) & ~ref
+            return fn
+        if tok == "byres":
+            inner = self._term()
+
+            def fn(t, inner=inner):
+                m = inner(t)
+                return np.isin(t.resids, np.unique(t.resids[m]))
             return fn
         raise ValueError(f"unknown selection keyword {tok!r}")
 
@@ -219,11 +315,54 @@ def write_gro(path: str, top: Topology, positions: Optional[np.ndarray] = None,
     return path
 
 
+# ------------------------------ PSF format ------------------------------- #
+
+def read_psf(path: str) -> Topology:
+    """Parse a CHARMM/X-PLOR/NAMD PSF topology (!NATOM section).
+
+    Atom lines are whitespace-delimited in every PSF dialect (standard,
+    EXT, CHEQ): ``id segid resid resname name type charge mass [...]``.
+    No coordinates — pair with a trajectory (reference reach:
+    contacts.py:246-249 builds a Universe from any topology MDAnalysis
+    reads; PSF is the CHARMM/NAMD standard).
+    """
+    names, resids, resnames, segids = [], [], [], []
+    with open(path) as f:
+        first = f.readline()
+        if not first.startswith("PSF"):
+            raise ValueError(f"{path} is not a PSF file (missing PSF "
+                             "header)")
+        natom = None
+        for ln in f:
+            if "!NATOM" in ln:
+                natom = int(ln.split()[0])
+                break
+        if natom is None:
+            raise ValueError(f"{path}: no !NATOM section found")
+        for _ in range(natom):
+            parts = f.readline().split()
+            if len(parts) < 8:
+                raise ValueError(f"{path}: truncated !NATOM section")
+            segids.append(parts[1])
+            # resid may carry an insertion code (e.g. '42A'): keep digits
+            rid = parts[2]
+            resids.append(int(re.match(r"-?\d+", rid).group())
+                          if re.match(r"-?\d+", rid) else 0)
+            resnames.append(parts[3])
+            names.append(parts[4])
+    return Topology(np.asarray(names), np.asarray(resids, np.int32),
+                    np.asarray(resnames), positions=None, box=None,
+                    segids=np.asarray(segids))
+
+
 # ------------------------------ PDB format ------------------------------- #
 
 def read_pdb(path: str) -> Topology:
-    """Parse ATOM/HETATM records of a PDB file (fixed columns, Angstrom)."""
-    names, resids, resnames, xyz = [], [], [], []
+    """Parse ATOM/HETATM records of a PDB file (fixed columns, Angstrom).
+
+    Segment ids come from columns 73-76 when present, else the chain id
+    (column 22) — MDAnalysis's fallback order."""
+    names, resids, resnames, xyz, segids = [], [], [], [], []
     box = None
     with open(path) as f:
         for ln in f:
@@ -237,9 +376,12 @@ def read_pdb(path: str) -> Topology:
             resids.append(int(ln[22:26]))
             xyz.append((float(ln[30:38]), float(ln[38:46]),
                         float(ln[46:54])))
+            seg = ln[72:76].strip() if len(ln) > 72 else ""
+            segids.append(seg or ln[21:22].strip() or "SYSTEM")
     return Topology(np.asarray(names), np.asarray(resids, np.int32),
                     np.asarray(resnames),
-                    np.asarray(xyz, np.float32), box)
+                    np.asarray(xyz, np.float32), box,
+                    segids=np.asarray(segids))
 
 
 def write_pdb(path: str, top: Topology,

@@ -9,13 +9,15 @@ iterate device-sized frame batches.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
 from basicrta_tpu.contacts.mapper import FrameBatch
-from basicrta_tpu.io.native import DCDReader, XTCReader
-from basicrta_tpu.io.topology import Topology, read_gro, read_pdb
+from basicrta_tpu.io.native import DCDReader, TRRReader, XTCReader
+from basicrta_tpu.io.topology import (Topology, read_gro, read_pdb,
+                                      read_psf)
 
 
 def read_topology(path: str) -> Topology:
@@ -24,6 +26,8 @@ def read_topology(path: str) -> Topology:
         return read_gro(path)
     if ext == ".pdb":
         return read_pdb(path)
+    if ext == ".psf":
+        return read_psf(path)
     raise ValueError(f"unsupported topology format: {path}")
 
 
@@ -48,6 +52,15 @@ def _box_from_unitcell(cell: np.ndarray) -> np.ndarray:
     otherwise."""
     A, B, C = cell[:, 0], cell[:, 2], cell[:, 5]
     raw = cell[:, [4, 3, 1]]  # cos(alpha), cos(beta), cos(gamma) order
+    if np.any((np.abs(raw) <= 1.0) & (raw != 0.0)):
+        # the cosine-vs-degrees convention is ambiguous for |x| <= 1: a
+        # genuine 1-degree angle stored in degrees would be misread as a
+        # cosine. Pathological, but say so instead of silently guessing.
+        warnings.warn(
+            "DCD unitcell angle fields with |value| <= 1 are interpreted "
+            "as cosines (CHARMM convention); boxes with genuine angles "
+            "<= 1 degree stored in degrees would be misread",
+            stacklevel=3)
     cosv = np.where(np.abs(raw) <= 1.0, raw, np.cos(np.radians(raw)))
     ca, cb, cg = cosv[:, 0], cosv[:, 1], cosv[:, 2]
     if np.abs(cosv).max() < 1e-6:
@@ -78,6 +91,8 @@ class Universe:
             ext = os.path.splitext(traj_path)[1].lower()
             if ext == ".xtc":
                 self._traj = XTCReader(traj_path)
+            elif ext == ".trr":
+                self._traj = TRRReader(traj_path)
             elif ext == ".dcd":
                 self._traj = DCDReader(traj_path)
             else:
@@ -101,7 +116,8 @@ class Universe:
     def timestep_ns(self) -> float:
         """Frame interval in ns (the reference's ts = dt/1000,
         contacts.py:83)."""
-        if isinstance(self._traj, XTCReader) and len(self._traj) > 1:
+        if (isinstance(self._traj, (XTCReader, TRRReader))
+                and len(self._traj) > 1):
             _, t, _, _ = self._traj.read([0, 1])
             return float(t[1] - t[0])
         if isinstance(self._traj, DCDReader):
@@ -121,7 +137,7 @@ class Universe:
         """(F, A, 3) coordinates [Angstrom] of the given frames."""
         if self._traj is None:
             return np.tile(self.topology.positions[None], (len(frames), 1, 1))
-        if isinstance(self._traj, XTCReader):
+        if isinstance(self._traj, (XTCReader, TRRReader)):
             coords, _, _, _ = self._traj.read(frames)
         else:
             coords, _ = self._traj.read(frames)
@@ -142,7 +158,7 @@ class Universe:
                 box = (np.tile(self.topology.box, (len(chunk), 1))
                        if self.topology.box is not None else None)
                 times = chunk * ts
-            elif isinstance(self._traj, XTCReader):
+            elif isinstance(self._traj, (XTCReader, TRRReader)):
                 coords, times, boxmat, _ = self._traj.read(chunk)
                 box = _box_from_matrix(boxmat)
             else:

@@ -271,6 +271,246 @@ long bmd_xtc_write(const char* path, int natoms, long nframes,
     return nframes;
 }
 
+// ------------------------------- TRR ------------------------------------ //
+// GROMACS TRR: big-endian XDR frames of uncompressed float/double arrays.
+// Same wire encoding the XTC codec already speaks, minus the 3dfcoord
+// compression. Layout per frame (trnio conventions):
+//   int magic (1993)
+//   string version: int (strlen+1), u32 strlen, bytes padded to 4
+//   int ir_size, e_size, box_size, vir_size, pres_size, top_size,
+//       sym_size, x_size, v_size, f_size, natoms, step, nre
+//   real t, lambda               (real = double when the sizes say so)
+//   payload: box, vir, pres, x, v, f  (each present iff its size > 0)
+
+namespace {
+
+struct TrrFrameInfo {
+    long offset = 0;       // frame start
+    long x_offset = 0;     // absolute offset of the x array (0 = absent)
+    long box_offset = 0;   // absolute offset of the box (0 = absent)
+    int step = 0;
+    float time = 0.0f;
+    bool is_double = false;
+};
+
+struct TrrHandle {
+    FILE* f = nullptr;
+    std::string path;
+    int natoms = 0;
+    std::vector<TrrFrameInfo> frames;
+};
+
+bool read_real(FILE* f, bool is_double, double* v) {
+    if (is_double) {
+        uint8_t b[8];
+        if (fread(b, 1, 8, f) != 8) return false;
+        uint64_t u = 0;
+        for (int i = 0; i < 8; i++) u = (u << 8) | b[i];
+        std::memcpy(v, &u, 8);
+        return true;
+    }
+    float fv;
+    if (!read_float(f, &fv)) return false;
+    *v = fv;
+    return true;
+}
+
+// Parse one TRR frame header at the current position; leaves the stream at
+// the start of the payload. Returns false at EOF / malformed frame.
+bool trr_read_header(FILE* f, int* natoms, TrrFrameInfo* info,
+                     long sizes[6]) {
+    int32_t magic;
+    if (!read_int(f, &magic)) return false;
+    if (magic != 1993) return false;
+    // version string, two conventions in the wild (both 4 + 16 bytes for
+    // "GMX_trn_file"): GROMACS-native writes int(strlen+1) then an XDR
+    // string (u32 strlen + padded bytes); the xdrfile library (MDAnalysis,
+    // mdtraj) writes int(strlen+1) then an opaque of strlen+1 padded
+    // bytes. Disambiguate by whether the next word is a plausible length.
+    int32_t n1;
+    if (!read_int(f, &n1)) return false;      // strlen + 1
+    if (n1 <= 0 || n1 > 64) return false;
+    uint32_t peek;
+    if (!read_be32(f, &peek)) return false;
+    if (peek <= 64) {
+        // XDR-string convention: peek is the string length
+        long padded = (long(peek) + 3) & ~3L;
+        if (fseek(f, padded, SEEK_CUR) != 0) return false;
+    } else {
+        // opaque convention: n1 bytes padded, 4 already consumed
+        long padded = (long(n1) + 3) & ~3L;
+        if (fseek(f, padded - 4, SEEK_CUR) != 0) return false;
+    }
+    int32_t v[13];
+    for (int i = 0; i < 13; i++)
+        if (!read_int(f, &v[i])) return false;
+    const long box_size = v[2], vir_size = v[3], pres_size = v[4];
+    const long x_size = v[7], v_size = v[8], f_size = v[9];
+    *natoms = v[10];
+    info->step = v[11];
+    // double-precision file iff the per-element size says 8 bytes
+    bool is_double = false;
+    if (box_size) is_double = (box_size / 9 == 8);
+    else if (x_size && *natoms > 0)
+        is_double = (x_size / (long(*natoms) * 3) == 8);
+    info->is_double = is_double;
+    double t, lambda;
+    if (!read_real(f, is_double, &t) || !read_real(f, is_double, &lambda))
+        return false;
+    info->time = float(t);
+    sizes[0] = box_size;
+    sizes[1] = vir_size;
+    sizes[2] = pres_size;
+    sizes[3] = x_size;
+    sizes[4] = v_size;
+    sizes[5] = f_size;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bmd_trr_open(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    auto* h = new TrrHandle;
+    h->f = f;
+    h->path = path;
+    long pos = 0;
+    while (true) {
+        if (fseek(f, pos, SEEK_SET) != 0) break;
+        TrrFrameInfo info;
+        info.offset = pos;
+        int natoms = 0;
+        long sizes[6];
+        if (!trr_read_header(f, &natoms, &info, sizes)) break;
+        if (h->natoms == 0) h->natoms = natoms;
+        if (natoms != h->natoms) break;
+        long at = ftell(f);
+        info.box_offset = sizes[0] ? at : 0;
+        at += sizes[0] + sizes[1] + sizes[2];
+        info.x_offset = sizes[3] ? at : 0;
+        at += sizes[3] + sizes[4] + sizes[5];
+        h->frames.push_back(info);
+        pos = at;
+    }
+    if (h->frames.empty()) {
+        fclose(f);
+        delete h;
+        return nullptr;
+    }
+    return h;
+}
+
+int bmd_trr_natoms(void* vh) { return static_cast<TrrHandle*>(vh)->natoms; }
+
+long bmd_trr_nframes(void* vh) {
+    return long(static_cast<TrrHandle*>(vh)->frames.size());
+}
+
+// Read `count` frames. coords (count*natoms*3) floats [nm]; times ps;
+// box (count*9) [nm] (zeros when absent); steps. Frames without coordinates
+// fail with -5 (TRR frames may carry only velocities/forces).
+long bmd_trr_read(void* vh, const long* frame_idx, long count, float* coords,
+                  float* times, int* steps, float* box) {
+    auto* h = static_cast<TrrHandle*>(vh);
+    std::vector<uint8_t> buf;
+    for (long i = 0; i < count; i++) {
+        long fi = frame_idx[i];
+        if (fi < 0 || fi >= long(h->frames.size())) return -1;
+        const TrrFrameInfo& info = h->frames[size_t(fi)];
+        times[i] = info.time;
+        steps[i] = info.step;
+        const int esz = info.is_double ? 8 : 4;
+        float* bx = box + i * 9;
+        std::memset(bx, 0, 9 * sizeof(float));
+        if (info.box_offset) {
+            if (fseek(h->f, info.box_offset, SEEK_SET) != 0) return -2;
+            buf.resize(size_t(9) * esz);
+            if (fread(buf.data(), 1, buf.size(), h->f) != buf.size())
+                return -3;
+            for (int k = 0; k < 9; k++) {
+                const uint8_t* b = buf.data() + size_t(k) * esz;
+                if (info.is_double) {
+                    uint64_t u = 0;
+                    for (int j = 0; j < 8; j++) u = (u << 8) | b[j];
+                    double d;
+                    std::memcpy(&d, &u, 8);
+                    bx[k] = float(d);
+                } else {
+                    uint32_t u = (uint32_t(b[0]) << 24) |
+                                 (uint32_t(b[1]) << 16) |
+                                 (uint32_t(b[2]) << 8) | b[3];
+                    std::memcpy(&bx[k], &u, 4);
+                }
+            }
+        }
+        if (!info.x_offset) return -5;
+        if (fseek(h->f, info.x_offset, SEEK_SET) != 0) return -2;
+        const size_t n = size_t(h->natoms) * 3;
+        buf.resize(n * esz);
+        if (fread(buf.data(), 1, buf.size(), h->f) != buf.size()) return -3;
+        float* out = coords + size_t(i) * n;
+        for (size_t k = 0; k < n; k++) {
+            const uint8_t* b = buf.data() + k * esz;
+            if (info.is_double) {
+                uint64_t u = 0;
+                for (int j = 0; j < 8; j++) u = (u << 8) | b[j];
+                double d;
+                std::memcpy(&d, &u, 8);
+                out[k] = float(d);
+            } else {
+                uint32_t u = (uint32_t(b[0]) << 24) | (uint32_t(b[1]) << 16) |
+                             (uint32_t(b[2]) << 8) | b[3];
+                std::memcpy(&out[k], &u, 4);
+            }
+        }
+    }
+    return count;
+}
+
+void bmd_trr_close(void* vh) {
+    auto* h = static_cast<TrrHandle*>(vh);
+    fclose(h->f);
+    delete h;
+}
+
+// Write single-precision TRR frames carrying box + x only (the subset the
+// pipeline produces). coords [nm], times [ps], box (nframes*9) [nm].
+long bmd_trr_write(const char* path, int natoms, long nframes,
+                   const float* coords, const float* times, const int* steps,
+                   const float* box, int append) {
+    FILE* f = fopen(path, append ? "ab" : "wb");
+    if (!f) return -1;
+    const char* version = "GMX_trn_file";
+    const uint32_t slen = uint32_t(std::strlen(version));
+    for (long i = 0; i < nframes; i++) {
+        write_int(f, 1993);
+        // xdrfile-library string convention: int(strlen+1), then the
+        // null-terminated bytes as an XDR opaque (padded to 4)
+        write_int(f, int32_t(slen) + 1);
+        fwrite(version, 1, slen + 1, f);       // includes the NUL
+        const long pad = ((long(slen) + 1 + 3) & ~3L) - long(slen) - 1;
+        const uint8_t zeros[4] = {0, 0, 0, 0};
+        if (pad) fwrite(zeros, 1, size_t(pad), f);
+        const long x_size = long(natoms) * 3 * 4;
+        const int32_t v[13] = {0, 0, 9 * 4, 0, 0, 0, 0, int32_t(x_size), 0,
+                               0, natoms, steps ? steps[i] : int32_t(i), 0};
+        for (int k = 0; k < 13; k++) write_int(f, v[k]);
+        write_float(f, times[i]);
+        write_float(f, 0.0f);  // lambda
+        for (int k = 0; k < 9; k++) write_float(f, box[i * 9 + k]);
+        const float* frame = coords + size_t(i) * natoms * 3;
+        for (long k = 0; k < long(natoms) * 3; k++)
+            write_float(f, frame[k]);
+    }
+    fclose(f);
+    return nframes;
+}
+
+}  // extern "C" (bmd_trr_*)
+
 // ------------------------------- DCD ------------------------------------ //
 // Minimal CHARMM-style DCD with unit-cell records, little-endian host order.
 

@@ -224,3 +224,201 @@ class TestUniverseIntegration:
         assert ev.sel1_resids[0] == 10 and ev.sel2_resids[0] == 100
         assert ev.start_times[0] == pytest.approx(0.3, abs=1e-5)
         assert ev.durations[0] == pytest.approx(0.4, abs=1e-5)
+
+
+class TestTRR:
+    """TRR codec: the same big-endian XDR machinery as XTC without the
+    3dfcoord compression (VERDICT round 2 item 3)."""
+
+    def test_roundtrip_and_append(self, tmp_path, traj_data):
+        from basicrta_tpu.io.native import TRRReader, TRRWriter
+        coords, times, box = traj_data
+        path = str(tmp_path / "t.trr")
+        w = TRRWriter(path)
+        w.write(coords[:3], times[:3], box[:3])
+        w.write(coords[3:], times[3:], box[3:])
+        r = TRRReader(path)
+        assert r.natoms == coords.shape[1] and r.nframes == len(coords)
+        c, t, b, s = r.read()
+        # f32 in nm: ~1e-6 relative, far tighter than XTC's 0.005 A grid
+        assert np.allclose(c, coords, atol=1e-4)
+        assert np.allclose(t, times, atol=1e-6)
+        assert np.allclose(b[:, 0, 0], 50.0, atol=1e-4)
+        c2, _, _, _ = r.read([4, 0])
+        assert np.allclose(c2[0], coords[4], atol=1e-4)
+        assert np.allclose(c2[1], coords[0], atol=1e-4)
+
+    def test_double_precision_file(self, tmp_path, traj_data):
+        """Hand-write a double-precision GROMACS-native frame; the reader
+        must detect it from the size fields and decode."""
+        import struct
+        coords, times, box = traj_data
+        A = 7
+        xyz = np.asarray(coords[0, :A], np.float64) / 10.0
+        path = tmp_path / "d.trr"
+        with open(path, "wb") as f:
+            f.write(struct.pack(">i", 1993))
+            # GROMACS-native string: int(strlen+1), u32 strlen, bytes
+            f.write(struct.pack(">i", 13))
+            f.write(struct.pack(">I", 12))
+            f.write(b"GMX_trn_file")
+            sizes = [0, 0, 9 * 8, 0, 0, 0, 0, A * 3 * 8, 0, 0, A, 5, 0]
+            f.write(struct.pack(">13i", *sizes))
+            f.write(struct.pack(">2d", 7.5, 0.0))       # t [ps], lambda
+            f.write(struct.pack(">9d", *np.diag([5.0, 5.0, 5.0]).ravel()))
+            f.write(struct.pack(f">{A * 3}d", *xyz.ravel()))
+        from basicrta_tpu.io.native import TRRReader
+        r = TRRReader(str(path))
+        assert r.natoms == A and r.nframes == 1
+        c, t, b, s = r.read()
+        assert np.allclose(c[0], xyz * 10.0, atol=1e-4)
+        assert t[0] == pytest.approx(7.5e-3)
+        assert s[0] == 5
+        assert np.allclose(np.diag(b[0]), 50.0)
+
+    def test_universe_trr(self, tmp_path, traj_data):
+        from basicrta_tpu.io.native import TRRWriter
+        coords, times, box = traj_data
+        top = Topology(np.array(["C"] * coords.shape[1]),
+                       np.arange(coords.shape[1], dtype=np.int32) // 10 + 1,
+                       np.array(["ALA"] * coords.shape[1]))
+        from basicrta_tpu.io.topology import write_gro
+        top.positions = coords[0]
+        top.box = np.array([50.0, 50.0, 50.0], np.float32)
+        gro = write_gro(str(tmp_path / "t.gro"), top)
+        TRRWriter(str(tmp_path / "t.trr")).write(coords, times, box)
+        u = Universe(gro, str(tmp_path / "t.trr"))
+        assert u.n_frames == len(coords)
+        assert u.timestep_ns() == pytest.approx(0.1, rel=1e-4)
+        batches = list(u.iter_batches(batch_size=3))
+        got = np.concatenate([b.positions for b in batches])
+        assert np.allclose(got, coords, atol=1e-4)
+
+
+class TestPSF:
+    PSF_TEXT = """PSF EXT CMAP
+
+         2 !NTITLE
+* SYNTHETIC PSF
+* FOR TESTS
+
+         9 !NATOM
+         1 PROA     10       TRP      N        NH1     -0.470000       14.00700           0
+         2 PROA     10       TRP      CA       CT1      0.070000       12.01100           0
+         3 PROA     10       TRP      C        C        0.510000       12.01100           0
+         4 PROA     11       ALA      N        NH1     -0.470000       14.00700           0
+         5 PROA     11       ALA      CA       CT1      0.070000       12.01100           0
+         6 MEMB     100      CHOL     C1       CTL1     0.000000       12.01100           0
+         7 MEMB     100      CHOL     C2       CTL2     0.000000       12.01100           0
+         8 MEMB     101      CHOL     C1       CTL1     0.000000       12.01100           0
+         9 MEMB     101      CHOL     C2       CTL2     0.000000       12.01100           0
+
+         0 !NBOND: bonds
+"""
+
+    def test_parse(self, tmp_path):
+        from basicrta_tpu.io.topology import read_psf
+        p = tmp_path / "t.psf"
+        p.write_text(self.PSF_TEXT)
+        top = read_psf(str(p))
+        assert top.natoms == 9
+        assert list(top.names[:3]) == ["N", "CA", "C"]
+        assert list(np.unique(top.segids)) == ["MEMB", "PROA"]
+        assert len(top.select("protein")) == 5
+        assert len(top.select("segid PROA")) == 5
+        assert len(top.select("segid MEMB and name C1")) == 2
+
+    def test_psf_trr_contacts(self, tmp_path, rng):
+        """Contacts run from PSF topology + TRR trajectory fixtures
+        (reference reach: contacts.py:246-249)."""
+        from basicrta_tpu.config import ContactConfig
+        from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
+        from basicrta_tpu.contacts.records import ContactMeta
+        from basicrta_tpu.io.native import TRRWriter
+        p = tmp_path / "t.psf"
+        p.write_text(self.PSF_TEXT)
+        F = 8
+        pos = np.zeros((F, 9, 3), np.float32)
+        pos[:, 0:3] = [10.0, 10.0, 10.0]
+        pos[:, 3:5] = [40.0, 40.0, 40.0]
+        pos[:, 5:7] = [70.0, 70.0, 70.0]
+        pos[:, 7:9] = [80.0, 80.0, 80.0]
+        for f in range(2, 5):
+            pos[f, 5:7] = [12.0, 10.0, 10.0]   # CHOL 100 visits TRP 10
+        ts = 0.1
+        TRRWriter(str(tmp_path / "t.trr")).write(
+            pos, np.arange(F) * ts, np.tile([90.0] * 3, (F, 1)))
+        u = Universe(str(p), str(tmp_path / "t.trr"))
+        idx1 = u.select_atoms("protein")
+        idx2 = u.select_atoms("resname CHOL")
+        mc = MapContacts(
+            indices1=idx1, resids1=u.topology.resids[idx1],
+            indices2=idx2, resids2=u.topology.resids[idx2],
+            cfg=ContactConfig(map_cutoff=10.0),
+            meta=ContactMeta(ts=ts))
+        rec = mc.run(u.iter_batches(batch_size=4))
+        ev = ProcessContacts(cutoff=7.0).run(rec)
+        rows = {(int(a), int(b)): (s, d) for a, b, s, d in zip(
+            ev.sel1_resids, ev.sel2_resids, ev.start_times, ev.durations)}
+        assert (10, 100) in rows
+        s, d = rows[(10, 100)]
+        assert s == pytest.approx(0.2, abs=1e-6)
+        assert d == pytest.approx(0.3, abs=1e-6)
+
+
+class TestSelectionExtensions:
+    def test_wildcards(self):
+        top = _make_topology()
+        names = np.array(["N", "CA", "CB", "HA", "HB1", "HB2", "C1", "O1",
+                          "H"])
+        top = Topology(names, top.resids, top.resnames, top.positions,
+                       top.box)
+        assert len(top.select("name H*")) == 4
+        assert len(top.select("name HB?")) == 2
+        assert len(top.select("name C* or name N")) == 4
+        assert len(top.select("resname CH*")) == 4
+
+    def test_segid_and_index(self):
+        top = _make_topology()
+        top.segids = np.array(["PROA"] * 5 + ["MEMB"] * 4)
+        assert len(top.select("segid PROA")) == 5
+        assert len(top.select("segid MEM*")) == 4
+        assert list(top.select("index 0 2")) == [0, 2]
+        assert list(top.select("index 3-5")) == [3, 4, 5]
+        assert len(top.select("not index 0-8")) == 0
+        # no segids set: the default segment matches everything
+        top2 = _make_topology()
+        assert len(top2.select("segid SYSTEM")) == 9
+
+    def test_around(self):
+        # atoms on a line, 4 A apart; box large enough to be inert
+        pos = np.zeros((5, 3), np.float32)
+        pos[:, 0] = np.arange(5) * 4.0
+        top = Topology(np.array(["A", "B", "C", "D", "E"]),
+                       np.arange(5, dtype=np.int32) + 1,
+                       np.array(["RES"] * 5), pos,
+                       np.array([1000.0] * 3, np.float32))
+        sel = top.select("around 5.0 name C")
+        assert list(sel) == [1, 3]          # B and D, not C itself
+        sel = top.select("around 8.5 name C")
+        assert list(sel) == [0, 1, 3, 4]
+        # PBC: with a 12 A box, A (x=0) and E (x=16 -> image 4) are 4 apart
+        top.box = np.array([12.0, 1000.0, 1000.0], np.float32)
+        sel = top.select("around 5.0 name A")
+        assert 4 in sel
+
+    def test_around_requires_positions(self):
+        top = Topology(np.array(["A"]), np.array([1], np.int32),
+                       np.array(["RES"]))
+        with pytest.raises(ValueError, match="coordinates"):
+            top.select("around 5.0 name A")
+        with pytest.raises(ValueError, match="cutoff"):
+            _make_topology().select("around x name A")
+
+    def test_byres(self):
+        top = _make_topology()
+        # name CA hits resids 10 and 11 -> byres expands to all 5 atoms
+        assert len(top.select("byres name CA")) == 5
+        # around + byres: the MDAnalysis idiom 'byres around X sel'
+        sel = top.select("byres around 200.0 resid 10")
+        assert len(sel) == 6   # ALA(2) + CHOL 100(2)... depends on coords
