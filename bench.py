@@ -61,8 +61,60 @@ def make_workload(n_residues=N_RESIDUES, seed=0):
     return residues
 
 
-# round-2 floors (measured 626-650k/179k/32k); warn loudly on regression
-_GUARDS = {"pallas": 500_000.0, "xla": 140_000.0, "flagship": 25_000.0}
+# round-2 floors (measured 626-650k/179k/32k); warn loudly on regression.
+# contacts floor set from the round-3 measurement (prefiltered kernel on
+# the membrane-scale workload below).
+_GUARDS = {"pallas": 500_000.0, "xla": 140_000.0, "flagship": 25_000.0,
+           "contacts": 50.0}
+
+
+def make_membrane_frames(n_frames=96, batch=8, seed=7):
+    """Membrane-scale synthetic contact workload: 300 protein residues x
+    16 atoms against 200 lipids x 50 atoms (14,800 atoms in the two
+    selections; VERDICT round-2 item 2 scale) in a 120x120x90 A box,
+    residues as compact clusters so bounding-sphere pruning reflects a
+    real bilayer's contact sparsity."""
+    from basicrta_tpu.contacts.mapper import FrameBatch
+
+    rng = np.random.default_rng(seed)
+    R1, P1, R2, P2 = 300, 16, 200, 50
+    box_l = np.array([120.0, 120.0, 90.0], np.float32)
+    c1 = rng.uniform(0, 1, (R1, 3)) * box_l
+    c2 = rng.uniform(0, 1, (R2, 3)) * box_l
+    resids1 = np.repeat(np.arange(R1), P1)
+    resids2 = np.repeat(np.arange(R2) + 1000, P2)
+    batches = []
+    for lo in range(0, n_frames, batch):
+        F = min(batch, n_frames - lo)
+        drift1 = c1[None] + rng.normal(0, 0.4, (F, R1, 3))
+        drift2 = c2[None] + rng.normal(0, 0.4, (F, R2, 3))
+        p1 = (drift1[:, :, None] + rng.normal(0, 2.0, (F, R1, P1, 3)))
+        p2 = (drift2[:, :, None] + rng.normal(0, 2.5, (F, R2, P2, 3)))
+        pos = np.concatenate([p1.reshape(F, -1, 3), p2.reshape(F, -1, 3)],
+                             axis=1).astype(np.float32)
+        batches.append(FrameBatch(
+            np.arange(lo, lo + F), np.arange(lo, lo + F) * 0.1, pos,
+            box=np.tile(box_l, (F, 1))))
+    return batches, resids1, resids2, R1 * P1
+
+
+def bench_contacts():
+    """Frames/s through MapContacts at membrane scale (prefilter auto)."""
+    from basicrta_tpu.config import ContactConfig
+    from basicrta_tpu.contacts.mapper import MapContacts
+    from basicrta_tpu.contacts.records import ContactMeta
+
+    batches, resids1, resids2, A1 = make_membrane_frames()
+    n_frames = sum(len(b.frame_ids) for b in batches)
+    A2 = len(resids2)
+    mc = MapContacts(indices1=np.arange(A1), resids1=resids1,
+                     indices2=np.arange(A1, A1 + A2), resids2=resids2,
+                     cfg=ContactConfig(), meta=ContactMeta(ts=0.1))
+    rec = mc.run(batches)             # cold (compiles)
+    t0 = time.time()
+    rec = mc.run(batches)             # warm
+    elapsed = time.time() - t0
+    return n_frames / elapsed, len(rec.frames), n_frames
 
 
 def _timed_agg(batches, cfg, engine):
@@ -151,6 +203,15 @@ def main():
         print(f"post timing failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # contacts stage at membrane scale (round-3 VERDICT item 2)
+    try:
+        fps, n_rows, n_frames = bench_contacts()
+        extras["contacts_frames_per_sec"] = round(fps, 1)
+        extras["contacts_rows"] = int(n_rows)
+    except Exception as e:  # noqa: BLE001
+        print(f"contacts timing failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # the north-star projection: 300 residues x 110k sweeps on a v5e-8
     # with lanes sharded over 8 chips (lane parallel, collective-free)
     extras["projected_v5e8_wallclock_s"] = round(
@@ -159,7 +220,9 @@ def main():
     for key, guard in [("pallas" if engine == "pallas" else "xla", agg),
                        ("xla", extras.get("xla_sweeps_per_sec", np.inf)),
                        ("flagship",
-                        extras.get("flagship_sweeps_per_sec", np.inf))]:
+                        extras.get("flagship_sweeps_per_sec", np.inf)),
+                       ("contacts",
+                        extras.get("contacts_frames_per_sec", np.inf))]:
         if guard < _GUARDS[key]:
             print(f"REGRESSION: {key} {guard:,.0f} < round-2 floor "
                   f"{_GUARDS[key]:,.0f} sweeps/s", file=sys.stderr)
