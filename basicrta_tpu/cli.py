@@ -149,10 +149,15 @@ def _cmd_cluster(args):
               f"niter={args.niter}; run the gibbs subcommand first",
               file=sys.stderr)
         sys.exit(1)
-    out = pp.write_data()
+    out = pp.write_data(all_clusters=args.all_clusters)
     print(f"wrote {out}")
+    if args.all_clusters:
+        print(f"wrote {out[:-4]}_all.npy")
     pp.plot_protein()
     print("wrote figs/t_slow.png")
+    if args.all_clusters:
+        pp.plot_taus_all()
+        print("wrote figs/tau_clusters.png")
     if args.structure:
         path = pp.b_color_structure(args.structure)
         print(f"wrote {path}")
@@ -260,6 +265,9 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--prot", type=str, default=None)
     cl.add_argument("--structure", type=str, default=None)
     cl.add_argument("--reprocess", action="store_true")
+    cl.add_argument("--all-clusters", action="store_true",
+                    help="also write tau + CI for every non-noise cluster "
+                         "(tausout_all.npy) and the stacked tau figure")
     cl.set_defaults(fn=_cmd_cluster)
 
     k = sub.add_parser("kinetics", help="write component trajectories and "

@@ -44,6 +44,43 @@ def _save(fig, basename: Optional[str]):
     return fig
 
 
+def plot_tau_stack(tables, basename="figs/tau_clusters", scale: float = 1.0):
+    """Stacked per-cluster tau figure: every non-noise process of every
+    residue as a point with its 95% CI, log tau axis (companion to the
+    slowest-process plot_protein; reference gibbs.py:693-698 declares
+    per-cluster taus as future work).
+
+    Args:
+        tables: {residue label: (C, 4) rows [cluster, ci_lo, tau, ci_hi]}
+            as produced by ProcessProtein.get_taus_all().
+    """
+    fig, ax = plt.subplots(figsize=(5 * scale, 3 * scale))
+    labels = sorted(tables, key=lambda s: int(str(s)[1:])
+                    if str(s)[1:].isdigit() else 0)
+    max_c = 0
+    for lab in labels:
+        resid = int(str(lab)[1:]) if str(lab)[1:].isdigit() else 0
+        table = np.asarray(tables[lab]).reshape(-1, 4)
+        for ci, lo, tau, hi in table:
+            k = int(ci)
+            max_c = max(max_c, k)
+            color = f"C{k % 10}"
+            ax.errorbar([resid], [tau],
+                        yerr=[[max(tau - lo, 0.0)], [max(hi - tau, 0.0)]],
+                        fmt=".", color=color, alpha=0.7, markersize=4)
+    for k in range(max_c + 1):
+        ax.plot([], [], ".", color=f"C{k % 10}", label=f"cluster {k}")
+    ax.set_yscale("log")
+    ax.set_xlabel("residue")
+    ax.set_ylabel(r"$\tau$ [ns]")
+    if max_c < 10:
+        ax.legend(fontsize=6, ncol=2)
+    if basename:
+        os.makedirs(os.path.dirname(basename) or ".", exist_ok=True)
+        fig.savefig(f"{basename}.png", bbox_inches="tight", dpi=150)
+    return fig
+
+
 def plot_protein(residues, taus, bars, prot: Optional[str] = None,
                  label_cutoff: float = 3.0, ylim=None, scale: float = 1.0,
                  tm_path: Optional[str] = None, basename="figs/t_slow"):

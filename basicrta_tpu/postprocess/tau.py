@@ -87,3 +87,38 @@ def estimate_tau(result: ClusterResult, noise_cutoff: float,
     imax = int(np.argmax(hist))
     val = 0.5 * (edges[imax] + edges[imax + 1])
     return float(lo), float(val), float(hi)
+
+
+def estimate_tau_all(result: ClusterResult, noise_cutoff: float,
+                     params: Optional[np.ndarray] = None,
+                     nbins: int = 15) -> np.ndarray:
+    """tau + 95% CI for EVERY non-noise cluster.
+
+    The reference's ``estimate_tau`` declares per-cluster taus as intended
+    future work (reference gibbs.py:693-698 docstring) and returns only
+    the slowest process; here the same histogram-mode/empirical-CI
+    estimator runs over each non-noise cluster.
+
+    Returns:
+        (C, 4) float array, one row ``[cluster, ci_lo, tau_max, ci_hi]``
+        per non-noise cluster, ordered slowest process first (descending
+        tau). Raises AllNoiseError when no cluster survives.
+    """
+    if params is None:
+        params, _ = estimate_params(result)
+    imaxs = result.pindicator_values.max(axis=0)
+    all_clusters = np.arange(result.lmode)
+    present = np.isin(all_clusters, np.unique(result.labels))
+    candidates = all_clusters[present & (imaxs >= noise_cutoff)]
+    candidates = candidates[np.isfinite(params[candidates, 1])]
+    if candidates.size == 0:
+        raise AllNoiseError("all clusters classified as noise")
+    rows = []
+    for c in candidates[np.argsort(params[candidates, 1])]:
+        taus = 1.0 / result.data[result.labels == c, 1]
+        lo, hi = empirical_ci(taus)
+        hist, edges = np.histogram(taus, bins=nbins)
+        imax = int(np.argmax(hist))
+        rows.append([float(c), float(lo),
+                     0.5 * (edges[imax] + edges[imax + 1]), float(hi)])
+    return np.asarray(rows, np.float64)

