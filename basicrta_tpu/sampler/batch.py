@@ -63,14 +63,17 @@ class ResidueBatch:
         return len(self.names)
 
 
-# packed widths for small residues: V <= width shares a 128-column physical
-# lane with (128 // width) peers in the fused kernel
-_PACK_WIDTHS = (16, 32, 64)
+# packed segment widths: a residue with V <= 16/32 shares a physical lane
+# 8/4-up; everything larger packs 2-up into 64-column segments spanning
+# ceil(V/64) rows — 64-column work quantization instead of 128
+_PACK_WIDTHS = (16, 32)
+_PACK2_W = 64
 
 
 def bucket_residues(times_per_residue: Dict[str, np.ndarray],
                     floor: Optional[int] = None,
-                    pack_small: bool = True) -> List[ResidueBatch]:
+                    pack_small: bool = True,
+                    ladder: Optional[str] = None) -> List[ResidueBatch]:
     """Group residues into 128-column-quantized unique-count buckets.
 
     Residence times are multiples of the trajectory interval, so the unique
@@ -90,11 +93,19 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
 
     With ``pack_small`` (default, applies only to the default ladder —
     an explicit ``floor`` keeps the caller's single-bucket layout),
-    residues with V <= 64 go to *packed* buckets of width 16/32/64: the
-    fused kernel runs 8/4/2 of them per physical 128-column lane, which
-    removes most of the padding waste the 128-column floor would cost
-    them (measured 59% of value columns in the 300-residue bench were
-    count-0 padding in the floor bucket).
+    residues go to *packed* buckets: V <= 16/32 shares a physical
+    128-column lane 8/4-up, and everything larger packs 2-up into
+    64-column segments spanning ceil(V/64) rows — work quantizes to
+    64-column granularity instead of 128, and each packed row's
+    expensive binomial draws are shared between the paired residues
+    (round-2 bench: 37.6% of value columns were count-0 padding; the
+    16/32/64 ladder alone still left 19.6%).
+
+    ``ladder='pow2'`` restores the coarse power-of-two, unpacked layout —
+    the right shape for the XLA engine, whose per-sweep graph pays a
+    fixed dispatch/fusion overhead per bucket that the fine packed
+    ladder multiplies (measured 197k -> 130k agg sweeps/s on v5e when
+    the XLA engine ran the 14-bucket packed layout).
     """
     items = []
     for name, t in times_per_residue.items():
@@ -102,19 +113,24 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
             continue
         v, c = dedup_times(t)
         items.append((name, v, c))
-    packing = pack_small and floor is None
+    packing = pack_small and floor is None and ladder != "pow2"
     if floor is None:
         floor = 128
-    buckets: Dict[int, list] = {}
+    buckets: Dict[Tuple[int, int], list] = {}
     for name, v, c in items:
         if packing and len(v) <= _PACK_WIDTHS[-1]:
             width = next(w for w in _PACK_WIDTHS if len(v) <= w)
+            key = (width, 128 // width)
+        elif packing:
+            key = (-(-len(v) // _PACK2_W) * _PACK2_W, 2)
+        elif ladder == "pow2":
+            key = (_next_pow2(len(v), floor), 1)
         else:
-            width = max(floor, -(-len(v) // 128) * 128)
-        buckets.setdefault(width, []).append((name, v, c))
+            key = (max(floor, -(-len(v) // 128) * 128), 1)
+        buckets.setdefault(key, []).append((name, v, c))
 
     out = []
-    for V, group in sorted(buckets.items()):
+    for (V, pack), group in sorted(buckets.items()):
         B = len(group)
         values = np.zeros((B, V), np.float64)
         counts = np.zeros((B, V), np.float64)
@@ -130,8 +146,7 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
         values = np.take_along_axis(values, order, axis=-1)
         counts = np.take_along_axis(counts, order, axis=-1)
         out.append(ResidueBatch(names, values, counts,
-                                np.asarray(n_events), tiers,
-                                pack=(128 // V if V < 128 else 1)))
+                                np.asarray(n_events), tiers, pack=pack))
     return out
 
 
@@ -358,7 +373,9 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                                                        pad_tiers_to_rows,
                                                        segment_pallas)
         if pack > 1:
-            p_tiers = packed_row_tiers(batch.tiers)
+            seg_w = 128 // pack
+            p_tiers = packed_row_tiers(batch.tiers, seg_w,
+                                       values.shape[1] // seg_w)
         else:
             p_tiers = pad_tiers_to_rows(batch.tiers, values.shape[1])
         on_cpu = jax.devices()[0].platform == "cpu"
@@ -495,6 +512,16 @@ def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
         for ch in range(n_chains):
             expanded[f"{name}#{ch}"] = t
     out: Dict[str, list] = {name: [None] * n_chains for name in nonempty}
+    # bucket layout per engine: the fused kernel wants the fine packed
+    # ladder (64-column work quantization); the XLA engine wants few,
+    # coarse buckets (per-bucket dispatch overhead dominates its ladder
+    # gains — see bucket_residues)
+    engine = kwargs.get("engine", "xla")
+    if engine == "auto":
+        engine = ("pallas" if jax.devices()[0].platform == "tpu"
+                  else "xla")
+        kwargs["engine"] = engine
+    ladder = None if engine == "pallas" else "pow2"
     # one-deep pipeline: dispatch bucket i+1's segments (async), then
     # finalize bucket i while the device works on i+1. Bucket i's results
     # stream back under compute, but at most one bucket's thinned samples
@@ -504,7 +531,7 @@ def run_residues(times_per_residue: Dict[str, np.ndarray], cfg: GibbsConfig,
     # is a no-op.)
     kwargs.pop("defer_transfer", None)   # pipelining is managed here
     results, prev = [], None
-    for batch in bucket_residues(expanded):
+    for batch in bucket_residues(expanded, ladder=ladder):
         ckpt = None
         if checkpoint_dir is not None:
             os.makedirs(checkpoint_dir, exist_ok=True)

@@ -28,6 +28,7 @@ whole 128-lane rows:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -613,14 +614,56 @@ def pad_tiers_to_rows(tiers: Tuple[int, int], V: int) -> Tuple[int, int]:
     return head, small
 
 
-def packed_row_tiers(tiers: Tuple[int, int]) -> Tuple[int, int]:
-    """Row tiers for a packed bucket (one physical row of mixed segments):
-    the row runs the most general sampler any packed column needs — exact
-    for every smaller count, so mixing multiplicities is safe."""
-    head = 1 if tiers[0] > 0 else 0
-    small = max(head, 1 if tiers[1] > 0 else 0)
+def packed_row_tiers(tiers: Tuple[int, int], seg_width: int,
+                     SL: int) -> Tuple[int, int]:
+    """Row tiers for a packed bucket: logical column j of a segment lives
+    in physical row j // seg_width, and columns are multiplicity-sorted,
+    so a logical tier boundary at column t puts rows [0, ceil(t / W))
+    in that tier. Each physical row runs the most general sampler any of
+    its packed columns needs — exact for every smaller count, so mixing
+    multiplicities across segments is safe."""
+    up = lambda x: -(-x // seg_width)  # noqa: E731
+    head = min(up(tiers[0]), SL)
+    small = min(max(up(tiers[1]), head), SL)
     return head, small
 
+
+
+def transcendentals_per_sweep(B: int, V: int, pack: int,
+                              tiers: Tuple[int, int], K: int) -> int:
+    """Static count of transcendental ops (exp/log/sqrt) one sweep of the
+    fused kernel executes for a bucket, INCLUDING padded lanes/columns —
+    the roofline numerator (BENCH extras ``vpu_transcendental_util``).
+
+    Per physical (G, 128) row tile and component step: the suffix pass
+    costs K exps per element; a head row pays the inversion table's
+    exp+log plus ~1.3 BTRS rounds of ~6 log/sqrt each plus the 2-gammaln
+    setup (3 logs + sqrt); a small row pays exp+log; singleton rows pay
+    none. The conjugate update adds ~3 transcendentals per Marsaglia-
+    Tsang round over the (pack, G, K) state tile.
+    """
+    if pack > 1:
+        W = _LANES // pack
+        SL = V // W
+        head, small = packed_row_tiers(tiers, W, SL)
+        Bph = -(-B // pack)
+    else:
+        SL = max(V // _LANES, 1)
+        head, small = pad_tiers_to_rows(tiers, max(V, _LANES))
+        Bph = B
+    # padded physical lane count (mirrors the G-choice of the layouts)
+    cap = _GROUP
+    NG = -(-Bph // cap)
+    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
+    lanes = NG * G
+    elems_row = _LANES
+    suffix = K * SL * elems_row                       # exps per lane
+    chain = 0
+    for _ in range(K - 1):
+        chain += head * elems_row * (2 + 1.3 * 6 + 4)   # head rows
+        chain += max(small - head, 0) * elems_row * 2   # small rows
+    conj = 2 * pack * K * (_MT_ROUNDS * 3 + 2)        # per physical lane
+    return int(lanes * (suffix + chain + conj))
 
 
 def _group_layout(state: MixtureState, values, counts, K: int,
@@ -682,7 +725,8 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
                                               K + 3)
 
     kernel = functools.partial(_sweep_stats_kernel, K, head_rows,
-                               small_rows, bool(interpret), bool(tree))
+                               small_rows, _use_hash_rng(interpret),
+                               bool(tree))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
@@ -783,6 +827,17 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
     r_fin_ref[0] = r_fin
 
 
+def _use_hash_rng(interpret: bool) -> bool:
+    """Device RNG selection: the portable counter-hash RNG is always used
+    in interpreter mode (no pltpu PRNG primitives there) and can be forced
+    on hardware with BASICRTA_DEVICE_RNG=hash — the statistically safe
+    fallback while any doubt about the hardware stream exists (the GOF
+    battery in scripts/device_prng.py validates both paths)."""
+    if interpret:
+        return True
+    return os.environ.get("BASICRTA_DEVICE_RNG", "hw") == "hash"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_blocks", "tiers", "interpret",
                                     "early_exit", "pack"))
@@ -806,10 +861,11 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
         seed: int32 scalar base seed (shard-offset for multi-chip lanes).
         sweep_offset: int32 absolute sweep index of the segment start.
         pack: logical lanes per physical 128-column lane (static). With
-            ``pack > 1``, ``values``/``counts`` are (B, 128 // pack) —
-            B a multiple of pack — and ``tiers`` are ROW tiers from
+            ``pack > 1``, ``values``/``counts`` are (B, SL * 128 // pack)
+            — B a multiple of pack, widths whole multiples of the
+            128 // pack segment width — and ``tiers`` are ROW tiers from
             :func:`packed_row_tiers`; consecutive groups of ``pack``
-            logical lanes share one physical lane (see
+            logical lanes share one physical lane across SL rows (see
             :func:`_suff_stats_packed`).
     Returns:
         (state, W, R) with W/R (B, n_blocks, K) thinned samples.
@@ -818,10 +874,10 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     B, V = values.shape
     head_rows, small_rows = tiers
     if pack > 1:
-        if B % pack or V * pack != _LANES:
+        if B % pack or (V * pack) % _LANES:
             raise ValueError(
-                f"packed batch needs B % pack == 0 and width 128 // pack; "
-                f"got B={B}, V={V}, pack={pack}")
+                f"packed batch needs B % pack == 0 and width a multiple "
+                f"of 128 // pack; got B={B}, V={V}, pack={pack}")
         return _segment_pallas_packed(seed, sweep_offset, state, values,
                                       counts, cfg, n_blocks, head_rows,
                                       small_rows, interpret, early_exit,
@@ -834,7 +890,7 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                                               K + 12)
 
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
-                               bool(interpret), cfg.g, n_blocks,
+                               _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
                                cfg.gamma_rate, early_exit, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -885,29 +941,44 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
 def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
                            n_blocks, head_rows, small_rows, interpret,
                            early_exit, pack):
-    """segment_pallas for packed buckets: pack logical (B, 128 // pack)
-    lanes into physical (B // pack, 128) lanes (row-major reshape keeps
-    each group of ``pack`` consecutive logical lanes in one physical
-    lane's fixed-width segments)."""
+    """segment_pallas for packed buckets: ``pack`` consecutive logical
+    lanes of width W = 128 // pack share one physical lane, each owning
+    the fixed column range [s*W, (s+1)*W) of every one of the lane's
+    SL = logical_width // W rows. Logical columns are multiplicity-sorted,
+    so row r of a segment holds its columns [r*W, (r+1)*W) — tier rows
+    stay meaningful (packed_row_tiers)."""
     K = cfg.ncomp
-    B, W = values.shape
+    B, WL = values.shape                 # logical width WL = W * SL
+    W = _LANES // pack
+    SL = WL // W
     Bph = B // pack
-    v_ph = values.reshape(Bph, _LANES)
-    c_ph = counts.reshape(Bph, _LANES)
+
+    def to_phys(x, fill):
+        # (B, SL * W) logical -> (Bph, SL, 128): segment s of a physical
+        # lane owns columns [s*W, (s+1)*W) of every row
+        x = x.reshape(Bph, pack, SL, W)
+        return jnp.swapaxes(x, 1, 2).reshape(Bph, SL, _LANES)
+
+    v_ph = to_phys(values, 1.0)
+    c_ph = to_phys(counts, 0.0)
 
     budget = 12 * 2 ** 20
-    # per-physical-lane VMEM: z_scr + temps ((K + 12) rows) plus the
+    # per-physical-lane VMEM: z_scr + temps ((K + 12) rows x SL) plus the
     # thinned output tiles (2 * n_blocks * pack * K floats)
-    per_lane = (K + 12) * _LANES * 4 + 2 * n_blocks * pack * K * 4
+    per_lane = (K + 12) * SL * _LANES * 4 + 2 * n_blocks * pack * K * 4
     g_fit = max(8, (budget // max(1, per_lane)) // 8 * 8)
     cap = int(min(_GROUP, g_fit))
     NG = -(-Bph // cap)
     G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
     Bpp = NG * G
     pad_ph = Bpp - Bph
-    v4 = jnp.pad(v_ph, ((0, pad_ph), (0, 0)),
-                 constant_values=1.0).reshape(NG, 1, G, _LANES)
-    c4 = jnp.pad(c_ph, ((0, pad_ph), (0, 0))).reshape(NG, 1, G, _LANES)
+    v4 = jnp.swapaxes(
+        jnp.pad(v_ph, ((0, pad_ph), (0, 0), (0, 0)), constant_values=1.0)
+        .reshape(NG, G, SL, _LANES), 1, 2)
+    c4 = jnp.swapaxes(
+        jnp.pad(c_ph, ((0, pad_ph), (0, 0), (0, 0)))
+        .reshape(NG, G, SL, _LANES), 1, 2)
+
     # state: (B, K) logical -> (NG, pack, G, K)
     def to_pgk(x, fill):
         x = x.reshape(Bph, pack, K)
@@ -918,7 +989,7 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
     r4 = to_pgk(state.rates, 1.0)
 
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
-                               bool(interpret), cfg.g, n_blocks,
+                               _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
                                cfg.gamma_rate, early_exit, pack)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -929,9 +1000,9 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, _LANES), lambda i, s: (i, 0, 0, 0),
+            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, _LANES), lambda i, s: (i, 0, 0, 0),
+            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -946,7 +1017,7 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
             pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((K, 1, G, _LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, SL, G, _LANES), jnp.float32)],
     )
     seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
                        jnp.asarray(sweep_offset, jnp.int32)])

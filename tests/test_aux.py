@@ -245,3 +245,27 @@ class TestDeferredPipeline:
         # forwarded into a TypeError
         out = run_residues({"A1": x}, cfg, defer_transfer=False)
         assert "A1" in out
+
+
+def test_engine_specific_ladder(rng):
+    """run_residues lays buckets out per engine: fine packed ladder for
+    the fused kernel, coarse pow2 for XLA (whose per-bucket dispatch
+    overhead outweighs ladder gains)."""
+    from basicrta_tpu.sampler.batch import bucket_residues
+    residues = {f"R{i}": 0.1 * rng.integers(1, 40 + 60 * i, 300)
+                for i in range(6)}
+    fine = bucket_residues(residues)
+    coarse = bucket_residues(residues, ladder="pow2")
+    assert any(b.pack > 1 for b in fine)
+    assert all(b.pack == 1 for b in coarse)
+    assert all(b.values.shape[1] in (128, 256, 512, 1024)
+               for b in coarse)
+    # both layouts produce working runs with identical residue sets
+    from basicrta_tpu.config import GibbsConfig
+    from basicrta_tpu.sampler.batch import run_residues
+    cfg = GibbsConfig(ncomp=3, niter=100, g=10)
+    out_x = run_residues(residues, cfg, engine="xla")
+    out_p = run_residues(residues, cfg, engine="pallas")
+    assert set(out_x) == set(out_p) == set(residues)
+    for name in residues:
+        assert out_x[name][0].shape == out_p[name][0].shape

@@ -123,10 +123,15 @@ def test_pad_tiers_to_rows():
 
 def test_packed_row_tiers():
     from basicrta_tpu.sampler.pallas_sweep import packed_row_tiers
-    assert packed_row_tiers((0, 0)) == (0, 0)     # all singleton
-    assert packed_row_tiers((0, 7)) == (0, 1)     # small-tier row
-    assert packed_row_tiers((3, 20)) == (1, 1)    # head-tier row
-    assert packed_row_tiers((3, 0)) == (1, 1)
+    assert packed_row_tiers((0, 0), 16, 1) == (0, 0)   # all singleton
+    assert packed_row_tiers((0, 7), 16, 1) == (0, 1)   # small-tier row
+    assert packed_row_tiers((3, 20), 16, 1) == (1, 1)  # head-tier row
+    assert packed_row_tiers((3, 0), 16, 1) == (1, 1)
+    # multi-row 64-wide segments: logical boundary at column t -> row
+    # boundary ceil(t / 64), clamped to SL
+    assert packed_row_tiers((10, 70), 64, 3) == (1, 2)
+    assert packed_row_tiers((65, 300), 64, 3) == (2, 3)
+    assert packed_row_tiers((0, 64), 64, 3) == (0, 1)
 
 
 class TestPackedBuckets:
@@ -156,12 +161,19 @@ class TestPackedBuckets:
             "D": discretize_times(simulate_hyperexp(
                 20000, [0.7, 0.3], [3.0, 0.1], rng), 0.1),
         }
+        V_D = len(np.unique(residues["D"]))
         batches = bucket_residues(residues)
-        by_pack = {b.pack: b for b in batches}
-        assert by_pack[8].values.shape[1] == 16 and by_pack[8].names == ["A"]
-        assert by_pack[4].values.shape[1] == 32 and by_pack[4].names == ["B"]
-        assert by_pack[2].values.shape[1] == 64 and by_pack[2].names == ["C"]
-        assert by_pack[1].values.shape[1] % 128 == 0
+        by_names = {tuple(b.names): b for b in batches}
+        a = by_names[("A",)]
+        assert a.pack == 8 and a.values.shape[1] == 16
+        b = by_names[("B",)]
+        assert b.pack == 4 and b.values.shape[1] == 32
+        c = by_names[("C",)]
+        assert c.pack == 2 and c.values.shape[1] == 64
+        # mid/large residues pack 2-up over 64-column-quantized widths
+        d = by_names[("D",)]
+        assert d.pack == 2
+        assert d.values.shape[1] == -(-V_D // 64) * 64
         # an explicit floor keeps the caller's single-bucket layout
         solo = bucket_residues(residues, floor=1024)
         assert len(solo) == 1 and solo[0].pack == 1
@@ -211,6 +223,45 @@ class TestPackedBuckets:
             assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
             assert mt_p.std() == pytest.approx(mt_x.std(), rel=0.5,
                                                abs=0.2 * mt_x.mean())
+
+    def test_multirow_packed_engine_agreement(self, rng):
+        """pack=2 lanes spanning several rows (the 64-column quantized
+        ladder for mid-size residues) agree with the XLA engine."""
+        residues = {f"M{i}": self._small_residue(rng, 12000, 150 + 7 * i,
+                                                 rate=1.0)
+                    for i in range(4)}
+        batches = bucket_residues(residues)
+        assert all(b.pack == 2 for b in batches)
+        assert any(b.values.shape[1] > 64 for b in batches)
+        cfg = GibbsConfig(ncomp=4, niter=1600, g=10, seed=4)
+        b0 = 60
+        for batch in batches:
+            rp = run_batch(batch, cfg, engine="pallas")
+            rx = run_batch(batch, cfg, engine="xla")
+            for i in range(batch.size):
+                mt_p = (rp.mcweights[i][b0:] / rp.mcrates[i][b0:]).sum(-1)
+                mt_x = (rx.mcweights[i][b0:] / rx.mcrates[i][b0:]).sum(-1)
+                assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
+
+    def test_multirow_packed_lane_isolation(self, rng):
+        """Multi-row packed pairs with very different kinetics recover
+        their own rates (no leakage across segments or rows)."""
+        fast = self._small_residue(rng, 9000, 90, rate=3.0)
+        slow = self._small_residue(rng, 9000, 90, rate=0.12)
+        batch = bucket_residues({"F0": fast, "S0": slow, "F1": fast,
+                                 "S1": slow})[0]
+        assert batch.pack == 2 and batch.values.shape[1] == 128
+        cfg = GibbsConfig(ncomp=4, niter=2000, g=10, seed=6)
+        res = run_batch(batch, cfg, engine="pallas")
+        for i, name in enumerate(res.names):
+            w = res.mcweights[i][60:]
+            r = res.mcrates[i][60:]
+            k = w.mean(0).argmax()
+            rate = r[:, k].mean()
+            if name.startswith("F"):
+                assert rate > 1.0, (name, rate)
+            else:
+                assert rate < 0.4, (name, rate)
 
     def test_packed_checkpoint_resume_exact(self, rng, tmp_path):
         """Segment-keyed RNG makes packed runs resume bit-exactly."""
