@@ -212,6 +212,32 @@ class MapContacts:
             triclinic = use_pbc and boxarr is not None and boxarr.ndim == 3
             return p1, m1, p2, m2, box, use_pbc, triclinic
 
+        # pack (n, idx, dist) into ONE device buffer when the pair indices
+        # are f32-exact: each host sync is a full link round-trip on
+        # tunnel/PCIe-attached hosts, so one transfer instead of three is
+        # a direct throughput win for the streaming loop
+        n_pairs_total = len(self.uniq_resids1) * len(self.uniq_resids2)
+        fuse_transfer = n_pairs_total < 2 ** 24
+
+        def fuse(n, cidx, cdist):
+            if not fuse_transfer:
+                return (n, cidx, cdist)
+            import jax.numpy as _jnp
+            return _jnp.concatenate(
+                [n.astype(_jnp.float32)[:, None],
+                 cidx.astype(_jnp.float32), cdist], axis=1)
+
+        def unfuse(packed, F_real):
+            if not fuse_transfer:
+                n, cidx, cdist = packed
+                return (np.asarray(n)[:F_real], np.asarray(cidx)[:F_real],
+                        np.asarray(cdist)[:F_real])
+            arr = np.asarray(packed)[:F_real]
+            cap = (arr.shape[1] - 1) // 2
+            return (arr[:, 0].astype(np.int64),
+                    arr[:, 1:1 + cap].astype(np.int64),
+                    arr[:, 1 + cap:])
+
         def dense_pack(p1, m1, p2, m2, box, use_pbc, triclinic):
             dmin = min_dist_per_residue_pair(
                 p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2,
@@ -222,13 +248,12 @@ class MapContacts:
             # device as the exact fallback for overflowing frames. Small
             # systems (n_pairs <= cap) skip compaction — the packed
             # idx+dist buffers would be LARGER than the dense matrix.
-            n_pairs = len(self.uniq_resids1) * len(self.uniq_resids2)
             cap = int(self.cfg.transfer_cap)
-            if n_pairs <= cap:
-                return "dense", (dmin, None, None, None)
+            if n_pairs_total <= cap:
+                return "dense", (dmin, None)
             nhit, cidx, cdist = compact_contacts(dmin, self.cfg.map_cutoff,
                                                  cap)
-            return "dense", (dmin, nhit, cidx, cdist)
+            return "dense", (dmin, fuse(nhit, cidx, cdist))
 
         def dispatch(batch):
             prep = prepare(batch)
@@ -239,7 +264,7 @@ class MapContacts:
                     cap_pairs=int(self.cfg.prefilter_cap),
                     use_pbc=use_pbc, mask1=m1, mask2=m2,
                     triclinic=triclinic)
-                return "pruned", (n_pl, cidx, cdist)
+                return "pruned", fuse(n_pl, cidx, cdist)
             return dense_pack(*prep)
 
         def decode_compact(cidx, cd, batch, F_real, R2):
@@ -261,9 +286,8 @@ class MapContacts:
             nonlocal last_time
             R2 = len(self.uniq_resids2)
             if kind == "pruned":
-                n_pl_dev, cidx_dev, cdist_dev = pack
-                n_pl = np.asarray(n_pl_dev)[:F_real]
-                cap = cidx_dev.shape[1]
+                n_pl, cidx, cdist = unfuse(pack, F_real)
+                cap = cidx.shape[1]
                 if (n_pl > cap).any():
                     # a frame had more plausible residue pairs than the
                     # packing cap: redo the batch densely (exactness
@@ -271,15 +295,13 @@ class MapContacts:
                     # provably beyond the cutoff)
                     kind, pack = dense_pack(*prepare(batch))
                 else:
-                    rows = decode_compact(np.asarray(cidx_dev)[:F_real],
-                                          np.asarray(cdist_dev)[:F_real],
-                                          batch, F_real, R2)
+                    rows = decode_compact(cidx, cdist, batch, F_real, R2)
             if kind == "dense":
-                dmin_dev, nhit_dev, cidx_dev, cdist_dev = pack
-                if nhit_dev is not None:
-                    nhit = np.asarray(nhit_dev)[:F_real]
-                    cap = cidx_dev.shape[1]
-                if nhit_dev is None or (nhit > cap).any():
+                dmin_dev, fused = pack
+                if fused is not None:
+                    nhit, cidx, cdist = unfuse(fused, F_real)
+                    cap = cidx.shape[1]
+                if fused is None or (nhit > cap).any():
                     # small system (no compaction) or pathologically dense
                     # frame (cap overflow): exact dense transfer
                     dmin = np.asarray(dmin_dev)[:F_real]
@@ -288,9 +310,7 @@ class MapContacts:
                         self.uniq_resids1, self.uniq_resids2,
                         self.cfg.map_cutoff)
                 else:
-                    rows = decode_compact(np.asarray(cidx_dev)[:F_real],
-                                          np.asarray(cdist_dev)[:F_real],
-                                          batch, F_real, R2)
+                    rows = decode_compact(cidx, cdist, batch, F_real, R2)
             cols.append(*rows)
             bt = np.asarray(batch.times, np.float64)[:F_real]
             if len(bt) > 0:

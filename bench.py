@@ -65,10 +65,10 @@ def make_workload(n_residues=N_RESIDUES, seed=0):
 # contacts floor set from the round-3 measurement (prefiltered kernel on
 # the membrane-scale workload below).
 _GUARDS = {"pallas": 500_000.0, "xla": 140_000.0, "flagship": 25_000.0,
-           "contacts": 50.0}
+           "contacts": 25.0}
 
 
-def make_membrane_frames(n_frames=96, batch=8, seed=7):
+def make_membrane_frames(n_frames=96, batch=16, seed=7):
     """Membrane-scale synthetic contact workload: 300 protein residues x
     16 atoms against 200 lipids x 50 atoms (14,800 atoms in the two
     selections; VERDICT round-2 item 2 scale) in a 120x120x90 A box,
@@ -117,10 +117,54 @@ def bench_contacts():
     return n_frames / elapsed, len(rec.frames), n_frames
 
 
-def _timed_agg(batches, cfg, engine):
+def transcendental_ceiling():
+    """Measured pure-exp throughput ceiling of this chip's VPU [ops/s]:
+    a Pallas kernel chaining exps over four independent (64, 128) tiles
+    (enough ILP to be throughput- not latency-bound). The roofline
+    denominator for ``vpu_transcendental_util``."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ITERS, TILES, R, L = 2000, 4, 64, 128
+
+    def kernel(o_ref):
+        xs = [jnp.full((R, L), 0.5 + 0.1 * t, jnp.float32)
+              for t in range(TILES)]
+
+        def body(i, xs):
+            return tuple(jnp.exp(x * 1e-9) for x in xs)
+
+        xs = jax.lax.fori_loop(0, ITERS, body, tuple(xs))
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[...] = acc
+
+    @jax.jit
+    def run():
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32))()
+
+    np.asarray(run())                       # compile + warm
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        out = run()
+    np.asarray(out)
+    dt = (time.time() - t0) / reps
+    return ITERS * TILES * R * L / dt
+
+
+def _timed_agg(residues, cfg, engine):
     """Aggregate sweeps/s for one engine (after its own warmup pass).
-    Buckets dispatch with deferred transfers (the product-path shape,
-    run_residues): bucket i+1 computes while bucket i streams back."""
+    Buckets are laid out per engine (packed fine ladder for pallas,
+    coarse pow2 for xla — run_residues' policy) and dispatch with
+    deferred transfers: bucket i+1 computes while bucket i streams
+    back."""
+    batches = bucket_residues(residues,
+                              ladder=None if engine == "pallas" else "pow2")
     for b in batches:
         run_batch(b, cfg, engine=engine)
     t0 = time.time()
@@ -147,16 +191,34 @@ def main():
     # benchmark if the fused kernel fails to build on this device)
     engine = "pallas"
     try:
-        agg = _timed_agg(batches, cfg, engine)
+        agg = _timed_agg(residues, cfg, engine)
     except Exception as e:  # noqa: BLE001
         print(f"pallas engine unavailable ({type(e).__name__}); "
               f"falling back to xla", file=sys.stderr)
         engine = "xla"
-        agg = _timed_agg(batches, cfg, engine)
+        agg = _timed_agg(residues, cfg, engine)
 
     extras = {"engine": engine, "padding_waste": round(waste, 4)}
+
+    # roofline: achieved transcendental ops/s in the fused kernel vs the
+    # measured pure-exp VPU ceiling (substantiates docs/design.md's
+    # "compute-bound"; VERDICT round-2 item 5)
+    if engine == "pallas":
+        try:
+            from basicrta_tpu.sampler.pallas_sweep import (
+                transcendentals_per_sweep)
+            per_sweep = sum(transcendentals_per_sweep(
+                b.size, b.values.shape[1], b.pack, b.tiers, cfg.ncomp)
+                for b in batches)
+            ceiling = transcendental_ceiling()
+            achieved = per_sweep * agg / sum(b.size for b in batches)
+            extras["vpu_transcendental_util"] = round(achieved / ceiling, 3)
+            extras["transc_ceiling_gops"] = round(ceiling / 1e9, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"roofline failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     try:
-        extras["xla_sweeps_per_sec"] = round(_timed_agg(batches, cfg,
+        extras["xla_sweeps_per_sec"] = round(_timed_agg(residues, cfg,
                                                         "xla"), 1)
     except Exception as e:  # noqa: BLE001
         print(f"xla timing failed: {type(e).__name__}", file=sys.stderr)
@@ -165,9 +227,8 @@ def main():
     # longer window so per-call dispatch latency doesn't dominate the
     # sub-100ms single-lane run
     try:
-        flag = bucket_residues({"R0": residues["R0"]}, floor=1024)
         fcfg = GibbsConfig(ncomp=15, niter=10 * TIMED_SWEEPS, g=100)
-        fagg = _timed_agg(flag, fcfg, engine)
+        fagg = _timed_agg({"R0": residues["R0"]}, fcfg, engine)
         extras["flagship_sweeps_per_sec"] = round(fagg, 1)
     except Exception as e:  # noqa: BLE001
         print(f"flagship timing failed: {type(e).__name__}", file=sys.stderr)
