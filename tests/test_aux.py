@@ -164,7 +164,7 @@ MRTA-V
 
 class TestDiagnostics:
     def test_rhat_converged_vs_not(self, rng):
-        from basicrta_tpu.postprocess.diagnostics import split_rhat
+        from basicrta_tpu.ops.diagnostics import split_rhat
         good = rng.normal(0, 1, (4, 500, 3))
         r = split_rhat(good)
         assert np.all(r < 1.05)
@@ -173,7 +173,7 @@ class TestDiagnostics:
         assert np.all(split_rhat(bad) > 1.5)
 
     def test_ess(self, rng):
-        from basicrta_tpu.postprocess.diagnostics import \
+        from basicrta_tpu.ops.diagnostics import \
             effective_sample_size
         iid = rng.normal(0, 1, (2, 400, 1))
         ess = effective_sample_size(iid)
@@ -183,7 +183,7 @@ class TestDiagnostics:
         assert effective_sample_size(ar)[0] < 100
 
     def test_chain_report(self, rng):
-        from basicrta_tpu.postprocess.diagnostics import chain_report
+        from basicrta_tpu.ops.diagnostics import chain_report
         W = rng.dirichlet(np.ones(4), (3, 200)).reshape(3, 200, 4)
         R = rng.gamma(2.0, size=(3, 200, 4))
         rep = chain_report(W, R, burnin_samples=20)
