@@ -28,7 +28,7 @@ Architecture (device-first, functional):
   dependency on MDAnalysis/gridData.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from basicrta_tpu.config import GibbsConfig, ContactConfig
 

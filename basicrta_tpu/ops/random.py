@@ -24,7 +24,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln
+
+from basicrta_tpu.ops.precise import exp_f32, gammaln_f32, log_f32
 
 # Rejection-round depths. Acceptance per round: BTRS >= ~0.79, MT >= ~0.95.
 _BTRS_ROUNDS = 12     # failure < (0.21)^12 ~ 7e-9
@@ -58,20 +59,23 @@ def _binomial_inversion(key, n, p, dtype):
     tiny = jnp.finfo(dtype).tiny
     q = jnp.maximum(1.0 - p, tiny)
     u = jax.random.uniform(key, n.shape, dtype)
-    logpmf0 = n * jnp.log(q)
-    log_ratio = jnp.log(jnp.maximum(p, tiny)) - jnp.log(q)
+    # precise log/exp: XLA:TPU's native lowerings approximate, and the
+    # n-fold amplification in n*log(q) scales the whole CDF — measured
+    # chi2 p ~ 1e-131 for Binomial(100, 0.02) draws (ops/precise.py)
+    logpmf0 = n * log_f32(q)
+    log_ratio = log_f32(jnp.maximum(p, tiny)) - log_f32(q)
 
     j = jnp.arange(_INV_TERMS - 1, dtype=dtype).reshape(
         (_INV_TERMS - 1,) + (1,) * n.ndim)
     # log step j -> j+1; -inf once k exceeds n (pmf identically 0)
     steps = jnp.where(n - j > 0,
-                      jnp.log(jnp.maximum(n - j, tiny)) - jnp.log(j + 1.0)
+                      log_f32(jnp.maximum(n - j, tiny)) - log_f32(j + 1.0)
                       + log_ratio,
                       -jnp.inf)
     logpmf = jnp.concatenate(
         [jnp.zeros((1,) + n.shape, dtype), jnp.cumsum(steps, axis=0)],
         axis=0) + logpmf0                                   # (T, ...)
-    cdf = jnp.cumsum(jnp.exp(logpmf), axis=0)
+    cdf = jnp.cumsum(exp_f32(logpmf), axis=0)
     m = jnp.sum((u[None] > cdf).astype(dtype), axis=0)
     return jnp.minimum(m, n)
 
@@ -86,9 +90,9 @@ def _binomial_btrs(key, n, p, dtype, unroll=False):
     c = n * p + 0.5
     vr = 0.92 - 4.2 / b
     alpha = (2.83 + 5.1 / b) * spq
-    lpq = jnp.log(p / jnp.maximum(q, jnp.finfo(dtype).tiny))
+    lpq = log_f32(p / jnp.maximum(q, jnp.finfo(dtype).tiny))
     m = jnp.floor((n + 1.0) * p)
-    h = gammaln(m + 1.0) + gammaln(n - m + 1.0)
+    h = gammaln_f32(m + 1.0) + gammaln_f32(n - m + 1.0)
 
     def round_body(r, carry):
         k_acc, done = carry
@@ -102,8 +106,8 @@ def _binomial_btrs(key, n, p, dtype, unroll=False):
         in_range = (k >= 0) & (k <= n)
         fast = (us >= 0.07) & (v <= vr)
         # exact acceptance test (log of the scaled density ratio)
-        vv = jnp.log(v * alpha / (a / (us * us) + b))
-        slow = vv <= (h - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+        vv = log_f32(v * alpha / (a / (us * us) + b))
+        slow = vv <= (h - gammaln_f32(k + 1.0) - gammaln_f32(n - k + 1.0)
                       + (k - m) * lpq)
         ok = in_range & (fast | slow)
         k_acc = jnp.where(done, k_acc, jnp.where(ok, k, k_acc))
@@ -163,9 +167,9 @@ def gamma(key: jax.Array, a: jax.Array, dtype=jnp.float32,
         u = jax.random.uniform(jax.random.fold_in(kr, 1), a.shape, dtype,
                                minval=jnp.finfo(dtype).tiny)
         v = (1.0 + c * x) ** 3
-        ok = (v > 0) & (jnp.log(u) < 0.5 * x * x + d - d * v
-                        + d * jnp.log(jnp.maximum(v,
-                                                  jnp.finfo(dtype).tiny)))
+        ok = (v > 0) & (log_f32(u) < 0.5 * x * x + d - d * v
+                        + d * log_f32(jnp.maximum(
+                            v, jnp.finfo(dtype).tiny)))
         v_acc = jnp.where(done, v_acc, jnp.where(ok, v, v_acc))
         return v_acc, done | ok
 
@@ -177,7 +181,7 @@ def gamma(key: jax.Array, a: jax.Array, dtype=jnp.float32,
 
     ub = jax.random.uniform(kboost, a.shape, dtype,
                             minval=jnp.finfo(dtype).tiny)
-    boosted = sample * jnp.exp(jnp.log(ub) / jnp.maximum(a, 1e-30))
+    boosted = sample * exp_f32(log_f32(ub) / jnp.maximum(a, 1e-30))
     out = jnp.where(boost_mask, boosted, sample)
     # very small shapes (e.g. the Dirichlet prior alpha = 1/K) legitimately
     # produce draws below f32 range; clamp to tiny so downstream logs are
@@ -207,17 +211,18 @@ def binomial_small(key: jax.Array, n: jax.Array, p: jax.Array, nmax: int,
     n, p = jnp.broadcast_arrays(n, p)
     q = jnp.maximum(1.0 - p, tiny)
     u = jax.random.uniform(key, n.shape, dtype)
-    logpmf0 = n * jnp.log(q)
-    log_ratio = jnp.log(jnp.maximum(p, tiny)) - jnp.log(q)
+    # precise log/exp: see _binomial_inversion (ops/precise.py)
+    logpmf0 = n * log_f32(q)
+    log_ratio = log_f32(jnp.maximum(p, tiny)) - log_f32(q)
     j = jnp.arange(nmax, dtype=dtype).reshape((nmax,) + (1,) * n.ndim)
     steps = jnp.where(n - j > 0,
-                      jnp.log(jnp.maximum(n - j, tiny)) - jnp.log(j + 1.0)
+                      log_f32(jnp.maximum(n - j, tiny)) - log_f32(j + 1.0)
                       + log_ratio,
                       -jnp.inf)
     logpmf = jnp.concatenate(
         [jnp.zeros((1,) + n.shape, dtype), jnp.cumsum(steps, axis=0)],
         axis=0) + logpmf0
-    cdf = jnp.cumsum(jnp.exp(logpmf), axis=0)
+    cdf = jnp.cumsum(exp_f32(logpmf), axis=0)
     m = jnp.sum((u[None] > cdf).astype(dtype), axis=0)
     m = jnp.where(p >= 1.0, n, m)
     return jnp.clip(m, 0.0, n)

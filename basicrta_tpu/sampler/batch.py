@@ -64,16 +64,155 @@ class ResidueBatch:
 
 
 # packed segment widths: a residue with V <= 16/32 shares a physical lane
-# 8/4-up; everything larger packs 2-up into 64-column segments spanning
-# ceil(V/64) rows — 64-column work quantization instead of 128
+# 8/4-up; V <= 64 pairs into one row. Larger residues pair into 64-column
+# segments spanning r = ceil(V/64) rows ONLY when r is odd — for even r
+# the packed lane walks exactly as many rows per residue as the unpacked
+# 128-quantized lane, and an unpaired odd lane would walk r rows alone
+# (2x worse), so even-r and leftover residues stay unpacked (measured:
+# blanket 2-up packing regressed 781k -> 544k agg sweeps/s from phantom
+# partners and 8-lane-minimum padding of the splintered tail buckets)
 _PACK_WIDTHS = (16, 32)
 _PACK2_W = 64
+
+
+def _pack_choice(V: int):
+    """(width, pack) for the fused kernel's packed ladder."""
+    for w in _PACK_WIDTHS:
+        if V <= w:
+            return (w, 128 // w)
+    r = -(-V // _PACK2_W)
+    if r == 1 or r % 2 == 1:
+        return (_PACK2_W * r, 2)
+    return (-(-V // 128) * 128, 1)
+
+
+# relative per-physical-row sweep cost of each tier (head pays the
+# 32-step inversion + BTRS with its gammalns; small the 17-step
+# inversion; singleton one compare) plus a base for the K-exp suffix pass
+_ROW_COST = {"base": 2.0, "head": 8.0, "small": 3.0, "single": 1.0}
+
+
+def _bucket_cost(members, width: int, pack: int) -> float:
+    """Tier-weighted padded physical rows per sweep for one bucket -- the
+    objective _consolidate_packed minimizes (the column-padding fraction
+    is NOT the work metric: rows are the kernel's work unit and lanes pad
+    to 8-sublane groups)."""
+    if not members:
+        return 0.0
+    from basicrta_tpu.sampler.kernels import SMALL_NMAX
+    seg_w = 128 // pack if pack > 1 else 128
+    SL = max(1, width // seg_w)
+    head_end = max(int(np.sum(c > SMALL_NMAX)) for _, _, c in members)
+    single_start = max(int(np.sum(c > 1)) for _, _, c in members)
+    head = min(-(-head_end // seg_w), SL)
+    small = min(max(-(-single_start // seg_w), head), SL)
+    Bph = -(-len(members) // pack)
+    NG = -(-Bph // 64)
+    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
+    per_lane = (SL * _ROW_COST["base"] + head * _ROW_COST["head"]
+                + (small - head) * _ROW_COST["small"]
+                + (SL - small) * _ROW_COST["single"])
+    return NG * G * per_lane
+
+
+def _consolidate_packed(buckets: Dict[Tuple[int, int], list]) -> None:
+    """Greedy cost-based consolidation of the packed ladder.
+
+    The fine ladder can WASTE real device work two ways: an unpaired
+    lane in a multi-row pack-2 bucket walks both segments' rows alone,
+    and splintered tail buckets pad to the kernel's 8-sublane group
+    minimum (a 2-lane bucket does 4x its useful rows). Counter-moves,
+    each applied only when the tier-weighted row cost (_bucket_cost)
+    actually drops:
+
+    1. dissolve a multi-row pack-2 class to the unpacked 128-quantized
+       ladder;
+    2. merge a bucket into the next wider one (members fit by
+       construction: V <= old width <= new logical width);
+    3. spill one lane of an odd multi-row pair group to the unpacked
+       ladder.
+
+    Mutates ``buckets`` in place ({(width, pack): [(name, v, c), ...]}).
+    """
+    def unpacked_key(item):
+        return (-(-len(item[1]) // 128) * 128, 1)
+
+    # 1: dissolve multi-row pair classes that don't pay for themselves
+    for (width, pack) in list(buckets):
+        if pack != 2 or width <= 128:
+            continue
+        group = buckets[(width, pack)]
+        moves = {}
+        for it in group:
+            moves.setdefault(unpacked_key(it), []).append(it)
+        cost_now = _bucket_cost(group, width, pack) + sum(
+            _bucket_cost(buckets.get(k, []), k[0], k[1]) for k in moves)
+        cost_dissolved = sum(
+            _bucket_cost(buckets.get(k, []) + v, k[0], k[1])
+            for k, v in moves.items())
+        if cost_dissolved < cost_now:
+            del buckets[(width, pack)]
+            for k, v in moves.items():
+                buckets.setdefault(k, []).extend(v)
+
+    def merge_pass():
+        changed = True
+        while changed:
+            changed = False
+            keys = sorted(buckets, key=lambda k: k[0])
+            for i, key in enumerate(keys[:-1]):
+                nxt = keys[i + 1]
+                a, b = buckets[key], buckets[nxt]
+                before = (_bucket_cost(a, key[0], key[1])
+                          + _bucket_cost(b, nxt[0], nxt[1]))
+                after = _bucket_cost(a + b, nxt[0], nxt[1])
+                if after < before:
+                    buckets[nxt] = a + b
+                    del buckets[key]
+                    changed = True
+                    break
+
+    # 2: chain-merge narrow buckets upward while it reduces cost
+    merge_pass()
+
+    # 3: re-home one lane of each odd multi-row pair group — into the
+    # cheapest existing non-pair bucket that fits it (adding to another
+    # pair bucket would just move the odd lane), else its own unpacked
+    # bucket — then give merging one more chance over the final shapes
+    for (width, pack) in list(buckets):
+        if pack != 2 or width <= 128:
+            continue
+        group = buckets[(width, pack)]
+        if len(group) % 2 == 0:
+            continue
+        spill = min(group, key=lambda it: len(it[1]))
+        group.remove(spill)
+        if not group:
+            del buckets[(width, pack)]
+        V = len(spill[1])
+        best_key, best_delta = unpacked_key(spill), None
+        for k in buckets:
+            if (k[0] >= V and (k[1] == 1 or k[0] <= 128)
+                    and k != (width, pack)):
+                delta = (_bucket_cost(buckets[k] + [spill], k[0], k[1])
+                         - _bucket_cost(buckets[k], k[0], k[1]))
+                if best_delta is None or delta < best_delta:
+                    best_key, best_delta = k, delta
+        fresh = _bucket_cost(
+            buckets.get(unpacked_key(spill), []) + [spill],
+            *unpacked_key(spill)) - _bucket_cost(
+            buckets.get(unpacked_key(spill), []), *unpacked_key(spill))
+        if best_delta is None or fresh < best_delta:
+            best_key = unpacked_key(spill)
+        buckets.setdefault(best_key, []).append(spill)
+    merge_pass()
 
 
 def bucket_residues(times_per_residue: Dict[str, np.ndarray],
                     floor: Optional[int] = None,
                     pack_small: bool = True,
-                    ladder: Optional[str] = None) -> List[ResidueBatch]:
+                    ladder: Optional[str] = None,
+                    consolidate: bool = True) -> List[ResidueBatch]:
     """Group residues into 128-column-quantized unique-count buckets.
 
     Residence times are multiples of the trajectory interval, so the unique
@@ -118,16 +257,15 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
         floor = 128
     buckets: Dict[Tuple[int, int], list] = {}
     for name, v, c in items:
-        if packing and len(v) <= _PACK_WIDTHS[-1]:
-            width = next(w for w in _PACK_WIDTHS if len(v) <= w)
-            key = (width, 128 // width)
-        elif packing:
-            key = (-(-len(v) // _PACK2_W) * _PACK2_W, 2)
+        if packing:
+            key = _pack_choice(len(v))
         elif ladder == "pow2":
             key = (_next_pow2(len(v), floor), 1)
         else:
             key = (max(floor, -(-len(v) // 128) * 128), 1)
         buckets.setdefault(key, []).append((name, v, c))
+    if packing and consolidate:
+        _consolidate_packed(buckets)
 
     out = []
     for (V, pack), group in sorted(buckets.items()):

@@ -38,6 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from basicrta_tpu.config import GibbsConfig
+from basicrta_tpu.ops.precise import (exp_f32 as _exp_f32,
+                                      log_f32 as _log_f32,
+                                      pow_smallint as _pow_smallint)
 from basicrta_tpu.sampler.kernels import MixtureState, SMALL_NMAX
 
 _LANES = 128
@@ -122,11 +125,11 @@ def _gammaln(x):
     inv = 1.0 / xs
     inv2 = inv * inv
     series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
-    lg = ((xs - 0.5) * jnp.log(xs) - xs + 0.9189385332046727 + series)
-    return lg - jnp.where(small, jnp.log(prod), 0.0)
+    lg = ((xs - 0.5) * _log_f32(xs) - xs + 0.9189385332046727 + series)
+    return lg - jnp.where(small, _log_f32(prod), 0.0)
 
 
-def _binom_inversion(u, n, p, depth, early_exit=True):
+def _binom_inversion(u, n, p, depth, early_exit=True, nmax_bits=0):
     """CDF-inversion binomial, complete for counts < depth (exact when
     n < depth); vectorized over the tile.
 
@@ -136,10 +139,19 @@ def _binom_inversion(u, n, p, depth, early_exit=True):
     each early-exit iteration pays a full-tile reduction plus a scalar
     branch, serializing the VPU, while the fixed walk is pure vector code
     (flops are nearly free at these tile sizes).
+
+    ``nmax_bits > 0`` asserts n < 2**nmax_bits (the small tier's static
+    bound) and computes q**n by binary exponentiation instead of
+    exp/log.
     """
     q = jnp.maximum(1.0 - p, _TINY)
     ratio = p / q
-    pmf0 = jnp.exp(n * jnp.log(q))
+    # precise exp/log: the n-fold amplification makes the native
+    # approximations scale the whole CDF (see _log_f32)
+    if nmax_bits:
+        pmf0 = _pow_smallint(q, n, nmax_bits)
+    else:
+        pmf0 = _exp_f32(n * _log_f32(q))
 
     def step(t, cdf, pmf, m):
         m = m + (u > cdf).astype(jnp.float32)
@@ -178,7 +190,7 @@ def _binom_btrs(rng, n, p, early_exit=True):
     c = n * p + 0.5
     vr = 0.92 - 4.2 / b
     alpha = (2.83 + 5.1 / b) * spq
-    lpq = jnp.log(jnp.maximum(p / q, _TINY))
+    lpq = _log_f32(jnp.maximum(p / q, _TINY))
     m = jnp.floor((n + 1.0) * p)
     h = _gammaln(m + 1.0) + _gammaln(n - m + 1.0)
 
@@ -191,7 +203,7 @@ def _binom_btrs(rng, n, p, early_exit=True):
         k = jnp.floor((2.0 * a / us + b) * u + c)
         in_range = (k >= 0) & (k <= n)
         fast = (us >= 0.07) & (v <= vr)
-        vv = jnp.log(v * alpha / (a / (us * us) + b))
+        vv = _log_f32(v * alpha / (a / (us * us) + b))
         slow = vv <= (h - _gammaln(k + 1.0) - _gammaln(n - k + 1.0)
                       + (k - m) * lpq)
         ok = jnp.where(in_range & (fast | slow), 1.0, 0.0)
@@ -259,7 +271,7 @@ def _normal_icdf(p):
     p = jnp.clip(p, 1.0 / 33554432.0, 1.0 - 1.0 / 33554432.0)
 
     def tail(q):   # q = min(p, 1-p), evaluates the lower-tail branch
-        s = jnp.sqrt(-2.0 * jnp.log(q))
+        s = jnp.sqrt(-2.0 * _log_f32(q))
         num = ((((cc[0] * s + cc[1]) * s + cc[2]) * s + cc[3]) * s
                + cc[4]) * s + cc[5]
         den = (((dd[0] * s + dd[1]) * s + dd[2]) * s + dd[3]) * s + 1.0
@@ -292,8 +304,8 @@ def _gamma_mt(rng, a):
         x = _normal_icdf(rng.uniform(a.shape, t))
         u = rng.uniform(a.shape, t)
         v = (1.0 + c * x) ** 3
-        ok_b = (v > 0.0) & (jnp.log(u) < 0.5 * x * x + d - d * v
-                            + d * jnp.log(jnp.maximum(v, _TINY)))
+        ok_b = (v > 0.0) & (_log_f32(u) < 0.5 * x * x + d - d * v
+                            + d * _log_f32(jnp.maximum(v, _TINY)))
         ok = jnp.where(ok_b, 1.0, 0.0)
         upd = (1.0 - done) * ok
         v_acc = v_acc * (1.0 - upd) + v * upd
@@ -306,7 +318,7 @@ def _gamma_mt(rng, a):
         v_acc, done = round_step(t, v_acc, done)
     sample = d * v_acc
     ub = rng.uniform(a.shape)
-    boosted = sample * jnp.exp(jnp.log(ub) / jnp.maximum(a, _TINY))
+    boosted = sample * _exp_f32(_log_f32(ub) / jnp.maximum(a, _TINY))
     out = sample * (1.0 - boost) + boosted * boost
     return jnp.maximum(out, 1e-30)
 
@@ -371,7 +383,8 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
                 u = rng.uniform((small_rows - head_rows, G, _LANES))
                 parts.append(_binom_inversion(u, rem[head_rows:],
                                               pcond[head_rows:],
-                                              _INV_SMALL, early_exit[2]))
+                                              _INV_SMALL, early_exit[2],
+                                              nmax_bits=5))
             draw = (parts[0] if len(parts) == 1
                     else jnp.concatenate(parts, axis=0))
             ns_k = ns_k + jnp.sum(draw, axis=(0, 2))     # (G,)
@@ -486,7 +499,8 @@ def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
                 u = rng.uniform((small_rows - head_rows, G, _LANES))
                 parts.append(_binom_inversion(u, rem[head_rows:],
                                               pcond[head_rows:],
-                                              _INV_SMALL, early_exit[2]))
+                                              _INV_SMALL, early_exit[2],
+                                              nmax_bits=5))
             draw = (parts[0] if len(parts) == 1
                     else jnp.concatenate(parts, axis=0))
             dns, dts = seg_sums(draw, v_hs)
@@ -532,7 +546,8 @@ def _tiered_binom(rng, n, p, head_rows: int, small_rows: int, SL: int,
         u = rng.uniform(sl.shape)
         parts.append(_binom_inversion(u, sl,
                                       p[..., head_rows:small_rows, :, :],
-                                      _INV_SMALL, early_exit[2]))
+                                      _INV_SMALL, early_exit[2],
+                                              nmax_bits=5))
     if SL > small_rows:
         sl = n[..., small_rows:, :, :]
         u = rng.uniform(sl.shape)
@@ -637,10 +652,12 @@ def transcendentals_per_sweep(B: int, V: int, pack: int,
 
     Per physical (G, 128) row tile and component step: the suffix pass
     costs K exps per element; a head row pays the inversion table's
-    exp+log plus ~1.3 BTRS rounds of ~6 log/sqrt each plus the 2-gammaln
-    setup (3 logs + sqrt); a small row pays exp+log; singleton rows pay
-    none. The conjugate update adds ~3 transcendentals per Marsaglia-
-    Tsang round over the (pack, G, K) state tile.
+    exp+log plus ~6 BTRS rounds (the early-exit while_loop runs to the
+    max over the whole tile; acceptance ~0.85 over 10^4-10^5 elements
+    gives ~5-8 rounds) of ~5 log/sqrt each plus the 2-gammaln setup;
+    a small row pays exp+log; singleton rows pay none. The conjugate
+    update adds ~3 transcendentals per Marsaglia-Tsang round over the
+    (pack, G, K) state tile.
     """
     if pack > 1:
         W = _LANES // pack
@@ -660,7 +677,7 @@ def transcendentals_per_sweep(B: int, V: int, pack: int,
     suffix = K * SL * elems_row                       # exps per lane
     chain = 0
     for _ in range(K - 1):
-        chain += head * elems_row * (2 + 1.3 * 6 + 4)   # head rows
+        chain += head * elems_row * (2 + 6 * 5 + 5)     # head rows
         chain += max(small - head, 0) * elems_row * 2   # small rows
     conj = 2 * pack * K * (_MT_ROUNDS * 3 + 2)        # per physical lane
     return int(lanes * (suffix + chain + conj))

@@ -126,7 +126,7 @@ def transcendental_ceiling():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ITERS, TILES, R, L = 2000, 4, 64, 128
+    ITERS, TILES, R, L = 2000, 16, 64, 128
 
     def kernel(o_ref):
         xs = [jnp.full((R, L), 0.5 + 0.1 * t, jnp.float32)

@@ -254,7 +254,7 @@ def test_engine_specific_ladder(rng):
     from basicrta_tpu.sampler.batch import bucket_residues
     residues = {f"R{i}": 0.1 * rng.integers(1, 40 + 60 * i, 300)
                 for i in range(6)}
-    fine = bucket_residues(residues)
+    fine = bucket_residues(residues, consolidate=False)
     coarse = bucket_residues(residues, ladder="pow2")
     assert any(b.pack > 1 for b in fine)
     assert all(b.pack == 1 for b in coarse)

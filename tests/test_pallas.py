@@ -161,8 +161,7 @@ class TestPackedBuckets:
             "D": discretize_times(simulate_hyperexp(
                 20000, [0.7, 0.3], [3.0, 0.1], rng), 0.1),
         }
-        V_D = len(np.unique(residues["D"]))
-        batches = bucket_residues(residues)
+        batches = bucket_residues(residues, consolidate=False)
         by_names = {tuple(b.names): b for b in batches}
         a = by_names[("A",)]
         assert a.pack == 8 and a.values.shape[1] == 16
@@ -170,10 +169,15 @@ class TestPackedBuckets:
         assert b.pack == 4 and b.values.shape[1] == 32
         c = by_names[("C",)]
         assert c.pack == 2 and c.values.shape[1] == 64
-        # mid/large residues pack 2-up over 64-column-quantized widths
-        d = by_names[("D",)]
-        assert d.pack == 2
-        assert d.values.shape[1] == -(-V_D // 64) * 64
+        # the consolidated default may merge this tiny workload's buckets
+        # (cost model, _consolidate_packed) but must keep every residue
+        # exactly once with a fitting width
+        merged = bucket_residues(residues)
+        names = [n for bt in merged for n in bt.names]
+        assert sorted(names) == ["A", "B", "C", "D"]
+        for bt in merged:
+            for i, n in enumerate(bt.names):
+                assert (bt.counts[i] > 0).sum() <= bt.values.shape[1]
         # an explicit floor keeps the caller's single-bucket layout
         solo = bucket_residues(residues, floor=1024)
         assert len(solo) == 1 and solo[0].pack == 1
@@ -230,7 +234,7 @@ class TestPackedBuckets:
         residues = {f"M{i}": self._small_residue(rng, 12000, 150 + 7 * i,
                                                  rate=1.0)
                     for i in range(4)}
-        batches = bucket_residues(residues)
+        batches = bucket_residues(residues, consolidate=False)
         assert all(b.pack == 2 for b in batches)
         assert any(b.values.shape[1] > 64 for b in batches)
         cfg = GibbsConfig(ncomp=4, niter=1600, g=10, seed=4)
@@ -246,11 +250,12 @@ class TestPackedBuckets:
     def test_multirow_packed_lane_isolation(self, rng):
         """Multi-row packed pairs with very different kinetics recover
         their own rates (no leakage across segments or rows)."""
-        fast = self._small_residue(rng, 9000, 90, rate=3.0)
-        slow = self._small_residue(rng, 9000, 90, rate=0.12)
+        # V=150 -> ceil(150/64)=3 rows (odd): the pack-2 multi-row class
+        fast = self._small_residue(rng, 9000, 150, rate=3.0)
+        slow = self._small_residue(rng, 9000, 150, rate=0.12)
         batch = bucket_residues({"F0": fast, "S0": slow, "F1": fast,
-                                 "S1": slow})[0]
-        assert batch.pack == 2 and batch.values.shape[1] == 128
+                                 "S1": slow}, consolidate=False)[0]
+        assert batch.pack == 2 and batch.values.shape[1] == 192
         cfg = GibbsConfig(ncomp=4, niter=2000, g=10, seed=6)
         res = run_batch(batch, cfg, engine="pallas")
         for i, name in enumerate(res.names):
@@ -292,3 +297,58 @@ class TestPackedBuckets:
                             segment_blocks=10, checkpoint_path=ck)
         np.testing.assert_array_equal(resumed.mcweights, full.mcweights)
         np.testing.assert_array_equal(resumed.mcrates, full.mcrates)
+
+
+class TestPreciseTranscendentals:
+    """_log_f32/_exp_f32/_pow_smallint: the in-kernel replacements for the
+    VPU's ~7e-5-relative-error native log/exp, whose n-fold amplification
+    in pmf0 = exp(n log q) measurably biased binomial draws on hardware
+    (VALIDATION.md 'Device PRNG'). Target ~2 ulp."""
+
+    def test_log_accuracy(self, rng):
+        from basicrta_tpu.sampler.pallas_sweep import _log_f32
+        x = np.concatenate([
+            rng.uniform(1e-30, 1e-6, 2000),
+            rng.uniform(1e-6, 1.0, 20000),
+            rng.uniform(1.0, 1e6, 20000),
+            [1.0, 0.5, 2.0, 1.4142135, 0.65]]).astype(np.float32)
+        got = np.asarray(_log_f32(jnp.asarray(x)))
+        ref = np.log(x.astype(np.float64))
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-10)
+        assert rel.max() < 5e-7
+        assert float(_log_f32(jnp.float32(1.0))) == 0.0
+
+    def test_exp_accuracy(self, rng):
+        from basicrta_tpu.sampler.pallas_sweep import _exp_f32
+        x = np.concatenate([rng.uniform(-80, 80, 40000),
+                            [0.0, 1.0, -1.0, 80.0, -80.0]]).astype(
+            np.float32)
+        got = np.asarray(_exp_f32(jnp.asarray(x)))
+        ref = np.exp(x.astype(np.float64))
+        assert np.abs(got / ref - 1).max() < 5e-7
+        assert float(_exp_f32(jnp.float32(0.0))) == 1.0
+
+    def test_pow_smallint_exact(self, rng):
+        from basicrta_tpu.sampler.pallas_sweep import _pow_smallint
+        q = rng.uniform(0.01, 1.0, 200).astype(np.float32)
+        for n in range(0, 32):
+            got = np.asarray(_pow_smallint(
+                jnp.asarray(q), jnp.full(200, float(n), jnp.float32), 5))
+            ref = q.astype(np.float64) ** n
+            ok = ref > 1e-35       # f32-representable (no underflow)
+            assert np.abs(got[ok] / ref[ok] - 1).max() < 3e-6
+
+    def test_amplified_cdf_total(self):
+        """The defect's reproduction: sum of binomial pmf via the
+        recurrence must reach 1 to f32 accuracy for every (n, p) the
+        inversion tiers see."""
+        from basicrta_tpu.sampler.pallas_sweep import _exp_f32, _log_f32
+        for n, p in [(16, 0.35), (100, 0.02), (500, 0.004), (31, 0.3)]:
+            q = 1.0 - p
+            pmf = float(np.asarray(_exp_f32(jnp.float32(
+                n) * _log_f32(jnp.float32(q)))))
+            total = pmf
+            for t in range(min(n, 64)):
+                pmf = pmf * (p / q) * (n - t) / (t + 1.0)
+                total += pmf
+            assert abs(total - 1.0) < 5e-5, (n, p, total)
