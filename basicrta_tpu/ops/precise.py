@@ -77,9 +77,17 @@ def exp_f32(x):
 
 def gammaln_f32(x):
     """log-Gamma via Stirling with a 6-term shift for small arguments:
-    lgamma(x) = lgamma(x+6) - log(x (x+1) ... (x+5)) for x < 6; the logs
-    are the precise ones, so the (x - 0.5) log x term does not inherit
-    the native approximation's amplified error."""
+    lgamma(x) = lgamma(x+6) - log(x (x+1) ... (x+5)) for x < 6.
+
+    Only the (x - 0.5) log x term is precision-AMPLIFIED (its log error is
+    scaled by x, which reaches the binomial count n in the BTRS accept
+    test — the measured z = +23 bias), so only it pays for the polynomial
+    log. The small-argument shift correction log(prod) is bounded
+    (prod < 11!/5! so |log| < 12.7): the native op's ~7e-5 relative error
+    is < 1e-3 absolute there, far below anything the accept test can
+    express statistically, and the native transcendental unit is ~5x
+    cheaper than the polynomial — this is the hot per-round path of BTRS
+    (2 gammalns x ~6 rounds per head-tier element per component step)."""
     x = jnp.asarray(x)
     if x.dtype != jnp.float32:
         from jax.scipy.special import gammaln
@@ -94,7 +102,7 @@ def gammaln_f32(x):
     series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
     lg = ((xs - 0.5) * _log_f32_impl(xs) - xs + 0.9189385332046727
           + series)
-    return lg - jnp.where(small, _log_f32_impl(prod), 0.0)
+    return lg - jnp.where(small, jnp.log(prod), 0.0)
 
 
 def pow_smallint(q, n, bits: int):

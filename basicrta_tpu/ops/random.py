@@ -105,8 +105,12 @@ def _binomial_btrs(key, n, p, dtype, unroll=False):
         k = jnp.floor((2.0 * a / us + b) * u + c)
         in_range = (k >= 0) & (k <= n)
         fast = (us >= 0.07) & (v <= vr)
-        # exact acceptance test (log of the scaled density ratio)
-        vv = log_f32(v * alpha / (a / (us * us) + b))
+        # acceptance test (log of the scaled density ratio); vv is an
+        # unamplified O(1)-absolute operand — native log suffices (the
+        # amplified sites are lpq's (k - m) scaling and gammaln's Stirling
+        # term, which stay on the precise path)
+        vv = jnp.log(jnp.maximum(v * alpha / (a / (us * us) + b),
+                                 jnp.finfo(dtype).tiny))
         slow = vv <= (h - gammaln_f32(k + 1.0) - gammaln_f32(n - k + 1.0)
                       + (k - m) * lpq)
         ok = in_range & (fast | slow)

@@ -116,7 +116,15 @@ def _gammaln(x):
     Error < 1e-7 relative for x > 0 — below f32 resolution. Chosen over
     Lanczos because it needs ONE divide (Lanczos needs eight); gammaln is
     the hottest op of the BTRS acceptance test, which dominated the fused
-    sweep kernel (~30% of sweep time went to Lanczos divides)."""
+    sweep kernel (~30% of sweep time went to Lanczos divides).
+
+    Only the (xs - 0.5) log xs term pays for the precise polynomial log
+    (its error is amplified by xs, which reaches the binomial count n in
+    the accept test); the shift correction log(prod) is bounded
+    (|log| < 12.7) so the native op's relative error stays < 1e-3
+    absolute — statistically invisible — and Mosaic's transcendental
+    unit is far cheaper than the 15-op polynomial on this hot per-round
+    path (see ops/precise.gammaln_f32)."""
     small = x < 6.0
     xb = jnp.where(small, x, 1.0)   # benign operand on the large branch
     prod = (xb * (xb + 1.0) * (xb + 2.0) * (xb + 3.0) * (xb + 4.0)
@@ -126,7 +134,7 @@ def _gammaln(x):
     inv2 = inv * inv
     series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
     lg = ((xs - 0.5) * _log_f32(xs) - xs + 0.9189385332046727 + series)
-    return lg - jnp.where(small, _log_f32(prod), 0.0)
+    return lg - jnp.where(small, jnp.log(prod), 0.0)
 
 
 def _binom_inversion(u, n, p, depth, early_exit=True, nmax_bits=0):
@@ -203,7 +211,8 @@ def _binom_btrs(rng, n, p, early_exit=True):
         k = jnp.floor((2.0 * a / us + b) * u + c)
         in_range = (k >= 0) & (k <= n)
         fast = (us >= 0.07) & (v <= vr)
-        vv = _log_f32(v * alpha / (a / (us * us) + b))
+        # vv is an unamplified O(1)-absolute comparison operand: native log
+        vv = jnp.log(jnp.maximum(v * alpha / (a / (us * us) + b), _TINY))
         slow = vv <= (h - _gammaln(k + 1.0) - _gammaln(n - k + 1.0)
                       + (k - m) * lpq)
         ok = jnp.where(in_range & (fast | slow), 1.0, 0.0)

@@ -148,13 +148,17 @@ def transcendental_ceiling():
             out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32))()
 
     np.asarray(run())                       # compile + warm
-    t0 = time.time()
-    reps = 5
-    for _ in range(reps):
-        out = run()
-    np.asarray(out)
-    dt = (time.time() - t0) / reps
-    return ITERS * TILES * R * L / dt
+    # best-of-3 blocks of 5 pipelined reps: a single tunnel stall in a
+    # block only discards that block instead of halving the measured
+    # ceiling (observed 22 vs 43 GOPS session drift with one block)
+    reps, best_dt = 5, float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            out = run()
+        np.asarray(out)
+        best_dt = min(best_dt, (time.time() - t0) / reps)
+    return ITERS * TILES * R * L / best_dt
 
 
 def _timed_agg(residues, cfg, engine):
