@@ -64,19 +64,17 @@ class ResidueBatch:
 
 
 # packed segment widths: a residue with V <= 16/32 shares a physical lane
-# 8/4-up; V <= 64 pairs into one row. Larger residues pair into 64-column
-# segments spanning r = ceil(V/64) rows ONLY when r is odd — for even r
-# the packed lane walks exactly as many rows per residue as the unpacked
-# 128-quantized lane, and an unpaired odd lane would walk r rows alone
-# (2x worse), so even-r and leftover residues stay unpacked (measured:
-# blanket 2-up packing regressed 781k -> 544k agg sweeps/s from phantom
-# partners and 8-lane-minimum padding of the splintered tail buckets)
+# 8/4-up; V <= 64 pairs into one row; larger residues pair into 64-column
+# segments spanning r = ceil(V/64) rows when r is odd, else stay unpacked
 _PACK_WIDTHS = (16, 32)
 _PACK2_W = 64
 
 
 def _pack_choice(V: int):
-    """(width, pack) for the fused kernel's packed ladder."""
+    """(width, pack) of the RAW fine ladder (``consolidate=False``) — the
+    per-residue tightest class, kept for layout-pinning tests and as the
+    fallback when the calibrated DP is bypassed. The production layout
+    is :func:`_dp_layout`."""
     for w in _PACK_WIDTHS:
         if V <= w:
             return (w, 128 // w)
@@ -86,126 +84,125 @@ def _pack_choice(V: int):
     return (-(-V // 128) * 128, 1)
 
 
-# relative per-physical-row sweep cost of each tier (head pays the
-# 32-step inversion + BTRS with its gammalns; small the 17-step
-# inversion; singleton one compare) plus a base for the K-exp suffix pass
-_ROW_COST = {"base": 2.0, "head": 8.0, "small": 3.0, "single": 1.0}
+# Calibrated per-sweep cost model [us/sweep on v5e], least-squares fit
+# (R^2 = 0.84) to 26 per-bucket wall-time measurements across both the
+# greedy and DP layouts of the canonical 300-residue workload. The
+# dominant term is the per-BUCKET constant: every bucket's sweep pays
+# the full dependency-chain latency of the K-1 conditional-binomial
+# steps (~30 us -- BTRS rounds and inversion scans are serial vector
+# ops whose latency more lanes simply hide under), so fewer/larger
+# buckets win until the extra padded rows outweigh 30 us. Row terms:
+# every physical (G, 128) row pays the K-exp suffix pass; head rows add
+# the BTRS/gammaln premium, small rows the 17-step inversion premium;
+# the conjugate update scales with logical lanes.
+_COST_PER_BUCKET = 30.5     # us/sweep: serial critical path per dispatch
+_COST_ROW = 0.080           # us/sweep per padded physical row (K exps)
+_COST_HEAD_PREM = 0.608     # extra per head-tier row (BTRS + gammaln)
+_COST_SMALL_PREM = 0.276    # extra per small-tier row (table inversion)
+_COST_LANE_LOG = 0.061      # per logical lane (conjugate Gamma/Dirichlet)
+
+
+def _layout_cost(B: int, width: int, pack: int, head_end: int,
+                 single_start: int) -> float:
+    """Modeled us/sweep for one bucket of B lanes whose worst member has
+    ``head_end`` head-tier and ``single_start`` multi-count columns --
+    the objective _dp_layout minimizes (the column-padding fraction is
+    NOT the work metric: rows are the kernel's work unit, lanes pad to
+    8-sublane groups, and every bucket pays ~30 us of serial critical
+    path regardless of size)."""
+    seg_w = 128 // pack if pack > 1 else 128
+    SL = max(1, width // seg_w)
+    head = min(-(-head_end // seg_w), SL)
+    small = min(max(-(-single_start // seg_w), head), SL)
+    Bph = -(-B // pack)
+    NG = -(-Bph // 64)
+    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
+    lanes = NG * G
+    # the critical path is paid once per GRID PROGRAM: pallas grid steps
+    # run serially on the core (every calibration bucket had NG=1, so
+    # charging NG * const is the conservative extrapolation)
+    return (_COST_PER_BUCKET * NG
+            + lanes * SL * _COST_ROW
+            + lanes * head * _COST_HEAD_PREM
+            + lanes * (small - head) * _COST_SMALL_PREM
+            + lanes * pack * _COST_LANE_LOG)
 
 
 def _bucket_cost(members, width: int, pack: int) -> float:
-    """Tier-weighted padded physical rows per sweep for one bucket -- the
-    objective _consolidate_packed minimizes (the column-padding fraction
-    is NOT the work metric: rows are the kernel's work unit and lanes pad
-    to 8-sublane groups)."""
+    """_layout_cost of a concrete member list."""
     if not members:
         return 0.0
     from basicrta_tpu.sampler.kernels import SMALL_NMAX
-    seg_w = 128 // pack if pack > 1 else 128
-    SL = max(1, width // seg_w)
     head_end = max(int(np.sum(c > SMALL_NMAX)) for _, _, c in members)
     single_start = max(int(np.sum(c > 1)) for _, _, c in members)
-    head = min(-(-head_end // seg_w), SL)
-    small = min(max(-(-single_start // seg_w), head), SL)
-    Bph = -(-len(members) // pack)
-    NG = -(-Bph // 64)
-    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
-    per_lane = (SL * _ROW_COST["base"] + head * _ROW_COST["head"]
-                + (small - head) * _ROW_COST["small"]
-                + (SL - small) * _ROW_COST["single"])
-    return NG * G * per_lane
+    return _layout_cost(len(members), width, pack, head_end, single_start)
 
 
-def _consolidate_packed(buckets: Dict[Tuple[int, int], list]) -> None:
-    """Greedy cost-based consolidation of the packed ladder.
+def _dp_configs(Vm: int):
+    """Every kernel-supported (width, pack) class that fits a bucket whose
+    largest member has Vm live columns: sub-row sharing for the small
+    widths, 2-up 64-column segments at ANY row count (the kernel's
+    packed path is parity-agnostic; even row counts halve the
+    head-tier's column reach vs the 128-wide row), and the unpacked
+    128-quantized lane."""
+    out = []
+    for w in _PACK_WIDTHS:
+        if Vm <= w:
+            out.append((w, 128 // w))
+    out.append((_PACK2_W * -(-Vm // _PACK2_W), 2))
+    out.append((-(-Vm // 128) * 128, 1))
+    return out
 
-    The fine ladder can WASTE real device work two ways: an unpaired
-    lane in a multi-row pack-2 bucket walks both segments' rows alone,
-    and splintered tail buckets pad to the kernel's 8-sublane group
-    minimum (a 2-lane bucket does 4x its useful rows). Counter-moves,
-    each applied only when the tier-weighted row cost (_bucket_cost)
-    actually drops:
 
-    1. dissolve a multi-row pack-2 class to the unpacked 128-quantized
-       ladder;
-    2. merge a bucket into the next wider one (members fit by
-       construction: V <= old width <= new logical width);
-    3. spill one lane of an odd multi-row pair group to the unpacked
-       ladder.
+def _dp_layout(items) -> List[Tuple[Tuple[int, int], list]]:
+    """Minimum-cost contiguous partition of the V-sorted residue list.
 
-    Mutates ``buckets`` in place ({(width, pack): [(name, v, c), ...]}).
+    Exact DP over the _layout_cost objective with every _dp_configs
+    class as a per-bucket candidate, under the CALIBRATED _layout_cost
+    model. Because every bucket's sweep pays ~30 us of serial sampling
+    critical path that extra lanes merely ride under, the optimum is a
+    few DEEP buckets, not many tight ones. Measured endpoints on the
+    canonical 300-residue bench (v5e, interleaved reps, agg sweeps/s):
+    greedy ladder + counter-move consolidation (8 buckets) 737k; a
+    row-minimizing 12-bucket DP under the old rows-only objective 624k;
+    this calibrated DP (3 buckets: (128,2) x128, (384,2) x110,
+    (768,2) x62) 990k; forced 2 buckets 866k; forced 1 bucket 590k --
+    the U-shape the per-grid-program constant + padded-row terms
+    predict. Supersedes the greedy _pack_choice ladder + consolidation.
+
+    Returns [(key=(width, pack), members), ...]; several buckets may
+    share a key, so the result is a list, not a dict.
     """
-    def unpacked_key(item):
-        return (-(-len(item[1]) // 128) * 128, 1)
-
-    # 1: dissolve multi-row pair classes that don't pay for themselves
-    for (width, pack) in list(buckets):
-        if pack != 2 or width <= 128:
-            continue
-        group = buckets[(width, pack)]
-        moves = {}
-        for it in group:
-            moves.setdefault(unpacked_key(it), []).append(it)
-        cost_now = _bucket_cost(group, width, pack) + sum(
-            _bucket_cost(buckets.get(k, []), k[0], k[1]) for k in moves)
-        cost_dissolved = sum(
-            _bucket_cost(buckets.get(k, []) + v, k[0], k[1])
-            for k, v in moves.items())
-        if cost_dissolved < cost_now:
-            del buckets[(width, pack)]
-            for k, v in moves.items():
-                buckets.setdefault(k, []).extend(v)
-
-    def merge_pass():
-        changed = True
-        while changed:
-            changed = False
-            keys = sorted(buckets, key=lambda k: k[0])
-            for i, key in enumerate(keys[:-1]):
-                nxt = keys[i + 1]
-                a, b = buckets[key], buckets[nxt]
-                before = (_bucket_cost(a, key[0], key[1])
-                          + _bucket_cost(b, nxt[0], nxt[1]))
-                after = _bucket_cost(a + b, nxt[0], nxt[1])
-                if after < before:
-                    buckets[nxt] = a + b
-                    del buckets[key]
-                    changed = True
-                    break
-
-    # 2: chain-merge narrow buckets upward while it reduces cost
-    merge_pass()
-
-    # 3: re-home one lane of each odd multi-row pair group — into the
-    # cheapest existing non-pair bucket that fits it (adding to another
-    # pair bucket would just move the odd lane), else its own unpacked
-    # bucket — then give merging one more chance over the final shapes
-    for (width, pack) in list(buckets):
-        if pack != 2 or width <= 128:
-            continue
-        group = buckets[(width, pack)]
-        if len(group) % 2 == 0:
-            continue
-        spill = min(group, key=lambda it: len(it[1]))
-        group.remove(spill)
-        if not group:
-            del buckets[(width, pack)]
-        V = len(spill[1])
-        best_key, best_delta = unpacked_key(spill), None
-        for k in buckets:
-            if (k[0] >= V and (k[1] == 1 or k[0] <= 128)
-                    and k != (width, pack)):
-                delta = (_bucket_cost(buckets[k] + [spill], k[0], k[1])
-                         - _bucket_cost(buckets[k], k[0], k[1]))
-                if best_delta is None or delta < best_delta:
-                    best_key, best_delta = k, delta
-        fresh = _bucket_cost(
-            buckets.get(unpacked_key(spill), []) + [spill],
-            *unpacked_key(spill)) - _bucket_cost(
-            buckets.get(unpacked_key(spill), []), *unpacked_key(spill))
-        if best_delta is None or fresh < best_delta:
-            best_key = unpacked_key(spill)
-        buckets.setdefault(best_key, []).append(spill)
-    merge_pass()
+    from basicrta_tpu.sampler.kernels import SMALL_NMAX
+    items = sorted(items, key=lambda it: len(it[1]))
+    n = len(items)
+    H = [int(np.sum(c > SMALL_NMAX)) for _, _, c in items]
+    S1 = [int(np.sum(c > 1)) for _, _, c in items]
+    dp = [0.0] + [float("inf")] * n    # dp[j]: min cost of items[:j]
+    cut = [0] * (n + 1)
+    cfg = [None] * (n + 1)
+    for j in range(1, n + 1):
+        Vm = len(items[j - 1][1])
+        hmax = smax = 0
+        for i in range(j - 1, -1, -1):
+            hmax = max(hmax, H[i])
+            smax = max(smax, S1[i])
+            best, bkey = float("inf"), None
+            for (w, p) in _dp_configs(Vm):
+                c = _layout_cost(j - i, w, p, hmax, smax)
+                if c < best:
+                    best, bkey = c, (w, p)
+            tot = dp[i] + best
+            if tot < dp[j]:
+                dp[j], cut[j], cfg[j] = tot, i, bkey
+    groups = []
+    j = n
+    while j > 0:
+        i = cut[j]
+        groups.append((cfg[j], items[i:j]))
+        j = i
+    groups.reverse()
+    return groups
 
 
 def bucket_residues(times_per_residue: Dict[str, np.ndarray],
@@ -255,20 +252,22 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
     packing = pack_small and floor is None and ladder != "pow2"
     if floor is None:
         floor = 128
-    buckets: Dict[Tuple[int, int], list] = {}
-    for name, v, c in items:
-        if packing:
-            key = _pack_choice(len(v))
-        elif ladder == "pow2":
-            key = (_next_pow2(len(v), floor), 1)
-        else:
-            key = (max(floor, -(-len(v) // 128) * 128), 1)
-        buckets.setdefault(key, []).append((name, v, c))
     if packing and consolidate:
-        _consolidate_packed(buckets)
+        groups = _dp_layout(items)
+    else:
+        buckets: Dict[Tuple[int, int], list] = {}
+        for name, v, c in items:
+            if packing:
+                key = _pack_choice(len(v))
+            elif ladder == "pow2":
+                key = (_next_pow2(len(v), floor), 1)
+            else:
+                key = (max(floor, -(-len(v) // 128) * 128), 1)
+            buckets.setdefault(key, []).append((name, v, c))
+        groups = sorted(buckets.items())
 
     out = []
-    for (V, pack), group in sorted(buckets.items()):
+    for (V, pack), group in groups:
         B = len(group)
         values = np.zeros((B, V), np.float64)
         counts = np.zeros((B, V), np.float64)

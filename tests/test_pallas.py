@@ -169,8 +169,8 @@ class TestPackedBuckets:
         assert b.pack == 4 and b.values.shape[1] == 32
         c = by_names[("C",)]
         assert c.pack == 2 and c.values.shape[1] == 64
-        # the consolidated default may merge this tiny workload's buckets
-        # (cost model, _consolidate_packed) but must keep every residue
+        # the default DP layout may merge this tiny workload's buckets
+        # (calibrated cost model, _dp_layout) but must keep every residue
         # exactly once with a fitting width
         merged = bucket_residues(residues)
         names = [n for bt in merged for n in bt.names]
@@ -191,7 +191,7 @@ class TestPackedBuckets:
         for i in range(4):
             residues[f"F{i}"] = fast
             residues[f"S{i}"] = slow
-        batch = bucket_residues(residues)[0]
+        batch = bucket_residues(residues, consolidate=False)[0]
         assert batch.pack == 8 and batch.size == 8
         cfg = GibbsConfig(ncomp=4, niter=2000, g=10, seed=5)
         res = run_batch(batch, cfg, engine="pallas")
@@ -211,7 +211,7 @@ class TestPackedBuckets:
         the same logical lanes."""
         residues = {f"R{i}": self._small_residue(rng, 8000, 28 + i)
                     for i in range(5)}
-        batch = bucket_residues(residues)[0]
+        batch = bucket_residues(residues, consolidate=False)[0]
         assert batch.pack == 4
         cfg = GibbsConfig(ncomp=4, niter=1600, g=10, seed=2)
         rp = run_batch(batch, cfg, engine="pallas")
@@ -268,11 +268,74 @@ class TestPackedBuckets:
             else:
                 assert rate < 0.4, (name, rate)
 
+    def test_even_row_packed_agreement_and_isolation(self, rng):
+        """The even-row pack-2 class (V in (64, 128] as two 64-column
+        rows per pair) the DP layout introduces: posterior agrees with
+        the XLA engine and fast/slow partners don't leak."""
+        residues = {}
+        for i in range(5):
+            residues[f"F{i}"] = self._small_residue(rng, 9000, 96 + i,
+                                                    rate=3.0)
+            residues[f"S{i}"] = self._small_residue(rng, 9000, 96 + i,
+                                                    rate=0.12)
+        batches = bucket_residues(residues)
+        assert len(batches) == 1
+        batch = batches[0]
+        # 10 lanes of V~100: the DP must pick the 2-row pack-2 class
+        # (5 physical lanes x 2 rows beats 10 unpacked 128-wide rows)
+        assert batch.pack == 2 and batch.values.shape[1] == 128
+        cfg = GibbsConfig(ncomp=4, niter=2000, g=10, seed=7)
+        rp = run_batch(batch, cfg, engine="pallas")
+        rx = run_batch(batch, cfg, engine="xla")
+        b0 = 60
+        for i, name in enumerate(rp.names):
+            w = rp.mcweights[i][b0:]
+            r = rp.mcrates[i][b0:]
+            k = w.mean(0).argmax()
+            rate = r[:, k].mean()
+            if name.startswith("F"):
+                assert rate > 1.0, (name, rate)
+            else:
+                assert rate < 0.4, (name, rate)
+            mt_p = (w / r).sum(-1)
+            j = rx.names.index(name)
+            mt_x = (rx.mcweights[j][b0:] / rx.mcrates[j][b0:]).sum(-1)
+            assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
+
+    def test_dp_layout_dominates_greedy(self, rng):
+        """The DP partition never models more work than the raw
+        _pack_choice ladder, and keeps every residue exactly once with a
+        fitting width."""
+        from basicrta_tpu.sampler.batch import _bucket_cost
+
+        residues = {}
+        for i in range(60):
+            vmax = int(10 ** rng.uniform(1.0, 2.8))
+            residues[f"R{i}"] = self._small_residue(
+                rng, int(10 ** rng.uniform(2.3, 4.2)), max(vmax, 8),
+                rate=float(rng.uniform(0.3, 3.0)))
+
+        def total(batches):
+            return sum(_bucket_cost(
+                list(zip(b.names, b.values, b.counts)),
+                b.counts.shape[1], b.pack) for b in batches)
+
+        dp = bucket_residues(residues)
+        raw = bucket_residues(residues, consolidate=False)
+        assert total(dp) <= total(raw)
+        names = sorted(n for b in dp for n in b.names)
+        assert names == sorted(residues)
+        for b in dp:
+            for i in range(b.size):
+                assert (b.counts[i] > 0).sum() <= b.values.shape[1]
+                if b.pack > 1:
+                    assert b.values.shape[1] % (128 // b.pack) == 0
+
     def test_packed_checkpoint_resume_exact(self, rng, tmp_path):
         """Segment-keyed RNG makes packed runs resume bit-exactly."""
         residues = {f"R{i}": self._small_residue(rng, 1000, 24)
                     for i in range(3)}
-        batch = bucket_residues(residues)[0]
+        batch = bucket_residues(residues, consolidate=False)[0]
         assert batch.pack == 4
         cfg = GibbsConfig(ncomp=3, niter=400, g=10, seed=9)
         full = run_batch(batch, cfg, engine="pallas")
