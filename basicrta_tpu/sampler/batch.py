@@ -138,6 +138,42 @@ def _bucket_cost(members, width: int, pack: int) -> float:
     return _layout_cost(len(members), width, pack, head_end, single_start)
 
 
+def modeled_work_waste(batches: Sequence["ResidueBatch"]) -> float:
+    """Fraction of modeled per-sweep kernel WORK spent on padding, under
+    the calibrated _layout_cost row terms (the per-bucket dispatch
+    constant is critical path, not padding, and is excluded).
+
+    The raw column fraction (count-0 columns / columns) overstates waste
+    for the DP layout on purpose: the layout trades padded columns for
+    fewer, deeper buckets because a padded singleton row costs 0.08
+    us/lane-sweep while each extra bucket costs ~30 us/sweep of serial
+    critical path. This metric weighs every padded row/lane by what it
+    actually costs: live work counts a residue's live columns at the
+    per-column rate of its tier (a row of 128 columns costs the row
+    rate), padded work is the layout's physical rows/lanes at the same
+    rates."""
+    from basicrta_tpu.sampler.kernels import SMALL_NMAX
+    padded = live = 0.0
+    for b in batches:
+        head_end = int(max((np.sum(c > SMALL_NMAX) for c in b.counts),
+                           default=0))
+        single_start = int(max((np.sum(c > 1) for c in b.counts),
+                               default=0))
+        cost = _layout_cost(b.size, b.values.shape[1], b.pack, head_end,
+                            single_start)
+        Bph = -(-b.size // b.pack)
+        padded += cost - _COST_PER_BUCKET * -(-Bph // 64)
+        for c in b.counts:
+            n_head = float(np.sum(c > SMALL_NMAX))
+            n_multi = float(np.sum(c > 1))
+            n_live = float(np.sum(c > 0))
+            live += (n_live * _COST_ROW
+                     + n_head * _COST_HEAD_PREM
+                     + (n_multi - n_head) * _COST_SMALL_PREM) / 128.0
+            live += _COST_LANE_LOG
+    return 1.0 - live / padded if padded > 0 else 0.0
+
+
 def _dp_configs(Vm: int):
     """Every kernel-supported (width, pack) class that fits a bucket whose
     largest member has Vm live columns: sub-row sharing for the small

@@ -190,11 +190,19 @@ def main():
     cfg = GibbsConfig(ncomp=15, niter=TIMED_SWEEPS, g=100)
     batches = bucket_residues(residues)
     info = [(b.values.shape, b.tiers) for b in batches]
-    # padding waste: fraction of value columns carrying count 0
+    # padding waste, two views: the raw column fraction (count-0 value
+    # columns — the round-2 metric) and the calibrated WORK fraction
+    # (what the padding actually costs per sweep; the DP layout
+    # deliberately trades cheap padded columns for fewer ~30us-critical-
+    # path dispatches, so the column fraction RISES while throughput
+    # rises — see batch.modeled_work_waste and docs/design.md)
+    from basicrta_tpu.sampler.batch import modeled_work_waste
     cols = sum(b.values.size for b in batches)
     live = sum(int((b.counts > 0).sum()) for b in batches)
     waste = 1.0 - live / cols
-    print(f"buckets: {info}  padding waste: {waste:.1%}", file=sys.stderr)
+    work_waste = modeled_work_waste(batches)
+    print(f"buckets: {info}  col waste: {waste:.1%}  "
+          f"work waste: {work_waste:.1%}", file=sys.stderr)
 
     # headline engine (pallas; fall back to xla rather than losing the
     # benchmark if the fused kernel fails to build on this device)
@@ -207,7 +215,8 @@ def main():
         engine = "xla"
         agg = _timed_agg(residues, cfg, engine)
 
-    extras = {"engine": engine, "padding_waste": round(waste, 4)}
+    extras = {"engine": engine, "padding_waste": round(waste, 4),
+              "modeled_work_waste": round(work_waste, 4)}
 
     # roofline: achieved transcendental ops/s in the fused kernel vs the
     # measured pure-exp VPU ceiling (substantiates docs/design.md's
