@@ -22,7 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["log_f32", "exp_f32", "gammaln_f32", "pow_smallint"]
+__all__ = ["log_f32", "exp_f32", "gammaln_f32", "pow_smallint",
+           "stirling_tail"]
 
 
 def _log_f32_impl(x):
@@ -103,6 +104,32 @@ def gammaln_f32(x):
     lg = ((xs - 0.5) * _log_f32_impl(xs) - xs + 0.9189385332046727
           + series)
     return lg - jnp.where(small, jnp.log(prod), 0.0)
+
+
+# Stirling-tail exact values for integer x = 0..9; the 3-term asymptotic
+# series takes over at x >= 9.5 (error < 5e-11 there, shrinking as x^-7)
+_ST_TABLE = (0.08106146679532726, 0.04134069595540929, 0.02767792568499834,
+             0.02079067210376509, 0.01664469118982119, 0.01387612882307075,
+             0.01189670994589177, 0.01041126526197209, 0.00925546218271273,
+             0.00833056343336287)
+
+
+def stirling_tail(x):
+    """t(x) = lgamma(x+1) - [(x+0.5) ln(x+1) - (x+1) + 0.5 ln(2 pi)]:
+    the Stirling correction, pure rational arithmetic — no transcendentals
+    (Hormann 1993's f_c). Exact table for x < 10, asymptotic series beyond.
+
+    Regrouping a binomial log-PMF ratio around this tail (the BTRD accept
+    test) leaves only logs of near-unity ratios, whose n-amplified terms
+    carry small ABSOLUTE error — the precision-safe AND cheap form of the
+    BTRS acceptance comparison (see sampler/pallas_sweep._binom_btrs)."""
+    w = x + 1.0
+    inv = 1.0 / w
+    inv2 = inv * inv
+    s = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
+    for i in range(9, -1, -1):
+        s = jnp.where(x < i + 0.5, _ST_TABLE[i], s)
+    return s
 
 
 def pow_smallint(q, n, bits: int):

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from basicrta_tpu.ops.precise import exp_f32, gammaln_f32, log_f32
+from basicrta_tpu.ops.precise import exp_f32, log_f32, stirling_tail
 
 # Rejection-round depths. Acceptance per round: BTRS >= ~0.79, MT >= ~0.95.
 _BTRS_ROUNDS = 12     # failure < (0.21)^12 ~ 7e-9
@@ -82,7 +82,16 @@ def _binomial_inversion(key, n, p, dtype):
 
 def _binomial_btrs(key, n, p, dtype, unroll=False):
     """Hormann's BTRS transformed-rejection binomial for n*p >= 10, p <= 0.5,
-    with ``_BTRS_ROUNDS`` accept-first proposal rounds."""
+    with ``_BTRS_ROUNDS`` accept-first proposal rounds.
+
+    The acceptance comparison uses Hormann 1993's BTRD regrouping of the
+    log-PMF ratio: ``hb + (n+1) log(nm/nk) + (k+0.5) log(nk r / (k+1))
+    - t(k) - t(n-k)`` with t the Stirling tail — algebraically identical
+    to the lgamma form (checked to 1e-11 in f64, tests/test_pallas.py)
+    but both per-round logs take near-unity ratio arguments, so the
+    n-amplified terms carry small ABSOLUTE error and each round costs two
+    precise logs + rational tails instead of two full Stirling lgammas."""
+    tiny = jnp.finfo(dtype).tiny
     q = 1.0 - p
     spq = jnp.sqrt(n * p * q)
     b = 1.15 + 2.53 * spq
@@ -90,9 +99,11 @@ def _binomial_btrs(key, n, p, dtype, unroll=False):
     c = n * p + 0.5
     vr = 0.92 - 4.2 / b
     alpha = (2.83 + 5.1 / b) * spq
-    lpq = log_f32(p / jnp.maximum(q, jnp.finfo(dtype).tiny))
+    r_pq = jnp.maximum(p / jnp.maximum(q, tiny), tiny)
     m = jnp.floor((n + 1.0) * p)
-    h = gammaln_f32(m + 1.0) + gammaln_f32(n - m + 1.0)
+    nm = n - m + 1.0
+    hb = ((m + 0.5) * log_f32(jnp.maximum((m + 1.0) / (r_pq * nm), tiny))
+          + stirling_tail(m) + stirling_tail(n - m))
 
     def round_body(r, carry):
         k_acc, done = carry
@@ -106,13 +117,14 @@ def _binomial_btrs(key, n, p, dtype, unroll=False):
         in_range = (k >= 0) & (k <= n)
         fast = (us >= 0.07) & (v <= vr)
         # acceptance test (log of the scaled density ratio); vv is an
-        # unamplified O(1)-absolute operand — native log suffices (the
-        # amplified sites are lpq's (k - m) scaling and gammaln's Stirling
-        # term, which stay on the precise path)
-        vv = jnp.log(jnp.maximum(v * alpha / (a / (us * us) + b),
-                                 jnp.finfo(dtype).tiny))
-        slow = vv <= (h - gammaln_f32(k + 1.0) - gammaln_f32(n - k + 1.0)
-                      + (k - m) * lpq)
+        # unamplified O(1)-absolute operand — native log suffices. Out-of-
+        # range k makes the ratio args garbage (finite); in_range gates it.
+        vv = jnp.log(jnp.maximum(v * alpha / (a / (us * us) + b), tiny))
+        nk = n - k + 1.0
+        slow = vv <= (hb + (n + 1.0) * log_f32(jnp.maximum(nm / nk, tiny))
+                      + (k + 0.5)
+                      * log_f32(jnp.maximum(nk * r_pq / (k + 1.0), tiny))
+                      - stirling_tail(k) - stirling_tail(n - k))
         ok = in_range & (fast | slow)
         k_acc = jnp.where(done, k_acc, jnp.where(ok, k, k_acc))
         return k_acc, done | ok

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from basicrta_tpu.config import GibbsConfig
 from basicrta_tpu.ops.precise import (exp_f32 as _exp_f32,
                                       log_f32 as _log_f32,
-                                      pow_smallint as _pow_smallint)
+                                      pow_smallint as _pow_smallint,
+                                      stirling_tail as _stirling_tail)
 from basicrta_tpu.sampler.kernels import MixtureState, SMALL_NMAX
 
 _LANES = 128
@@ -186,21 +187,40 @@ def _binom_inversion(u, n, p, depth, early_exit=True, nmax_bits=0):
     return jnp.minimum(m, n)
 
 
-def _binom_btrs(rng, n, p, early_exit=True):
+def _binom_btrs(rng, n, p, mode=True):
     """Hormann BTRS transformed rejection, accept-first rounds; requires
     n*p >= 10, p <= 0.5 (guaranteed by the caller's select).
-    ``early_exit=False`` unrolls all rounds straight-line (see
-    _binom_inversion on why that wins inside the fused sweep kernel)."""
+
+    ``mode`` selects the accept-test form and loop shape (a static):
+      True / False — lgamma form ``h - lgamma(k+1) - lgamma(n-k+1) +
+        (k-m) log(p/q)`` with early-exit / straight-line rounds.
+      "btrd" / "btrd_sl" — Hormann 1993's BTRD regrouping of the SAME
+        quantity: ``hb + (n+1) log(nm/nk) + (k+0.5) log(nk r / (k+1))
+        - t(k) - t(n-k)`` with t the Stirling tail. Identical in exact
+        arithmetic (checked to 1e-11 in tests) but both logs take
+        near-unity ratio arguments, so the n-amplified terms carry small
+        ABSOLUTE error where the accept decision is marginal — and each
+        round costs two ratio logs + rational tails instead of two full
+        Stirling lgammas (which each pay a polynomial log, a native log
+        and three divides)."""
     q = 1.0 - p
+    btrd = mode in ("btrd", "btrd_sl")
+    early_exit = mode is True or mode == "btrd"
     spq = jnp.sqrt(n * p * q)
     b = 1.15 + 2.53 * spq
     a = -0.0873 + 0.0248 * b + 0.01 * p
     c = n * p + 0.5
     vr = 0.92 - 4.2 / b
     alpha = (2.83 + 5.1 / b) * spq
-    lpq = _log_f32(jnp.maximum(p / q, _TINY))
+    r = jnp.maximum(p / q, _TINY)
     m = jnp.floor((n + 1.0) * p)
-    h = _gammaln(m + 1.0) + _gammaln(n - m + 1.0)
+    if btrd:
+        nm = n - m + 1.0
+        hb = ((m + 0.5) * _log_f32(jnp.maximum((m + 1.0) / (r * nm), _TINY))
+              + _stirling_tail(m) + _stirling_tail(n - m))
+    else:
+        lpq = _log_f32(r)
+        h = _gammaln(m + 1.0) + _gammaln(n - m + 1.0)
 
     def round_step(t, k_acc, done):
         # `done` carried as f32 0/1: Mosaic miscompiles i1 vectors carried
@@ -213,8 +233,19 @@ def _binom_btrs(rng, n, p, early_exit=True):
         fast = (us >= 0.07) & (v <= vr)
         # vv is an unamplified O(1)-absolute comparison operand: native log
         vv = jnp.log(jnp.maximum(v * alpha / (a / (us * us) + b), _TINY))
-        slow = vv <= (h - _gammaln(k + 1.0) - _gammaln(n - k + 1.0)
-                      + (k - m) * lpq)
+        if btrd:
+            # out-of-range k makes the ratio args garbage (finite); the
+            # in_range gate discards those decisions, as the lgamma form
+            # does with its negative-argument lgammas
+            nk = n - k + 1.0
+            slow = vv <= (hb + (n + 1.0)
+                          * _log_f32(jnp.maximum(nm / nk, _TINY))
+                          + (k + 0.5)
+                          * _log_f32(jnp.maximum(nk * r / (k + 1.0), _TINY))
+                          - _stirling_tail(k) - _stirling_tail(n - k))
+        else:
+            slow = vv <= (h - _gammaln(k + 1.0) - _gammaln(n - k + 1.0)
+                          + (k - m) * lpq)
         ok = jnp.where(in_range & (fast | slow), 1.0, 0.0)
         upd = (1.0 - done) * ok
         k_acc = k_acc * (1.0 - upd) + k * upd
@@ -334,11 +365,16 @@ def _gamma_mt(rng, a):
 
 def _conjugate_in_kernel(rng, ns, ts, alpha: float, ga: float, gb: float):
     """Dirichlet/Gamma conjugate posterior draw on the (G, K) state tile
-    (reference gibbs.py:210-211), fully inside VMEM."""
-    gw = _gamma_mt(rng, alpha + ns)
-    w = gw / jnp.sum(gw, axis=-1, keepdims=True)
-    gr = _gamma_mt(rng, ga + ns)
-    r = gr / (gb + ts)
+    (reference gibbs.py:210-211), fully inside VMEM.
+
+    The weight- and rate-posterior Gamma draws are independent, so they
+    stack into ONE Marsaglia-Tsang call on a (2, ...) tile: the state tile
+    is tiny (K = 15 of 128 lanes live), so the ~8 x 60-op rejection chain
+    is pure serial latency — halving the number of sequential ops halves
+    its contribution to the per-sweep critical path."""
+    g2 = _gamma_mt(rng, jnp.stack([alpha + ns, ga + ns]))
+    w = g2[0] / jnp.sum(g2[0], axis=-1, keepdims=True)
+    r = g2[1] / (gb + ts)
     return w, r
 
 
@@ -567,7 +603,7 @@ def _tiered_binom(rng, n, p, head_rows: int, small_rows: int, SL: int,
 
 def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
                      small_rows: int,
-                     early_exit=(True, True, True)):
+                     early_exit=(True, True, True), pack: int = 1):
     """Sufficient statistics via binary multinomial splitting.
 
     The conditional-binomial chain walks K-1 sequential stages; splitting
@@ -576,9 +612,34 @@ def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
     Exact: Multinomial(n, p) == recursively Binomial-split over any
     partition. Components are padded to the next power of two with zero
     probability (they draw exactly 0).
+
+    With ``pack > 1`` the (w, r) args are (pack, G, K) per-segment states
+    (see :func:`_suff_stats_packed`); the node splits are unchanged —
+    the suffix sums are already per-column — and only the suffix fill and
+    the final (N_k, T_k) reductions go per segment. Returns (G, K) or
+    (pack, G, K).
     """
     SL, G = v.shape[0], v.shape[1]
-    _suffix_sums(v, w_gk, r_gk, z_scr, K)
+    if pack > 1:
+        W = _LANES // pack
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        masks = [((col >= s * W) & (col < (s + 1) * W)).astype(jnp.float32)
+                 for s in range(pack)]
+
+        def col_state(st, k):
+            out = masks[0] * st[0][:, k][:, None]
+            for s in range(1, pack):
+                out = out + masks[s] * st[s][:, k][:, None]
+            return out
+
+        zsum = jnp.zeros_like(v)
+        for k in range(K - 1, -1, -1):
+            w_col = col_state(w_gk, k)
+            r_col = col_state(r_gk, k)
+            zsum = zsum + (w_col * r_col)[None] * jnp.exp(-r_col[None] * v)
+            z_scr[k] = zsum
+    else:
+        _suffix_sums(v, w_gk, r_gk, z_scr, K)
 
     Kp = 1
     while Kp < K:
@@ -605,6 +666,15 @@ def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
             nxt.append((m, b, n - left))
         nodes = nxt
 
+    if pack > 1:
+        ns = jnp.stack(
+            [jnp.stack([jnp.sum(n * m[None], axis=(0, 2)) for m in masks])
+             for _, _, n in nodes[:K]], axis=-1)             # (pack, G, K)
+        ts = jnp.stack(
+            [jnp.stack([jnp.sum(v * n * m[None], axis=(0, 2))
+                        for m in masks])
+             for _, _, n in nodes[:K]], axis=-1)
+        return ns, ts
     ns = jnp.stack([jnp.sum(n, axis=(0, 2)) for _, _, n in nodes[:K]],
                    axis=-1)                                  # (G, K)
     ts = jnp.stack([jnp.sum(v * n, axis=(0, 2)) for _, _, n in nodes[:K]],
@@ -790,7 +860,7 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
 def _segment_kernel(K: int, head_rows: int, small_rows: int,
                     use_hash_rng: bool, g: int, n_blocks: int,
                     alpha: float, ga: float, gb: float, early_exit,
-                    pack: int,
+                    pack: int, tree: bool,
                     seed_ref, w0_ref, r0_ref, v_ref, c_ref,
                     w_out_ref, r_out_ref, w_fin_ref, r_fin_ref, z_scr):
     """Run ``n_blocks * g`` whole Gibbs sweeps for one group of G lanes with
@@ -824,7 +894,11 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
         if not use_hash_rng:
             pltpu.prng_seed(seed_sweep, group)
         rng = _Rng(use_hash_rng, seed_sweep, group)
-        if pack == 1:
+        if tree:
+            ns, ts = _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K,
+                                      head_rows, small_rows, early_exit,
+                                      pack)
+        elif pack == 1:
             ns, ts = _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K,
                                  head_rows, small_rows, early_exit)
         else:
@@ -866,14 +940,14 @@ def _use_hash_rng(interpret: bool) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_blocks", "tiers", "interpret",
-                                    "early_exit", "pack"))
+                                    "early_exit", "pack", "tree"))
 def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                    state: MixtureState, values: jax.Array,
                    counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
                    tiers: Tuple[int, int], interpret: bool = False,
                    early_exit: Tuple[bool, bool, bool] = (False, True,
                                                           True),
-                   pack: int = 1):
+                   pack: int = 1, tree: bool = False):
     """Advance all lanes by ``n_blocks`` thinning blocks in ONE fused
     ``pallas_call``: every sweep's sufficient statistics AND the conjugate
     Dirichlet/Gamma update run in VMEM; nothing touches HBM between sweeps
@@ -907,18 +981,18 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
         return _segment_pallas_packed(seed, sweep_offset, state, values,
                                       counts, cfg, n_blocks, head_rows,
                                       small_rows, interpret, early_exit,
-                                      pack)
+                                      pack, tree)
     SL = V // _LANES
-    # VMEM: z_scr (K rows) + the chain's per-stage temporaries (the tree
-    # formulation needs ~4x K rows instead — shrink the budget divisor
-    # before switching to it)
+    # VMEM: z_scr (K rows) + the chain's per-stage temporaries; the tree
+    # formulation stacks up to Kp/2 nodes x ~5 live tensors at its last
+    # level, so it budgets ~3x more rows per lane
     G, NG, Bp, w3, r3, v4, c4 = _group_layout(state, values, counts, K,
-                                              K + 12)
+                                              3 * K + 12 if tree else K + 12)
 
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
-                               cfg.gamma_rate, early_exit, 1)
+                               cfg.gamma_rate, early_exit, 1, bool(tree))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
@@ -966,7 +1040,7 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
 
 def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
                            n_blocks, head_rows, small_rows, interpret,
-                           early_exit, pack):
+                           early_exit, pack, tree: bool = False):
     """segment_pallas for packed buckets: ``pack`` consecutive logical
     lanes of width W = 128 // pack share one physical lane, each owning
     the fixed column range [s*W, (s+1)*W) of every one of the lane's
@@ -989,9 +1063,11 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
     c_ph = to_phys(counts, 0.0)
 
     budget = 12 * 2 ** 20
-    # per-physical-lane VMEM: z_scr + temps ((K + 12) rows x SL) plus the
-    # thinned output tiles (2 * n_blocks * pack * K floats)
-    per_lane = (K + 12) * SL * _LANES * 4 + 2 * n_blocks * pack * K * 4
+    # per-physical-lane VMEM: z_scr + temps ((K + 12) rows x SL; the tree
+    # stacks ~3x more at its widest level) plus the thinned output tiles
+    # (2 * n_blocks * pack * K floats)
+    rows_budget = 3 * K + 12 if tree else K + 12
+    per_lane = rows_budget * SL * _LANES * 4 + 2 * n_blocks * pack * K * 4
     g_fit = max(8, (budget // max(1, per_lane)) // 8 * 8)
     cap = int(min(_GROUP, g_fit))
     NG = -(-Bph // cap)
@@ -1017,7 +1093,7 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
-                               cfg.gamma_rate, early_exit, pack)
+                               cfg.gamma_rate, early_exit, pack, bool(tree))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),

@@ -23,6 +23,60 @@ def test_gammaln_lanczos():
     assert np.allclose(ours, expect, rtol=2e-5, atol=1e-5)
 
 
+def test_stirling_tail_matches_lgamma():
+    from scipy.special import gammaln as ref
+    from basicrta_tpu.sampler.pallas_sweep import _stirling_tail
+    x = np.asarray([0, 1, 2, 5, 9, 9.0, 10, 23, 400, 44660], np.float64)
+    expect = ref(x + 1) - ((x + 0.5) * np.log(x + 1) - (x + 1)
+                           + 0.5 * np.log(2 * np.pi))
+    ours = np.asarray(_stirling_tail(jnp.asarray(x, jnp.float32)))
+    assert np.allclose(ours, expect, atol=2e-7)
+
+
+@pytest.mark.parametrize("mode", [True, False, "btrd", "btrd_sl"])
+def test_binom_btrs_modes_gof(mode):
+    """Chi-square GOF of every accept-test form/loop shape of the kernel
+    BTRS against the exact PMF, drawn with the hash RNG outside a kernel
+    (the same code path interpret-mode kernels take)."""
+    from scipy import stats
+    from basicrta_tpu.sampler.pallas_sweep import _Rng, _binom_btrs
+    n, p, size = 300.0, 0.2, 50000
+    draws = []
+    for seed in range(5):
+        rng = _Rng(True, jnp.int32(seed), jnp.int32(0))
+        m = _binom_btrs(rng, jnp.full((size // 5,), n),
+                        jnp.full((size // 5,), p), mode)
+        draws.append(np.asarray(m))
+    m = np.concatenate(draws)
+    counts = np.bincount(m.astype(int), minlength=int(n) + 1)
+    pmf = stats.binom.pmf(np.arange(int(n) + 1), int(n), p)
+    keep = pmf * size > 5
+    chi2 = np.sum((counts[keep] - size * pmf[keep]) ** 2
+                  / (size * pmf[keep]))
+    assert chi2 < stats.chi2.ppf(0.9999, keep.sum() - 1)
+
+
+def test_binom_btrd_agrees_with_lgamma_form():
+    """BTRD is an algebraic regrouping of the lgamma accept test: on the
+    same RNG stream the two forms must take identical accept decisions up
+    to f32 boundary flips (checked to 1e-11 in f64; see _binom_btrs).
+    Marginal flips cascade — the element then accepts a different k in a
+    later round — so agreement is bounded by the flip rate, not exactness:
+    measured 0.11% at the worst case (n=5000, where the lgamma form's
+    amplified log error is largest)."""
+    from basicrta_tpu.sampler.pallas_sweep import _Rng, _binom_btrs
+    size = 40000
+    for n, p in [(120.0, 0.45), (5000.0, 0.47), (800.0, 0.05)]:
+        a = np.asarray(_binom_btrs(_Rng(True, jnp.int32(3), jnp.int32(1)),
+                                   jnp.full((size,), n),
+                                   jnp.full((size,), p), False))
+        b = np.asarray(_binom_btrs(_Rng(True, jnp.int32(3), jnp.int32(1)),
+                                   jnp.full((size,), n),
+                                   jnp.full((size,), p), "btrd_sl"))
+        agree = np.mean(a == b)
+        assert agree > 0.997, f"n={n} p={p}: agreement {agree}"
+
+
 @pytest.fixture(scope="module")
 def stats_case():
     rng = np.random.default_rng(31)
