@@ -65,12 +65,13 @@ def draw_uniform(seed, interpret=False):
     return _call(lambda rng: rng.uniform((_ROWS, _LANES)), seed, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "p", "interpret"))
-def draw_binom(seed, n, p, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n", "p", "interpret",
+                                             "btrs_mode"))
+def draw_binom(seed, n, p, interpret=False, btrs_mode=True):
     def body(rng):
         nn = jnp.full((_ROWS, _LANES), float(n), jnp.float32)
         pp = jnp.full((_ROWS, _LANES), float(p), jnp.float32)
-        return _binom_full(rng, nn, pp, False, True)
+        return _binom_full(rng, nn, pp, False, btrs_mode)
     return _call(body, seed, interpret)
 
 
@@ -109,13 +110,18 @@ def main():
     if ks.pvalue < 1e-3 or abs(mean_z) > 5 or abs(r1) > 5 / np.sqrt(len(u)):
         failures.append("uniform")
 
-    # ---- binomials across the tier branches ----
-    for n, p in [(16, 0.35),     # small-count inversion (n*p <= 10)
-                 (100, 0.02),    # inversion, long n
-                 (50, 0.3),      # BTRS (n*p = 15)
-                 (5000, 0.47),   # BTRS, large n
-                 (40, 0.9)]:     # symmetry fold (p > 0.5)
-        x = collect(draw_binom, 4, n=n, p=p, interpret=interpret)
+    # ---- binomials across the tier branches; BTRS-dominated cases run
+    # under BOTH accept-test forms (lgamma and the BTRD regrouping —
+    # see sampler/pallas_sweep._binom_btrs) ----
+    cases = [(16, 0.35, (True,)),        # small-count inversion (np <= 10)
+             (100, 0.02, (True,)),       # inversion, long n
+             (50, 0.3, (True, "btrd")),  # BTRS (n*p = 15)
+             (5000, 0.47, (True, "btrd", "btrd_sl")),  # BTRS, large n
+             (40, 0.9, (True, "btrd"))]  # symmetry fold (p > 0.5)
+    for n, p, modes in cases:
+      for mode in modes:
+        x = collect(draw_binom, 4, n=n, p=p, interpret=interpret,
+                    btrs_mode=mode)
         # exact chi^2 against the PMF, pooling tails below 5 expected
         kmax = int(x.max())
         obs = np.bincount(x.astype(int), minlength=kmax + 1)
@@ -131,10 +137,11 @@ def main():
         pval = stats.chi2.sf(chi2, dof)
         mz = (x.mean() - n * p) / (np.sqrt(n * p * (1 - p)) /
                                    np.sqrt(len(x)))
-        print(f"[binom n={n} p={p}] n={len(x)} chi2 p={pval:.3g} "
+        tag = "" if mode is True else f" {mode}"
+        print(f"[binom n={n} p={p}{tag}] n={len(x)} chi2 p={pval:.3g} "
               f"mean_z={mz:.2f}")
         if pval < 1e-4 or abs(mz) > 5:
-            failures.append(f"binom({n},{p})")
+            failures.append(f"binom({n},{p}{tag})")
 
     # ---- gammas across the boost/squeeze branches ----
     for a in [0.0667, 1.0, 3.7, 500.0]:   # 1/15 = the Dirichlet prior
