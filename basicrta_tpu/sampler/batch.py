@@ -57,6 +57,13 @@ class ResidueBatch:
     n_events: np.ndarray           # (B,) true event count per residue
     tiers: Tuple[int, int] = (0, 0)  # static tier boundaries
     pack: int = 1                  # logical lanes per physical kernel lane
+    # mixed-width packing (pack=2 only): per-PHYSICAL-lane boundary column
+    # b in [1, 128]; lane 2g owns columns [0, b) of its phys_rows rows,
+    # lane 2g+1 owns [b, 128). None = uniform 128 // pack segments.
+    # Members are in paired order (big_0, small_0, big_1, ...), set by
+    # _mixed_pairing.
+    bounds: Optional[np.ndarray] = None
+    phys_rows: int = 0             # rows per physical lane (mixed only)
 
     @property
     def size(self) -> int:
@@ -155,13 +162,18 @@ def modeled_work_waste(batches: Sequence["ResidueBatch"]) -> float:
     from basicrta_tpu.sampler.kernels import SMALL_NMAX
     padded = live = 0.0
     for b in batches:
-        head_end = int(max((np.sum(c > SMALL_NMAX) for c in b.counts),
-                           default=0))
-        single_start = int(max((np.sum(c > 1) for c in b.counts),
-                               default=0))
-        cost = _layout_cost(b.size, b.values.shape[1], b.pack, head_end,
-                            single_start)
         Bph = -(-b.size // b.pack)
+        if b.bounds is not None:
+            # mixed-width layout: cost from the actual physical rows
+            cost = _mixed_cost([(None, None, c) for c in b.counts],
+                               b.bounds, b.phys_rows)
+        else:
+            head_end = int(max((np.sum(c > SMALL_NMAX) for c in b.counts),
+                               default=0))
+            single_start = int(max((np.sum(c > 1) for c in b.counts),
+                                   default=0))
+            cost = _layout_cost(b.size, b.values.shape[1], b.pack,
+                                head_end, single_start)
         padded += cost - _COST_PER_BUCKET * -(-Bph // 64)
         for c in b.counts:
             n_head = float(np.sum(c > SMALL_NMAX))
@@ -172,6 +184,121 @@ def modeled_work_waste(batches: Sequence["ResidueBatch"]) -> float:
                      + (n_multi - n_head) * _COST_SMALL_PREM) / 128.0
             live += _COST_LANE_LOG
     return 1.0 - live / padded if padded > 0 else 0.0
+
+
+def _mixed_pairing(group):
+    """Mixed-width pack=2 layout of one bucket: pair members head-tail on
+    live unique count and put each physical lane's boundary column where
+    its own pair needs it, instead of the uniform 64-column split.
+
+    Head-tail pairing of a size-sorted list minimizes the maximum pair
+    sum, and the max pair's rows set the whole bucket's physical row count
+    SL — a (768, 2) uniform bucket walks 12 rows for every lane, while its
+    worst head-tail pair (V=768 with V=385) fits 128-column rows in 10.
+
+    Returns (ordered_members, bounds, SL): members in paired order
+    [big_0, small_0, big_1, small_1, ..., lone?], (Bph,) boundary columns
+    (lone member: 128), and the per-lane physical row count.
+    """
+    g = sorted(group, key=lambda it: -len(it[1]))
+    n = len(g)
+    pairs = [(g[k], g[n - 1 - k]) for k in range(n // 2)]
+    lone = g[n // 2] if n % 2 else None
+
+    def rows_for(Va, Vb):
+        # minimal r with ceil(Va/r) + ceil(Vb/r) <= 128 (ceil slack can
+        # push the naive ceil((Va+Vb)/128) over a row boundary)
+        r = max(1, -(-(Va + Vb) // 128))
+        while -(-Va // r) + -(-Vb // r) > 128:
+            r += 1
+        return r
+
+    SL = max([rows_for(len(a[1]), len(b[1])) for a, b in pairs]
+             + ([-(-len(lone[1]) // 128)] if lone is not None else []))
+    members, bounds = [], []
+    for a, b in pairs:
+        members.extend([a, b])
+        bounds.append(-(-len(a[1]) // SL))
+    if lone is not None:
+        members.append(lone)
+        bounds.append(128)
+    return members, np.asarray(bounds, np.int64), SL
+
+
+def _mixed_cost(members, bounds, SL: int) -> float:
+    """Calibrated modeled us/sweep of a mixed-width pack=2 bucket: same
+    row terms as _layout_cost but with the pairing's actual physical rows
+    and per-member segment widths (member i's head/multi columns occupy
+    its first ceil(H_i / w_i) rows of its own segment)."""
+    from basicrta_tpu.sampler.kernels import SMALL_NMAX
+    B = len(members)
+    Bph = len(bounds)
+    widths = []
+    for i in range(B):
+        b = int(bounds[i // 2])
+        widths.append(b if i % 2 == 0 else 128 - b)
+    head = small = 0
+    for (name, v, c), w in zip(members, widths):
+        H = int(np.sum(c > SMALL_NMAX))
+        S1 = int(np.sum(c > 1))
+        head = max(head, -(-H // w))
+        small = max(small, -(-S1 // w))
+    small = min(max(small, head), SL)
+    head = min(head, SL)
+    NG = -(-Bph // 64)
+    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
+    lanes = NG * G
+    return (_COST_PER_BUCKET * NG
+            + lanes * SL * _COST_ROW
+            + lanes * head * _COST_HEAD_PREM
+            + lanes * (small - head) * _COST_SMALL_PREM
+            + lanes * 2 * _COST_LANE_LOG)
+
+
+def _pack_mixed(values_np: np.ndarray, counts_np: np.ndarray,
+                bounds: np.ndarray, SL: int):
+    """Host-side physical packing of a mixed-width pack=2 bucket.
+
+    values/counts: (B_logical, V) in paired order; bounds: (Bph,) boundary
+    columns covering ceil(B_logical/2) physical lanes (callers pad both to
+    the final lane count first). Returns (v_ph, c_ph, seg_mask): physical
+    (Bph, SL, 128) row layouts and the (Bph, 128) f32 first-segment
+    ownership mask the kernel consumes (pallas_sweep segment_pallas).
+    """
+    Bph = len(bounds)
+    B, V = values_np.shape
+    v_ph = np.ones((Bph, SL, 128), np.float32)
+    c_ph = np.zeros((Bph, SL, 128), np.float32)
+    for g in range(Bph):
+        b = int(bounds[g])
+        for off, w, i in ((0, b, 2 * g), (b, 128 - b, 2 * g + 1)):
+            if w == 0 or i >= B:
+                continue
+            cap = SL * w
+            n = min(cap, V)
+            assert not counts_np[i, cap:].any(), (
+                "mixed-pack overflow: live columns beyond the lane's "
+                "segment capacity")
+            va = np.ones((cap,), np.float32)
+            ca = np.zeros((cap,), np.float32)
+            va[:n] = values_np[i, :n]
+            ca[:n] = counts_np[i, :n]
+            v_ph[g, :, off:off + w] = va.reshape(SL, w)
+            c_ph[g, :, off:off + w] = ca.reshape(SL, w)
+    seg_mask = (np.arange(128)[None, :] < bounds[:, None]).astype(
+        np.float32)
+    return v_ph, c_ph, seg_mask
+
+
+def _mixed_row_tiers(c_ph: np.ndarray) -> Tuple[int, int]:
+    """Physical-row tier boundaries of a mixed-packed bucket: each segment
+    is multiplicity-sorted row-major, so per-row maxima are non-increasing
+    and the tier samplers stay exact on whole rows."""
+    from basicrta_tpu.sampler.kernels import SMALL_NMAX
+    rowmax = c_ph.max(axis=(0, 2)) if c_ph.size else np.zeros((0,))
+    head = int((rowmax > SMALL_NMAX).sum())
+    small = max(int((rowmax > 1).sum()), head)
+    return head, small
 
 
 def _dp_configs(Vm: int):
@@ -245,7 +372,8 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
                     floor: Optional[int] = None,
                     pack_small: bool = True,
                     ladder: Optional[str] = None,
-                    consolidate: bool = True) -> List[ResidueBatch]:
+                    consolidate: bool = True,
+                    mixed_pack: bool = True) -> List[ResidueBatch]:
     """Group residues into 128-column-quantized unique-count buckets.
 
     Residence times are multiples of the trajectory interval, so the unique
@@ -304,6 +432,23 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
 
     out = []
     for (V, pack), group in groups:
+        bounds, phys_rows = None, 0
+        if mixed_pack and packing and pack <= 2 and len(group) > 1:
+            # mixed-width post-pass: the DP partitions under its uniform
+            # width classes (upper bounds); per-pair boundaries then
+            # shrink a bucket's physical rows wherever member sizes vary
+            # (the uniform 64-column split makes a V=385 member walk its
+            # V=768 partner's 12 rows; mixed pairing fits both in 10).
+            # Adopted when the calibrated cost model says the pairing
+            # beats the bucket's uniform class — including converting
+            # unpacked buckets whose heterogeneity the DP could not see.
+            m_members, m_bounds, m_rows = _mixed_pairing(group)
+            if (_mixed_cost(m_members, m_bounds, m_rows)
+                    < _bucket_cost(group, V, pack)):
+                group = m_members
+                bounds, phys_rows = m_bounds, m_rows
+                pack = 2
+                V = max(len(v) for _, v, _ in group)
         B = len(group)
         values = np.zeros((B, V), np.float64)
         counts = np.zeros((B, V), np.float64)
@@ -319,7 +464,8 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
         values = np.take_along_axis(values, order, axis=-1)
         counts = np.take_along_axis(counts, order, axis=-1)
         out.append(ResidueBatch(names, values, counts,
-                                np.asarray(n_events), tiers, pack=pack))
+                                np.asarray(n_events), tiers, pack=pack,
+                                bounds=bounds, phys_rows=phys_rows))
     return out
 
 
@@ -475,6 +621,21 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     counts_np = np.zeros((Bs, batch.counts.shape[1]), np.float32)
     counts_np[:B] = batch.counts
     tiers = batch.tiers
+    mixed = batch.bounds is not None and engine == "pallas"
+    seg_mask = None
+    if mixed:
+        # mixed-width packed bucket: pack physical (Bph, SL, 128) layouts
+        # on the host (per-lane boundaries make this a per-pair reshape no
+        # static device op expresses) and hand the kernel the ownership
+        # mask; tiers become physical-row tiers
+        bounds_s = np.full((Bs // 2,), 64, np.int64)
+        bounds_s[:len(batch.bounds)] = batch.bounds
+        v_ph, c_ph, seg_mask_np = _pack_mixed(values_np, counts_np,
+                                              bounds_s, batch.phys_rows)
+        mixed_tiers = _mixed_row_tiers(c_ph)
+        values_np = v_ph.reshape(len(bounds_s), -1)
+        counts_np = c_ph.reshape(len(bounds_s), -1)
+        seg_mask = jnp.asarray(seg_mask_np)
     n_events_shards = 1
     if (mesh is not None and engine == "xla"
             and mesh.shape.get("events", 1) > 1
@@ -493,6 +654,8 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     if sharding is not None:
         values = jax.device_put(values, sharding)
         counts = jax.device_put(counts, sharding)
+        if seg_mask is not None:
+            seg_mask = jax.device_put(seg_mask, sharding)
         if n_events_shards > 1:
             # the (Bs, K) state replicates over 'events' (K is not dealt
             # onto event shards); only the lane axis is split
@@ -523,6 +686,11 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         ckpt_engine += f"-ev{n_events_shards}"
     if pack > 1:
         ckpt_engine += f"-p{pack}"
+    if mixed:
+        # the boundary layout reshuffles which uniform feeds which draw,
+        # so checkpoints never resume across mixed/uniform layouts
+        import zlib as _zlib
+        ckpt_engine += f"-mx{_zlib.crc32(bounds_s.tobytes()) & 0xffff:04x}"
     Ws, Rs = [], []
     done = 0
     seg_idx = 0
@@ -545,7 +713,9 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         from basicrta_tpu.sampler.pallas_sweep import (packed_row_tiers,
                                                        pad_tiers_to_rows,
                                                        segment_pallas)
-        if pack > 1:
+        if mixed:
+            p_tiers = mixed_tiers
+        elif pack > 1:
             seg_w = 128 // pack
             p_tiers = packed_row_tiers(batch.tiers, seg_w,
                                        values.shape[1] // seg_w)
@@ -558,7 +728,7 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
             from jax.sharding import PartitionSpec as P
 
             def run_segment(offset, state, nb):
-                def _body(seed, off, w, r, v, c):
+                def _body(seed, off, w, r, v, c, m):
                     shard = jax.lax.axis_index("lanes")
                     # decorrelate shards by seed (in-kernel lanes
                     # decorrelate via program id, which restarts at 0 on
@@ -567,25 +737,28 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
                         0x3504F333)
                     st, W, R = segment_pallas(
                         local_seed, off, MixtureState(w, r), v, c, cfg,
-                        nb, p_tiers, interpret=on_cpu, pack=pack)
+                        nb, p_tiers, interpret=on_cpu, pack=pack,
+                        seg_mask=m)
                     return st.weights, st.rates, W, R
 
                 sharded = jax.shard_map(
                     _body, mesh=mesh,
                     in_specs=(P(), P(), P("lanes"), P("lanes"), P("lanes"),
-                              P("lanes")),
+                              P("lanes"),
+                              P("lanes") if seg_mask is not None else P()),
                     out_specs=(P("lanes"), P("lanes"), P("lanes"),
                                P("lanes")),
                     check_vma=False)
                 w, r, W, R = sharded(seed0, jnp.int32(offset),
                                      state.weights, state.rates,
-                                     values, counts)
+                                     values, counts, seg_mask)
                 return MixtureState(w, r), W, R
         else:
             def run_segment(offset, state, nb):
                 return segment_pallas(seed0, jnp.int32(offset), state,
                                       values, counts, cfg, nb, p_tiers,
-                                      interpret=on_cpu, pack=pack)
+                                      interpret=on_cpu, pack=pack,
+                                      seg_mask=seg_mask)
     event_steps: Dict[int, object] = {}
     while done < total_blocks:
         nb = min(segment_blocks, total_blocks - done)

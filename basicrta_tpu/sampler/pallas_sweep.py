@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -474,7 +474,8 @@ def _suffix_sums(v, w_gk, r_gk, z_scr, K: int):
 def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
                        head_rows: int, small_rows: int, pack: int,
                        early_exit: Tuple[bool, bool, bool] = (True, True,
-                                                              True)):
+                                                              True),
+                       seg_masks=None):
     """Segmented sufficient statistics: every physical lane of the
     (SL, G, 128) tile carries ``pack`` independent logical lanes side by
     side in 128//pack-column segments, each with its own (w, r) chain.
@@ -485,15 +486,25 @@ def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
     binomial chain the whole row then shares. The (N_k, T_k) reductions
     split per segment the same way. Returns (ns, ts), each (pack, G, K).
 
+    ``seg_masks`` (mixed-width buckets, pack=2 only): a list of ``pack``
+    (G, 128) f32 ownership masks replacing the uniform 128//pack split —
+    each physical lane puts its boundary where its own pair of residues
+    needs it (batch._mixed_pairing), so a V=700 residue shares a lane
+    with a V=380 one without either paying phantom rows. Broadcast
+    semantics are identical to the (1, 128) static masks.
+
     Small residues are where the padding waste lived: a V<=16 residue in
     the 128-column floor bucket paid a full head-tier row for 16 live
     columns; packed 8-up, that row's draws are amortized across 8 residues.
     """
     SL, G = v.shape[0], v.shape[1]
-    W = _LANES // pack
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    masks = [((col >= s * W) & (col < (s + 1) * W)).astype(jnp.float32)
-             for s in range(pack)]                       # each (1, 128)
+    if seg_masks is not None:
+        masks = seg_masks                                # each (G, 128)
+    else:
+        W = _LANES // pack
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        masks = [((col >= s * W) & (col < (s + 1) * W)).astype(jnp.float32)
+                 for s in range(pack)]                   # each (1, 128)
 
     def col_state(st, k):
         # (G, 128): per-column state value from the owning segment
@@ -603,7 +614,8 @@ def _tiered_binom(rng, n, p, head_rows: int, small_rows: int, SL: int,
 
 def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
                      small_rows: int,
-                     early_exit=(True, True, True), pack: int = 1):
+                     early_exit=(True, True, True), pack: int = 1,
+                     seg_masks=None):
     """Sufficient statistics via binary multinomial splitting.
 
     The conditional-binomial chain walks K-1 sequential stages; splitting
@@ -621,10 +633,13 @@ def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
     """
     SL, G = v.shape[0], v.shape[1]
     if pack > 1:
-        W = _LANES // pack
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        masks = [((col >= s * W) & (col < (s + 1) * W)).astype(jnp.float32)
-                 for s in range(pack)]
+        if seg_masks is not None:
+            masks = seg_masks                            # each (G, 128)
+        else:
+            W = _LANES // pack
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+            masks = [((col >= s * W) & (col < (s + 1) * W))
+                     .astype(jnp.float32) for s in range(pack)]
 
         def col_state(st, k):
             out = masks[0] * st[0][:, k][:, None]
@@ -724,7 +739,9 @@ def packed_row_tiers(tiers: Tuple[int, int], seg_width: int,
 
 
 def transcendentals_per_sweep(B: int, V: int, pack: int,
-                              tiers: Tuple[int, int], K: int) -> int:
+                              tiers: Tuple[int, int], K: int,
+                              phys: Optional[Tuple[int, int, int]] = None
+                              ) -> int:
     """Static count of transcendental ops (exp/log/sqrt) one sweep of the
     fused kernel executes for a bucket, INCLUDING padded lanes/columns —
     the roofline numerator (BENCH extras ``vpu_transcendental_util``).
@@ -737,8 +754,15 @@ def transcendentals_per_sweep(B: int, V: int, pack: int,
     a small row pays exp+log; singleton rows pay none. The conjugate
     update adds ~3 transcendentals per Marsaglia-Tsang round over the
     (pack, G, K) state tile.
+
+    ``phys``: explicit (SL, head_rows, small_rows) physical-row layout for
+    mixed-width buckets (batch._mixed_row_tiers), where V/tiers are
+    logical and cannot reproduce the packing.
     """
-    if pack > 1:
+    if phys is not None:
+        SL, head, small = phys
+        Bph = -(-B // pack)
+    elif pack > 1:
         W = _LANES // pack
         SL = V // W
         head, small = packed_row_tiers(tiers, W, SL)
@@ -860,9 +884,7 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
 def _segment_kernel(K: int, head_rows: int, small_rows: int,
                     use_hash_rng: bool, g: int, n_blocks: int,
                     alpha: float, ga: float, gb: float, early_exit,
-                    pack: int, tree: bool,
-                    seed_ref, w0_ref, r0_ref, v_ref, c_ref,
-                    w_out_ref, r_out_ref, w_fin_ref, r_fin_ref, z_scr):
+                    pack: int, tree: bool, mixed: bool, *refs):
     """Run ``n_blocks * g`` whole Gibbs sweeps for one group of G lanes with
     the (w, r) chain state resident in VMEM, writing the thinned state after
     every g-th sweep.
@@ -877,12 +899,27 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
     The PRNG is re-seeded per sweep from (base seed, group, absolute sweep
     index), so chains are reproducible for any segmentation of the run —
     a preempted run resumes bit-exactly (cf. batch.run_batch checkpoints).
+
+    ``mixed`` inserts a (1, G, 128) segment-ownership mask input after
+    c_ref (mixed-width pack=2 buckets; see :func:`_suff_stats_packed`).
     """
+    if mixed:
+        (seed_ref, w0_ref, r0_ref, v_ref, c_ref, m_ref,
+         w_out_ref, r_out_ref, w_fin_ref, r_fin_ref, z_scr) = refs
+    else:
+        (seed_ref, w0_ref, r0_ref, v_ref, c_ref,
+         w_out_ref, r_out_ref, w_fin_ref, r_fin_ref, z_scr) = refs
+        m_ref = None
     group = pl.program_id(0)
     base_seed = seed_ref[0]
     offset = seed_ref[1]
     v = v_ref[0]
     c = c_ref[0]
+    if m_ref is not None:
+        mA = m_ref[0]                                # (G, 128) f32
+        seg_masks = [mA, 1.0 - mA]
+    else:
+        seg_masks = None
 
     def sweep_body(i, carry):
         w_gk, r_gk = carry
@@ -897,14 +934,14 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
         if tree:
             ns, ts = _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K,
                                       head_rows, small_rows, early_exit,
-                                      pack)
+                                      pack, seg_masks)
         elif pack == 1:
             ns, ts = _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K,
                                  head_rows, small_rows, early_exit)
         else:
             ns, ts = _suff_stats_packed(rng, v, c, w_gk, r_gk, z_scr, K,
                                         head_rows, small_rows, pack,
-                                        early_exit)
+                                        early_exit, seg_masks)
         w_new, r_new = _conjugate_in_kernel(rng, ns, ts, alpha, ga, gb)
 
         blk = (i + 1) // g - 1
@@ -947,7 +984,8 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                    tiers: Tuple[int, int], interpret: bool = False,
                    early_exit: Tuple[bool, bool, bool] = (False, True,
                                                           True),
-                   pack: int = 1, tree: bool = False):
+                   pack: int = 1, tree: bool = False,
+                   seg_mask: Optional[jax.Array] = None):
     """Advance all lanes by ``n_blocks`` thinning blocks in ONE fused
     ``pallas_call``: every sweep's sufficient statistics AND the conjugate
     Dirichlet/Gamma update run in VMEM; nothing touches HBM between sweeps
@@ -967,12 +1005,29 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
             :func:`packed_row_tiers`; consecutive groups of ``pack``
             logical lanes share one physical lane across SL rows (see
             :func:`_suff_stats_packed`).
+        seg_mask: mixed-width packing (requires pack=2): (Bph, 128) f32
+            ownership mask of each PHYSICAL lane's first segment, 1.0 on
+            columns owned by logical lane 2*g and 0.0 on those of 2*g+1.
+            ``values``/``counts`` are then PHYSICAL (Bph, SL * 128) row
+            layouts (host-packed by batch.run_batch with the per-pair
+            boundary from batch._mixed_pairing), ``state`` stays logical
+            (2 * Bph, K), and ``tiers`` are physical-row tiers.
     Returns:
         (state, W, R) with W/R (B, n_blocks, K) thinned samples.
     """
     K = cfg.ncomp
     B, V = values.shape
     head_rows, small_rows = tiers
+    if seg_mask is not None:
+        if pack != 2 or V % _LANES or state.weights.shape[0] != 2 * B:
+            raise ValueError(
+                f"mixed-width packing needs pack=2, physical (Bph, SL*128) "
+                f"values and a (2*Bph, K) state; got pack={pack}, "
+                f"values {values.shape}, state {state.weights.shape}")
+        return _segment_pallas_packed(seed, sweep_offset, state, values,
+                                      counts, cfg, n_blocks, head_rows,
+                                      small_rows, interpret, early_exit,
+                                      pack, tree, seg_mask)
     if pack > 1:
         if B % pack or (V * pack) % _LANES:
             raise ValueError(
@@ -992,7 +1047,8 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
-                               cfg.gamma_rate, early_exit, 1, bool(tree))
+                               cfg.gamma_rate, early_exit, 1, bool(tree),
+                               False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
@@ -1040,27 +1096,41 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
 
 def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
                            n_blocks, head_rows, small_rows, interpret,
-                           early_exit, pack, tree: bool = False):
+                           early_exit, pack, tree: bool = False,
+                           seg_mask=None):
     """segment_pallas for packed buckets: ``pack`` consecutive logical
     lanes of width W = 128 // pack share one physical lane, each owning
     the fixed column range [s*W, (s+1)*W) of every one of the lane's
     SL = logical_width // W rows. Logical columns are multiplicity-sorted,
     so row r of a segment holds its columns [r*W, (r+1)*W) — tier rows
-    stay meaningful (packed_row_tiers)."""
+    stay meaningful (packed_row_tiers).
+
+    With ``seg_mask`` (mixed-width, pack=2): values/counts arrive already
+    in PHYSICAL (Bph, SL * 128) layout with a per-lane boundary column,
+    and the kernel reads the per-lane ownership masks instead of the
+    static uniform split (see segment_pallas)."""
     K = cfg.ncomp
-    B, WL = values.shape                 # logical width WL = W * SL
-    W = _LANES // pack
-    SL = WL // W
-    Bph = B // pack
+    mixed = seg_mask is not None
+    if mixed:
+        Bph, WP = values.shape           # physical width WP = SL * 128
+        SL = WP // _LANES
+        B = state.weights.shape[0]       # logical lanes = 2 * Bph
+        v_ph = values.reshape(Bph, SL, _LANES)
+        c_ph = counts.reshape(Bph, SL, _LANES)
+    else:
+        B, WL = values.shape             # logical width WL = W * SL
+        W = _LANES // pack
+        SL = WL // W
+        Bph = B // pack
 
-    def to_phys(x, fill):
-        # (B, SL * W) logical -> (Bph, SL, 128): segment s of a physical
-        # lane owns columns [s*W, (s+1)*W) of every row
-        x = x.reshape(Bph, pack, SL, W)
-        return jnp.swapaxes(x, 1, 2).reshape(Bph, SL, _LANES)
+        def to_phys(x):
+            # (B, SL * W) logical -> (Bph, SL, 128): segment s of a
+            # physical lane owns columns [s*W, (s+1)*W) of every row
+            x = x.reshape(Bph, pack, SL, W)
+            return jnp.swapaxes(x, 1, 2).reshape(Bph, SL, _LANES)
 
-    v_ph = to_phys(values, 1.0)
-    c_ph = to_phys(counts, 0.0)
+        v_ph = to_phys(values)
+        c_ph = to_phys(counts)
 
     budget = 12 * 2 ** 20
     # per-physical-lane VMEM: z_scr + temps ((K + 12) rows x SL; the tree
@@ -1090,23 +1160,34 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
     w4 = to_pgk(state.weights, 1.0)
     r4 = to_pgk(state.rates, 1.0)
 
+    in_specs = [
+        pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [w4, r4, v4, c4]
+    if mixed:
+        m3 = jnp.pad(jnp.asarray(seg_mask, jnp.float32),
+                     ((0, pad_ph), (0, 0))).reshape(NG, G, _LANES)
+        in_specs.append(pl.BlockSpec((1, G, _LANES),
+                                     lambda i, s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(m3)
+
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
-                               cfg.gamma_rate, early_exit, pack, bool(tree))
+                               cfg.gamma_rate, early_exit, pack, bool(tree),
+                               mixed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
-        in_specs=[
-            pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pack, G, K), lambda i, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SL, G, _LANES), lambda i, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, n_blocks * pack, G, K),
                          lambda i, s: (i, 0, 0, 0),
@@ -1132,7 +1213,7 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
             jax.ShapeDtypeStruct((NG, pack, G, K), jnp.float32),
             jax.ShapeDtypeStruct((NG, pack, G, K), jnp.float32)],
         interpret=bool(interpret),   # see segment_pallas on interpret mode
-    )(seeds, w4, r4, v4, c4)
+    )(seeds, *operands)
 
     def thinned(x):
         # (NG, n_blocks * pack, G, K) -> (B, n_blocks, K) logical lanes

@@ -201,7 +201,21 @@ def main():
     live = sum(int((b.counts > 0).sum()) for b in batches)
     waste = 1.0 - live / cols
     work_waste = modeled_work_waste(batches)
+    # physical-column waste: count-0 fraction of the (Bph, SL, 128) tiles
+    # the kernel actually walks (the mixed-width layout shrinks the
+    # physical rows, which the logical column fraction cannot see)
+    phys_cols = phys_live = 0
+    for b in batches:
+        if b.bounds is not None:
+            phys_cols += len(b.bounds) * b.phys_rows * 128
+        elif b.pack > 1:
+            phys_cols += (-(-b.size // b.pack)) * b.values.size // b.size * b.pack
+        else:
+            phys_cols += b.values.size
+        phys_live += int((b.counts > 0).sum())
+    phys_waste = 1.0 - phys_live / phys_cols
     print(f"buckets: {info}  col waste: {waste:.1%}  "
+          f"phys col waste: {phys_waste:.1%}  "
           f"work waste: {work_waste:.1%}", file=sys.stderr)
 
     # headline engine (pallas; fall back to xla rather than losing the
@@ -216,6 +230,7 @@ def main():
         agg = _timed_agg(residues, cfg, engine)
 
     extras = {"engine": engine, "padding_waste": round(waste, 4),
+              "phys_padding_waste": round(phys_waste, 4),
               "modeled_work_waste": round(work_waste, 4)}
 
     # roofline: achieved transcendental ops/s in the fused kernel vs the
@@ -225,8 +240,21 @@ def main():
         try:
             from basicrta_tpu.sampler.pallas_sweep import (
                 transcendentals_per_sweep)
+            from basicrta_tpu.sampler.batch import (_mixed_row_tiers,
+                                                    _pack_mixed)
+
+            def _phys(b):
+                if b.bounds is None:
+                    return None
+                _, c_ph, _ = _pack_mixed(
+                    np.asarray(b.values, np.float32),
+                    np.asarray(b.counts, np.float32), b.bounds,
+                    b.phys_rows)
+                return (b.phys_rows, *_mixed_row_tiers(c_ph))
+
             per_sweep = sum(transcendentals_per_sweep(
-                b.size, b.values.shape[1], b.pack, b.tiers, cfg.ncomp)
+                b.size, b.values.shape[1], b.pack, b.tiers, cfg.ncomp,
+                phys=_phys(b))
                 for b in batches)
             ceiling = transcendental_ceiling()
             achieved = per_sweep * agg / sum(b.size for b in batches)

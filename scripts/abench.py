@@ -7,7 +7,9 @@ axon tunnel drifts +-6%; see docs/design.md on timing methodology).
 Usage:
     python scripts/abench.py [--sweeps 2000] [--reps 5] [--variants a,b,...]
 
-Variants are named kwarg sets for segment_pallas.
+Variants are named kwarg sets for segment_pallas; a variant may also pin
+its bucket layout ("mixed" per-pair boundaries vs the "uniform"
+64-column split) so layouts interleave in the same process.
 """
 
 import argparse
@@ -40,7 +42,64 @@ VARIANTS = {
     # binary-splitting multinomial (log2 K sequential levels)
     "tree": dict(early_exit=(False, True, True), tree=True),
     "tree_sl": dict(early_exit=(False, False, True), tree=True),
+    # BTRD regrouped accept test (early-exit / straight-line)
+    "btrd": dict(early_exit=(False, "btrd", True)),
+    "btrd_sl": dict(early_exit=(False, "btrd_sl", True)),
+    # layout A/B: mixed per-pair boundaries vs uniform 64-col segments
+    "mixed": dict(layout="mixed", early_exit=(False, True, True)),
+    "uniform": dict(layout="uniform", early_exit=(False, True, True)),
 }
+
+
+def _build_runs(batches, cfg, n_blocks):
+    """Per-bucket closures calling segment_pallas with the right packing
+    inputs (mixed buckets are host-packed to their physical layout)."""
+    from basicrta_tpu.sampler.batch import _mixed_row_tiers, _pack_mixed
+    from basicrta_tpu.sampler.pallas_sweep import (packed_row_tiers,
+                                                   pad_tiers_to_rows,
+                                                   segment_pallas)
+    runs = {}
+    for bi, b in enumerate(batches):
+        seg_mask = None
+        B = b.size
+        if b.bounds is not None:
+            Bph = len(b.bounds)
+            B = 2 * Bph
+            v_np = np.ones((B, b.values.shape[1]), np.float32)
+            v_np[:b.size] = b.values
+            c_np = np.zeros_like(v_np)
+            c_np[:b.size] = b.counts
+            v_ph, c_ph, mask_np = _pack_mixed(v_np, c_np, b.bounds,
+                                              b.phys_rows)
+            tiers = _mixed_row_tiers(c_ph)
+            values = jnp.asarray(v_ph.reshape(Bph, -1))
+            counts = jnp.asarray(c_ph.reshape(Bph, -1))
+            seg_mask = jnp.asarray(mask_np)
+        else:
+            if b.pack > 1:
+                seg_w = 128 // b.pack
+                tiers = packed_row_tiers(b.tiers, seg_w,
+                                         b.values.shape[1] // seg_w)
+            else:
+                tiers = pad_tiers_to_rows(b.tiers, b.values.shape[1])
+            values = jnp.asarray(b.values, jnp.float32)
+            counts = jnp.asarray(b.counts, jnp.float32)
+        st0 = init_mixture_params(cfg.ncomp)
+        state = MixtureState(jnp.tile(st0.weights, (B, 1)),
+                             jnp.tile(st0.rates, (B, 1)))
+
+        on_cpu = jax.devices()[0].platform != "tpu"
+
+        def make(bi=bi, b=b, tiers=tiers, state=state, values=values,
+                 counts=counts, seg_mask=seg_mask, on_cpu=on_cpu):
+            def go(vkw):
+                return segment_pallas(jnp.int32(bi + 1), jnp.int32(0),
+                                      state, values, counts, cfg, n_blocks,
+                                      tiers, pack=b.pack, seg_mask=seg_mask,
+                                      interpret=on_cpu, **vkw)
+            return go
+        runs[bi] = make()
+    return runs
 
 
 def main():
@@ -50,76 +109,59 @@ def main():
     ap.add_argument("--residues", type=int, default=300)
     ap.add_argument("--variants", default="base,btrs_sl")
     ap.add_argument("--g", type=int, default=100)
+    ap.add_argument("--layout", default="mixed",
+                    choices=["mixed", "uniform"],
+                    help="default bucket layout for variants without one")
     args = ap.parse_args()
 
     from bench import make_workload
     residues = make_workload(args.residues)
     cfg = GibbsConfig(ncomp=15, niter=args.sweeps, g=args.g)
-    batches = bucket_residues(residues)
-    print("buckets:", [(b.values.shape, b.pack, b.tiers) for b in batches],
-          file=sys.stderr)
-
-    from basicrta_tpu.sampler.pallas_sweep import (packed_row_tiers,
-                                                   pad_tiers_to_rows,
-                                                   segment_pallas)
+    n_blocks = args.sweeps // args.g
+    variants = args.variants.split(",")
+    vkw = {v: dict(VARIANTS[v]) for v in variants}
+    vlayout = {v: vkw[v].pop("layout", args.layout) for v in variants}
 
     np.asarray(jnp.ones((8,)) * 2)  # absorb tunnel warm-up
 
-    n_blocks = args.sweeps // args.g
-    variants = args.variants.split(",")
-    runs = {}   # (variant, bucket_idx) -> callable returning a device array
-    for bi, b in enumerate(batches):
-        if b.pack > 1:
-            seg_w = 128 // b.pack
-            tiers = packed_row_tiers(b.tiers, seg_w,
-                                     b.values.shape[1] // seg_w)
-        else:
-            tiers = pad_tiers_to_rows(b.tiers, b.values.shape[1])
-        st0 = init_mixture_params(cfg.ncomp)
-        state = MixtureState(jnp.tile(st0.weights, (b.size, 1)),
-                             jnp.tile(st0.rates, (b.size, 1)))
-        values = jnp.asarray(b.values, jnp.float32)
-        counts = jnp.asarray(b.counts, jnp.float32)
-
-        def make(bi=bi, b=b, tiers=tiers, state=state, values=values,
-                 counts=counts):
-            def go(vkw):
-                return segment_pallas(jnp.int32(bi + 1), jnp.int32(0),
-                                      state, values, counts, cfg, n_blocks,
-                                      tiers, pack=b.pack, **vkw)
-            return go
-        runs[bi] = make()
+    layouts = {}
+    for lay in set(vlayout.values()):
+        batches = bucket_residues(residues, mixed_pack=lay == "mixed")
+        print(f"[{lay}] buckets:",
+              [(b.values.shape, b.pack,
+                b.phys_rows if b.bounds is not None else "-")
+               for b in batches], file=sys.stderr)
+        layouts[lay] = (batches, _build_runs(batches, cfg, n_blocks))
 
     # compile + warm every (variant, bucket) once
     for v in variants:
+        _, runs = layouts[vlayout[v]]
         for bi in runs:
             t0 = time.time()
-            st, W, R = runs[bi](VARIANTS[v])
+            st, W, R = runs[bi](vkw[v])
             np.asarray(W[:1, :1])
             print(f"warm {v} b{bi}: {time.time() - t0:.1f}s",
                   file=sys.stderr)
 
     # interleaved timed reps
-    times = {(v, bi): [] for v in variants for bi in runs}
+    times = {}
     for rep in range(args.reps):
         for v in variants:
+            _, runs = layouts[vlayout[v]]
             for bi in runs:
                 t0 = time.time()
-                st, W, R = runs[bi](VARIANTS[v])
+                st, W, R = runs[bi](vkw[v])
                 np.asarray(W[:1, :1])   # sync (block_until_ready no-op)
-                times[(v, bi)].append(time.time() - t0)
+                times.setdefault((v, bi), []).append(time.time() - t0)
 
-    total_lanes = sum(b.size for b in batches)
-    print(f"\n{'variant':10s} " + " ".join(
-        f"b{bi}[B={batches[bi].size:3d}]" for bi in runs) + "  agg_sweeps/s")
+    print(f"\n{'variant':10s} per-bucket us/sweep        agg_sweeps/s")
     for v in variants:
-        per = []
-        for bi in runs:
-            dt = min(times[(v, bi)])
-            per.append(dt / args.sweeps * 1e6)   # us/sweep
+        batches, runs = layouts[vlayout[v]]
+        total_lanes = sum(b.size for b in batches)
+        per = [min(times[(v, bi)]) / args.sweeps * 1e6 for bi in runs]
         tot_t = sum(min(times[(v, bi)]) for bi in runs)
         agg = total_lanes * args.sweeps / tot_t
-        print(f"{v:10s} " + " ".join(f"{p:9.1f}us" for p in per)
+        print(f"{v:10s} " + " ".join(f"{p:9.1f}" for p in per)
               + f"  {agg:,.0f}")
 
 

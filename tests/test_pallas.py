@@ -332,7 +332,10 @@ class TestPackedBuckets:
                                                     rate=3.0)
             residues[f"S{i}"] = self._small_residue(rng, 9000, 96 + i,
                                                     rate=0.12)
-        batches = bucket_residues(residues)
+        # mixed_pack off: this test pins the DP's uniform 2-row pack-2
+        # class (the mixed post-pass would re-pair these near-equal-size
+        # members with per-lane boundaries; covered by the mixed tests)
+        batches = bucket_residues(residues, mixed_pack=False)
         assert len(batches) == 1
         batch = batches[0]
         # 10 lanes of V~100: the DP must pick the 2-row pack-2 class
@@ -356,11 +359,85 @@ class TestPackedBuckets:
             mt_x = (rx.mcweights[j][b0:] / rx.mcrates[j][b0:]).sum(-1)
             assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
 
+    def test_mixed_pairing_layout(self, rng):
+        """_mixed_pairing: head-tail pairs, per-pair boundaries, and every
+        member fitting its segment capacity on random size mixes."""
+        from basicrta_tpu.sampler.batch import _mixed_pairing
+        for trial in range(20):
+            sizes = rng.integers(5, 900, rng.integers(2, 15))
+            group = [(f"R{i}", np.arange(1, s + 1, dtype=float),
+                      np.ones(s)) for i, s in enumerate(sizes)]
+            members, bounds, SL = _mixed_pairing(group)
+            assert sorted(n for n, _, _ in members) == sorted(
+                f"R{i}" for i in range(len(sizes)))
+            assert len(bounds) == -(-len(sizes) // 2)
+            for g in range(len(bounds)):
+                b = int(bounds[g])
+                assert 1 <= b <= 128
+                Va = len(members[2 * g][1])
+                assert Va <= SL * b, (Va, SL, b)
+                if 2 * g + 1 < len(members):
+                    Vb = len(members[2 * g + 1][1])
+                    assert Vb <= SL * (128 - b), (Vb, SL, b)
+                    assert Vb <= Va  # big first in each pair
+
+    def test_mixed_packed_engine_agreement_and_isolation(self, rng):
+        """Mixed-width pack-2 buckets (heterogeneous V, per-lane boundary
+        — the round-3 straggler fix): posterior agrees with the XLA
+        engine on the same lanes and fast/slow partners don't leak."""
+        residues = {}
+        for i in range(5):
+            residues[f"F{i}"] = self._small_residue(rng, 9000, 330 + 9 * i,
+                                                    rate=3.0)
+            residues[f"S{i}"] = self._small_residue(rng, 9000, 90 + 7 * i,
+                                                    rate=0.12)
+        batches = bucket_residues(residues)
+        mixed = [b for b in batches if b.bounds is not None]
+        assert mixed, [(b.values.shape, b.pack) for b in batches]
+        cfg = GibbsConfig(ncomp=4, niter=1600, g=10, seed=9)
+        b0 = 60
+        for batch in batches:
+            assert batch.pack == 2
+            rp = run_batch(batch, cfg, engine="pallas")
+            rx = run_batch(batch, cfg, engine="xla")
+            for i, name in enumerate(rp.names):
+                w = rp.mcweights[i][b0:]
+                r = rp.mcrates[i][b0:]
+                k = w.mean(0).argmax()
+                rate = r[:, k].mean()
+                if name.startswith("F"):
+                    assert rate > 1.0, (name, rate)
+                else:
+                    assert rate < 0.4, (name, rate)
+                mt_p = (w / r).sum(-1)
+                j = rx.names.index(name)
+                mt_x = (rx.mcweights[j][b0:] / rx.mcrates[j][b0:]).sum(-1)
+                assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
+
+    def test_mixed_packed_segmentation_exact(self, rng):
+        """A mixed-bucket run is bit-exact under any segmentation (the
+        RNG is seeded per absolute sweep index, so checkpoint/resume and
+        progress segmentation cannot perturb the chain)."""
+        residues = {}
+        for i in range(5):
+            residues[f"A{i}"] = self._small_residue(rng, 5000, 290 + 4 * i,
+                                                    rate=2.0)
+            residues[f"B{i}"] = self._small_residue(rng, 5000, 80 + 4 * i,
+                                                    rate=0.3)
+        batch = bucket_residues(residues)[0]
+        assert batch.bounds is not None
+        cfg = GibbsConfig(ncomp=3, niter=400, g=10, seed=3)
+        whole = run_batch(batch, cfg, engine="pallas")
+        seg = run_batch(batch, cfg, engine="pallas", segment_blocks=13)
+        assert np.array_equal(whole.mcweights, seg.mcweights)
+        assert np.array_equal(whole.mcrates, seg.mcrates)
+
     def test_dp_layout_dominates_greedy(self, rng):
         """The DP partition never models more work than the raw
-        _pack_choice ladder, and keeps every residue exactly once with a
-        fitting width."""
-        from basicrta_tpu.sampler.batch import _bucket_cost
+        _pack_choice ladder (the mixed post-pass only ever lowers a
+        bucket's modeled cost further), and keeps every residue exactly
+        once with a fitting width."""
+        from basicrta_tpu.sampler.batch import _bucket_cost, _mixed_cost
 
         residues = {}
         for i in range(60):
@@ -370,9 +447,17 @@ class TestPackedBuckets:
                 rate=float(rng.uniform(0.3, 3.0)))
 
         def total(batches):
-            return sum(_bucket_cost(
-                list(zip(b.names, b.values, b.counts)),
-                b.counts.shape[1], b.pack) for b in batches)
+            out = 0.0
+            for b in batches:
+                if b.bounds is not None:
+                    out += _mixed_cost(
+                        list(zip(b.names, b.values, b.counts)),
+                        b.bounds, b.phys_rows)
+                else:
+                    out += _bucket_cost(
+                        list(zip(b.names, b.values, b.counts)),
+                        b.counts.shape[1], b.pack)
+            return out
 
         dp = bucket_residues(residues)
         raw = bucket_residues(residues, consolidate=False)
@@ -382,8 +467,16 @@ class TestPackedBuckets:
         for b in dp:
             for i in range(b.size):
                 assert (b.counts[i] > 0).sum() <= b.values.shape[1]
-                if b.pack > 1:
+                if b.pack > 1 and b.bounds is None:
                     assert b.values.shape[1] % (128 // b.pack) == 0
+                if b.bounds is not None:
+                    # every member fits its own segment's capacity
+                    assert b.pack == 2 and b.phys_rows >= 1
+                    for i in range(b.size):
+                        w = (int(b.bounds[i // 2]) if i % 2 == 0
+                             else 128 - int(b.bounds[i // 2]))
+                        live = int((b.counts[i] > 0).sum())
+                        assert live <= b.phys_rows * w
 
     def test_packed_checkpoint_resume_exact(self, rng, tmp_path):
         """Segment-keyed RNG makes packed runs resume bit-exactly."""
