@@ -202,10 +202,19 @@ def _binom_btrs(rng, n, p, mode=True):
         ABSOLUTE error where the accept decision is marginal — and each
         round costs two ratio logs + rational tails instead of two full
         Stirling lgammas (which each pay a polynomial log, a native log
-        and three divides)."""
+        and three divides).
+      "btrd_nat" / "btrd_nat_sl" — BTRD with NATIVE ratio logs. The
+        regrouping's conditioning makes even the VPU's ~7e-5-relative
+        log admissible here: a marginal accept decision has the
+        amplified terms at |term| <~ d/q ~ 200 (d ~ 3 sigma), so the
+        absolute RHS error stays <~ 0.02 against an O(1) decision
+        margin — 40x smaller than the lgamma form's measured-biased
+        native-log error. Gated on the on-chip GOF battery
+        (scripts/device_prng.py) before any production use."""
     q = 1.0 - p
-    btrd = mode in ("btrd", "btrd_sl")
-    early_exit = mode is True or mode == "btrd"
+    btrd = mode in ("btrd", "btrd_sl", "btrd_nat", "btrd_nat_sl")
+    rlog = jnp.log if mode in ("btrd_nat", "btrd_nat_sl") else _log_f32
+    early_exit = mode in (True, "btrd", "btrd_nat")
     spq = jnp.sqrt(n * p * q)
     b = 1.15 + 2.53 * spq
     a = -0.0873 + 0.0248 * b + 0.01 * p
@@ -239,9 +248,9 @@ def _binom_btrs(rng, n, p, mode=True):
             # does with its negative-argument lgammas
             nk = n - k + 1.0
             slow = vv <= (hb + (n + 1.0)
-                          * _log_f32(jnp.maximum(nm / nk, _TINY))
+                          * rlog(jnp.maximum(nm / nk, _TINY))
                           + (k + 0.5)
-                          * _log_f32(jnp.maximum(nk * r / (k + 1.0), _TINY))
+                          * rlog(jnp.maximum(nk * r / (k + 1.0), _TINY))
                           - _stirling_tail(k) - _stirling_tail(n - k))
         else:
             slow = vv <= (h - _gammaln(k + 1.0) - _gammaln(n - k + 1.0)

@@ -45,6 +45,9 @@ VARIANTS = {
     # BTRD regrouped accept test (early-exit / straight-line)
     "btrd": dict(early_exit=(False, "btrd", True)),
     "btrd_sl": dict(early_exit=(False, "btrd_sl", True)),
+    # BTRD with native ratio logs (GOF-gated; see _binom_btrs)
+    "btrd_nat": dict(early_exit=(False, "btrd_nat", True)),
+    "btrd_nat_sl": dict(early_exit=(False, "btrd_nat_sl", True)),
     # layout A/B: mixed per-pair boundaries vs uniform 64-col segments
     "mixed": dict(layout="mixed", early_exit=(False, True, True)),
     "uniform": dict(layout="uniform", early_exit=(False, True, True)),

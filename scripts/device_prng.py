@@ -116,7 +116,9 @@ def main():
     cases = [(16, 0.35, (True,)),        # small-count inversion (np <= 10)
              (100, 0.02, (True,)),       # inversion, long n
              (50, 0.3, (True, "btrd")),  # BTRS (n*p = 15)
-             (5000, 0.47, (True, "btrd", "btrd_sl")),  # BTRS, large n
+             # BTRS, large n: the worst case for amplified log error —
+             # both BTRD forms plus the native-ratio-log candidate
+             (5000, 0.47, (True, "btrd", "btrd_sl", "btrd_nat")),
              (40, 0.9, (True, "btrd"))]  # symmetry fold (p > 0.5)
     for n, p, modes in cases:
       for mode in modes:

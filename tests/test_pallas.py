@@ -33,7 +33,8 @@ def test_stirling_tail_matches_lgamma():
     assert np.allclose(ours, expect, atol=2e-7)
 
 
-@pytest.mark.parametrize("mode", [True, False, "btrd", "btrd_sl"])
+@pytest.mark.parametrize("mode", [True, False, "btrd", "btrd_sl",
+                                  "btrd_nat"])
 def test_binom_btrs_modes_gof(mode):
     """Chi-square GOF of every accept-test form/loop shape of the kernel
     BTRS against the exact PMF, drawn with the hash RNG outside a kernel
