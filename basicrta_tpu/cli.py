@@ -296,10 +296,15 @@ def enable_compilation_cache():
     import os
 
     import jax
+    import jaxlib.version
+    # scope the default cache per jaxlib version: entries serialized by a
+    # different jaxlib can crash the deserializer outright (observed:
+    # SIGSEGV in compilation_cache.get_executable_and_time), and the
+    # version never appears in the cache key
     cache = os.environ.get(
         "BASICRTA_TPU_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "basicrta_tpu",
-                     "jax"))
+                     f"jax-{jaxlib.version.__version__}"))
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
 

@@ -166,14 +166,15 @@ def transcendental_ceiling():
     return ITERS * TILES * R * L / best_dt
 
 
-def _timed_agg(residues, cfg, engine):
+def _timed_agg(residues, cfg, engine, mixed_pack=True):
     """Aggregate sweeps/s for one engine (after its own warmup pass).
     Buckets are laid out per engine (packed fine ladder for pallas,
     coarse pow2 for xla — run_residues' policy) and dispatch with
     deferred transfers: bucket i+1 computes while bucket i streams
     back."""
     batches = bucket_residues(residues,
-                              ladder=None if engine == "pallas" else "pow2")
+                              ladder=None if engine == "pallas" else "pow2",
+                              mixed_pack=mixed_pack)
     for b in batches:
         run_batch(b, cfg, engine=engine)
     t0 = time.time()
@@ -218,18 +219,28 @@ def main():
           f"phys col waste: {phys_waste:.1%}  "
           f"work waste: {work_waste:.1%}", file=sys.stderr)
 
-    # headline engine (pallas; fall back to xla rather than losing the
-    # benchmark if the fused kernel fails to build on this device)
+    # headline engine (pallas with the mixed-width layout; degrade to the
+    # uniform pallas layout, then xla, rather than losing the benchmark
+    # if a kernel fails to build on this device)
     engine = "pallas"
+    layout = "mixed"
     try:
         agg = _timed_agg(residues, cfg, engine)
     except Exception as e:  # noqa: BLE001
-        print(f"pallas engine unavailable ({type(e).__name__}); "
-              f"falling back to xla", file=sys.stderr)
-        engine = "xla"
-        agg = _timed_agg(residues, cfg, engine)
+        print(f"mixed-layout pallas unavailable ({type(e).__name__}: "
+              f"{e}); falling back to the uniform layout",
+              file=sys.stderr)
+        layout = "uniform"
+        try:
+            agg = _timed_agg(residues, cfg, engine, mixed_pack=False)
+        except Exception as e2:  # noqa: BLE001
+            print(f"pallas engine unavailable ({type(e2).__name__}); "
+                  f"falling back to xla", file=sys.stderr)
+            engine = "xla"
+            agg = _timed_agg(residues, cfg, engine)
 
-    extras = {"engine": engine, "padding_waste": round(waste, 4),
+    extras = {"engine": engine, "layout": layout,
+              "padding_waste": round(waste, 4),
               "phys_padding_waste": round(phys_waste, 4),
               "modeled_work_waste": round(work_waste, 4)}
 

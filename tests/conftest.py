@@ -16,6 +16,18 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# CLI tests call cli.main(), whose enable_compilation_cache() would point
+# THIS process's persistent XLA cache at the shared user-level directory —
+# which concurrent suite/bench processes also write. A torn or
+# stale-jaxlib entry segfaults the deserializer (observed: SIGSEGV in
+# compilation_cache.get_executable_and_time during an unrelated later
+# test). Isolate the whole session in a throwaway cache.
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "BASICRTA_TPU_CACHE",
+    tempfile.mkdtemp(prefix="basicrta_test_jax_cache_"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
