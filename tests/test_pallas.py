@@ -382,6 +382,41 @@ class TestPackedBuckets:
                     assert Vb <= SL * (128 - b), (Vb, SL, b)
                     assert Vb <= Va  # big first in each pair
 
+    def test_pack_mixed_roundtrip(self, rng):
+        """_pack_mixed places every logical lane's cells exactly in its
+        own segment (mask-consistent, count-preserving, value-aligned)."""
+        from basicrta_tpu.sampler.batch import _pack_mixed
+        for trial in range(10):
+            Bph = int(rng.integers(1, 6))
+            SL = int(rng.integers(1, 5))
+            bounds = rng.integers(1, 128, Bph)
+            B = 2 * Bph
+            V = SL * 128
+            values = np.ones((B, V), np.float32)
+            counts = np.zeros((B, V), np.float32)
+            for i in range(B):
+                w = (int(bounds[i // 2]) if i % 2 == 0
+                     else 128 - int(bounds[i // 2]))
+                live = int(rng.integers(0, SL * w + 1))
+                values[i, :live] = rng.uniform(0.1, 9.0, live)
+                counts[i, :live] = rng.integers(1, 50, live)
+            v_ph, c_ph, mask = _pack_mixed(values, counts, bounds, SL)
+            assert mask.shape == (Bph, 128)
+            for g in range(Bph):
+                b = int(bounds[g])
+                assert np.array_equal(mask[g], (np.arange(128) < b))
+                for off, w, i in ((0, b, 2 * g), (b, 128 - b, 2 * g + 1)):
+                    if w == 0:
+                        continue
+                    seg_c = c_ph[g, :, off:off + w].reshape(-1)
+                    seg_v = v_ph[g, :, off:off + w].reshape(-1)
+                    live = int((counts[i] > 0).sum())
+                    assert np.array_equal(seg_c[:live], counts[i, :live])
+                    assert np.array_equal(seg_v[:live], values[i, :live])
+                    assert not seg_c[live:].any()
+            # count mass is conserved exactly
+            assert c_ph.sum() == counts.sum()
+
     def test_mixed_packed_engine_agreement_and_isolation(self, rng):
         """Mixed-width pack-2 buckets (heterogeneous V, per-lane boundary
         — the round-3 straggler fix): posterior agrees with the XLA
