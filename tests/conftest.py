@@ -37,6 +37,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_code():
+    """Free compiled executables between test modules.
+
+    A full single-process suite run accumulates every module's jitted
+    programs (the interpret-mode Pallas segment graphs are large) and
+    reproducibly SEGFAULTS inside XLA:CPU's compiler near the end of the
+    run — the same files pass in any half-suite combination. Dropping
+    references lets the loaded code be reclaimed and keeps the process
+    under whatever code-memory threshold the crash sits at, at the cost
+    of cross-module recompiles."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def rng(request):
     """Per-test deterministic RNG, independent of suite ordering.
