@@ -46,7 +46,8 @@ def functionals(w, r, ts_probe):
 
 
 def run_sbc(M=64, n_events=2000, ncomp=5, niter=20_000, g=100,
-            burnin=4000, seed=0, engine="auto", progress=print):
+            burnin=4000, seed=0, engine="auto", progress=print,
+            mixed_sizes=False):
     from basicrta_tpu.config import GibbsConfig
     from basicrta_tpu.sampler.batch import bucket_residues, run_batch
 
@@ -60,12 +61,23 @@ def run_sbc(M=64, n_events=2000, ncomp=5, niter=20_000, g=100,
     r_true = rng.gamma(cfg.gamma_shape, 1.0 / cfg.gamma_rate, (M, ncomp))
     datasets = {}
     for m in range(M):
-        comp = rng.choice(ncomp, n_events, p=w_true[m])
+        n_m = n_events
+        if mixed_sizes:
+            # heterogeneous replicate sizes force the mixed-width packed
+            # layout (per-lane boundary columns, batch._mixed_pairing):
+            # rank uniformity then certifies the seg_mask kernel path on
+            # the whole posterior, not just moments
+            n_m = int(10 ** rng.uniform(np.log10(n_events / 4),
+                                        np.log10(n_events)))
+        comp = rng.choice(ncomp, n_m, p=w_true[m])
         datasets[f"S{m}"] = rng.exponential(1.0 / r_true[m][comp])
 
     # all replicates as lanes of one batched program (continuous times:
     # every value unique, the collapsed formulation degrades gracefully)
     batches = bucket_residues(datasets)
+    if mixed_sizes:
+        n_mixed = sum(b.bounds is not None for b in batches)
+        progress(f"SBC layout: {len(batches)} buckets, {n_mixed} mixed")
     names, W, R = [], [], []
     for b in batches:
         res = run_batch(b, cfg, engine=engine)
@@ -105,10 +117,13 @@ def main():
     ap.add_argument("--ncomp", type=int, default=5)
     ap.add_argument("--niter", type=int, default=20_000)
     ap.add_argument("--engine", default="auto")
+    ap.add_argument("--mixed-sizes", action="store_true",
+                    help="heterogeneous replicate sizes: calibrates the "
+                         "mixed-width packed kernel path")
     args = ap.parse_args()
     pvals, _ = run_sbc(M=args.replicates, n_events=args.events,
                        ncomp=args.ncomp, niter=args.niter,
-                       engine=args.engine)
+                       engine=args.engine, mixed_sizes=args.mixed_sizes)
     ok = all(p > 0.01 for p in pvals.values())
     print("SBC:", "PASS" if ok else "FAIL", pvals)
     sys.exit(0 if ok else 1)
