@@ -297,14 +297,17 @@ def enable_compilation_cache():
 
     import jax
     import jaxlib.version
-    # scope the default cache per jaxlib version: entries serialized by a
-    # different jaxlib can crash the deserializer outright (observed:
-    # SIGSEGV in compilation_cache.get_executable_and_time), and the
-    # version never appears in the cache key
-    cache = os.environ.get(
+    # scope the cache per jaxlib version — including under a user-set
+    # BASICRTA_TPU_CACHE base: entries serialized by a different jaxlib
+    # can crash the deserializer outright (observed: SIGSEGV in
+    # compilation_cache.get_executable_and_time), and the version never
+    # appears in the cache key. Old jax-<ver> siblings are left in place
+    # (cheap disk, and pruning a shared directory under concurrent use
+    # is its own hazard) — delete them manually after upgrades.
+    base = os.environ.get(
         "BASICRTA_TPU_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "basicrta_tpu",
-                     f"jax-{jaxlib.version.__version__}"))
+        os.path.join(os.path.expanduser("~"), ".cache", "basicrta_tpu"))
+    cache = os.path.join(base, f"jax-{jaxlib.version.__version__}")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
 

@@ -109,6 +109,23 @@ _COST_SMALL_PREM = 0.276    # extra per small-tier row (table inversion)
 _COST_LANE_LOG = 0.061      # per logical lane (conjugate Gamma/Dirichlet)
 
 
+def _cost_terms(Bph: int, SL: int, head: int, small: int,
+                pack: int) -> float:
+    """Calibrated us/sweep from a bucket's PHYSICAL layout: per-grid-
+    program constant + per-row terms over the padded lane count. The
+    critical path is paid once per GRID PROGRAM: pallas grid steps run
+    serially on the core (every calibration bucket had NG=1, so charging
+    NG * const is the conservative extrapolation)."""
+    NG = -(-Bph // 64)
+    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
+    lanes = NG * G
+    return (_COST_PER_BUCKET * NG
+            + lanes * SL * _COST_ROW
+            + lanes * head * _COST_HEAD_PREM
+            + lanes * (small - head) * _COST_SMALL_PREM
+            + lanes * pack * _COST_LANE_LOG)
+
+
 def _layout_cost(B: int, width: int, pack: int, head_end: int,
                  single_start: int) -> float:
     """Modeled us/sweep for one bucket of B lanes whose worst member has
@@ -121,18 +138,7 @@ def _layout_cost(B: int, width: int, pack: int, head_end: int,
     SL = max(1, width // seg_w)
     head = min(-(-head_end // seg_w), SL)
     small = min(max(-(-single_start // seg_w), head), SL)
-    Bph = -(-B // pack)
-    NG = -(-Bph // 64)
-    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
-    lanes = NG * G
-    # the critical path is paid once per GRID PROGRAM: pallas grid steps
-    # run serially on the core (every calibration bucket had NG=1, so
-    # charging NG * const is the conservative extrapolation)
-    return (_COST_PER_BUCKET * NG
-            + lanes * SL * _COST_ROW
-            + lanes * head * _COST_HEAD_PREM
-            + lanes * (small - head) * _COST_SMALL_PREM
-            + lanes * pack * _COST_LANE_LOG)
+    return _cost_terms(-(-B // pack), SL, head, small, pack)
 
 
 def _bucket_cost(members, width: int, pack: int) -> float:
@@ -245,14 +251,7 @@ def _mixed_cost(members, bounds, SL: int) -> float:
         small = max(small, -(-S1 // w))
     small = min(max(small, head), SL)
     head = min(head, SL)
-    NG = -(-Bph // 64)
-    G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
-    lanes = NG * G
-    return (_COST_PER_BUCKET * NG
-            + lanes * SL * _COST_ROW
-            + lanes * head * _COST_HEAD_PREM
-            + lanes * (small - head) * _COST_SMALL_PREM
-            + lanes * 2 * _COST_LANE_LOG)
+    return _cost_terms(Bph, SL, head, small, 2)
 
 
 def _pack_mixed(values_np: np.ndarray, counts_np: np.ndarray,
@@ -276,9 +275,13 @@ def _pack_mixed(values_np: np.ndarray, counts_np: np.ndarray,
                 continue
             cap = SL * w
             n = min(cap, V)
-            assert not counts_np[i, cap:].any(), (
-                "mixed-pack overflow: live columns beyond the lane's "
-                "segment capacity")
+            if counts_np[i, cap:].any():
+                # a plain assert would vanish under python -O and the
+                # min(cap, V) copy below would then silently DROP events
+                raise ValueError(
+                    f"mixed-pack overflow: lane {i} has live columns "
+                    f"beyond its segment capacity {cap} (SL={SL}, "
+                    f"width={w}) — bounds/layout inconsistency")
             va = np.ones((cap,), np.float32)
             ca = np.zeros((cap,), np.float32)
             va[:n] = values_np[i, :n]

@@ -480,6 +480,37 @@ def _suffix_sums(v, w_gk, r_gk, z_scr, K: int):
         z_scr[k] = zsum
 
 
+def _segment_masks(pack: int, seg_masks=None):
+    """Per-segment column-ownership masks of a packed physical lane:
+    the caller-provided per-lane (G, 128) masks (mixed-width buckets) or
+    the static uniform 128 // pack split. Broadcast-compatible with both
+    (G, K)-state blends and (SL, G, 128) tiles."""
+    if seg_masks is not None:
+        return seg_masks                                 # each (G, 128)
+    W = _LANES // pack
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    return [((col >= s * W) & (col < (s + 1) * W)).astype(jnp.float32)
+            for s in range(pack)]                        # each (1, 128)
+
+
+def _suffix_sums_packed(v, w_pgk, r_pgk, z_scr, K: int, masks):
+    """_suffix_sums for packed lanes: per-column (w, r) come from the
+    owning segment's chain via a mask blend — pack * K fused
+    multiply-adds on (G, 128) tiles per pass."""
+    def col_state(st, k):
+        out = masks[0] * st[0][:, k][:, None]
+        for s in range(1, len(masks)):
+            out = out + masks[s] * st[s][:, k][:, None]
+        return out
+
+    zsum = jnp.zeros_like(v)
+    for k in range(K - 1, -1, -1):
+        w_col = col_state(w_pgk, k)
+        r_col = col_state(r_pgk, k)
+        zsum = zsum + (w_col * r_col)[None] * jnp.exp(-r_col[None] * v)
+        z_scr[k] = zsum
+
+
 def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
                        head_rows: int, small_rows: int, pack: int,
                        early_exit: Tuple[bool, bool, bool] = (True, True,
@@ -507,28 +538,8 @@ def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
     columns; packed 8-up, that row's draws are amortized across 8 residues.
     """
     SL, G = v.shape[0], v.shape[1]
-    if seg_masks is not None:
-        masks = seg_masks                                # each (G, 128)
-    else:
-        W = _LANES // pack
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        masks = [((col >= s * W) & (col < (s + 1) * W)).astype(jnp.float32)
-                 for s in range(pack)]                   # each (1, 128)
-
-    def col_state(st, k):
-        # (G, 128): per-column state value from the owning segment
-        out = masks[0] * st[0][:, k][:, None]
-        for s in range(1, pack):
-            out = out + masks[s] * st[s][:, k][:, None]
-        return out
-
-    zsum = jnp.zeros_like(v)
-    for k in range(K - 1, -1, -1):
-        w_col = col_state(w_pgk, k)
-        r_col = col_state(r_pgk, k)
-        z_k = (w_col * r_col)[None] * jnp.exp(-r_col[None] * v)
-        zsum = zsum + z_k
-        z_scr[k] = zsum
+    masks = _segment_masks(pack, seg_masks)
+    _suffix_sums_packed(v, w_pgk, r_pgk, z_scr, K, masks)
 
     def seg_sums(draw3, vals3):
         # (rows, G, 128) draws -> per-segment (pack, G) count / time sums
@@ -642,26 +653,8 @@ def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
     """
     SL, G = v.shape[0], v.shape[1]
     if pack > 1:
-        if seg_masks is not None:
-            masks = seg_masks                            # each (G, 128)
-        else:
-            W = _LANES // pack
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-            masks = [((col >= s * W) & (col < (s + 1) * W))
-                     .astype(jnp.float32) for s in range(pack)]
-
-        def col_state(st, k):
-            out = masks[0] * st[0][:, k][:, None]
-            for s in range(1, pack):
-                out = out + masks[s] * st[s][:, k][:, None]
-            return out
-
-        zsum = jnp.zeros_like(v)
-        for k in range(K - 1, -1, -1):
-            w_col = col_state(w_gk, k)
-            r_col = col_state(r_gk, k)
-            zsum = zsum + (w_col * r_col)[None] * jnp.exp(-r_col[None] * v)
-            z_scr[k] = zsum
+        masks = _segment_masks(pack, seg_masks)
+        _suffix_sums_packed(v, w_gk, r_gk, z_scr, K, masks)
     else:
         _suffix_sums(v, w_gk, r_gk, z_scr, K)
 

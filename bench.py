@@ -189,7 +189,32 @@ def _timed_agg(residues, cfg, engine, mixed_pack=True):
 def main():
     residues = make_workload()
     cfg = GibbsConfig(ncomp=15, niter=TIMED_SWEEPS, g=100)
-    batches = bucket_residues(residues)
+
+    # headline engine (pallas with the mixed-width layout; degrade to the
+    # uniform pallas layout, then xla, rather than losing the benchmark
+    # if a kernel fails to build on this device)
+    engine = "pallas"
+    layout = "mixed"
+    try:
+        agg = _timed_agg(residues, cfg, engine)
+    except Exception as e:  # noqa: BLE001
+        print(f"mixed-layout pallas unavailable ({type(e).__name__}: "
+              f"{e}); falling back to the uniform layout",
+              file=sys.stderr)
+        layout = "uniform"
+        try:
+            agg = _timed_agg(residues, cfg, engine, mixed_pack=False)
+        except Exception as e2:  # noqa: BLE001
+            print(f"pallas engine unavailable ({type(e2).__name__}); "
+                  f"falling back to xla", file=sys.stderr)
+            engine = "xla"
+            agg = _timed_agg(residues, cfg, engine)
+
+    # layout metrics from the SAME batches the headline number ran on
+    # (a fallback must not report the default layout's waste/roofline)
+    batches = bucket_residues(residues,
+                              ladder=None if engine == "pallas" else "pow2",
+                              mixed_pack=layout == "mixed")
     info = [(b.values.shape, b.tiers) for b in batches]
     # padding waste, two views: the raw column fraction (count-0 value
     # columns — the round-2 metric) and the calibrated WORK fraction
@@ -218,26 +243,6 @@ def main():
     print(f"buckets: {info}  col waste: {waste:.1%}  "
           f"phys col waste: {phys_waste:.1%}  "
           f"work waste: {work_waste:.1%}", file=sys.stderr)
-
-    # headline engine (pallas with the mixed-width layout; degrade to the
-    # uniform pallas layout, then xla, rather than losing the benchmark
-    # if a kernel fails to build on this device)
-    engine = "pallas"
-    layout = "mixed"
-    try:
-        agg = _timed_agg(residues, cfg, engine)
-    except Exception as e:  # noqa: BLE001
-        print(f"mixed-layout pallas unavailable ({type(e).__name__}: "
-              f"{e}); falling back to the uniform layout",
-              file=sys.stderr)
-        layout = "uniform"
-        try:
-            agg = _timed_agg(residues, cfg, engine, mixed_pack=False)
-        except Exception as e2:  # noqa: BLE001
-            print(f"pallas engine unavailable ({type(e2).__name__}); "
-                  f"falling back to xla", file=sys.stderr)
-            engine = "xla"
-            agg = _timed_agg(residues, cfg, engine)
 
     extras = {"engine": engine, "layout": layout,
               "padding_waste": round(waste, 4),

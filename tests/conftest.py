@@ -22,11 +22,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 # stale-jaxlib entry segfaults the deserializer (observed: SIGSEGV in
 # compilation_cache.get_executable_and_time during an unrelated later
 # test). Isolate the whole session in a throwaway cache.
+import atexit  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
-os.environ.setdefault(
-    "BASICRTA_TPU_CACHE",
-    tempfile.mkdtemp(prefix="basicrta_test_jax_cache_"))
+if "BASICRTA_TPU_CACHE" not in os.environ:
+    _cache_dir = tempfile.mkdtemp(prefix="basicrta_test_jax_cache_")
+    os.environ["BASICRTA_TPU_CACHE"] = _cache_dir
+    atexit.register(shutil.rmtree, _cache_dir, ignore_errors=True)
 
 import jax  # noqa: E402
 
