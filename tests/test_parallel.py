@@ -65,6 +65,30 @@ def test_lane_sharded_pallas_engine(rng):
     assert not np.allclose(doms[0], doms[1])
 
 
+def test_lane_sharded_mixed_bucket(rng):
+    """A mixed-width packed bucket (per-lane boundary + seg_mask operand)
+    composes with lane sharding: the mask shards with the physical lanes
+    through shard_map and pairs stay whole per shard."""
+    mesh = make_mesh(n_lanes=8, n_events=1)
+    residues = {}
+    for i in range(12):
+        n = 1200 if i % 2 == 0 else 250
+        residues[f"R{i}"] = discretize_times(simulate_hyperexp(
+            n, [0.8, 0.2], [2.0, 0.1], rng), 0.02)
+    batch = bucket_residues(residues)[0]
+    assert batch.bounds is not None, (batch.values.shape, batch.pack)
+    cfg = GibbsConfig(ncomp=4, niter=300, g=10, burnin=100, seed=13)
+    res = run_batch(batch, cfg, engine="pallas",
+                    sharding=lane_sharding(mesh))
+    assert res.mcweights.shape == (12, 30, 4)
+    assert np.all(np.isfinite(res.mcweights))
+    b = cfg.burnin_samples
+    for i, name in enumerate(res.names):  # noqa: B007
+        W, R = res.mcweights[i][b:], res.mcrates[i][b:]
+        k = W.mean(0).argmax()
+        assert 1.0 < R[:, k].mean() < 3.5, (name, R[:, k].mean())
+
+
 def test_pallas_engine_rejects_event_sharding(rng):
     mesh = make_mesh(n_lanes=4, n_events=2)
     residues = {"R0": discretize_times(simulate_hyperexp(
