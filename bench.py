@@ -186,7 +186,32 @@ def _timed_agg(residues, cfg, engine, mixed_pack=True):
     return sum(b.size for b in batches) * cfg.niter / elapsed
 
 
+def _preflight(timeout_s=240):
+    """Fail fast (instead of hanging forever) when the device backend is
+    unreachable: a wedged TPU tunnel blocks PJRT client init
+    indefinitely, so probe it in a subprocess with a timeout before the
+    in-process first device use."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench preflight: device backend unreachable after "
+              f"{timeout_s}s (wedged TPU tunnel?); aborting instead of "
+              f"hanging", file=sys.stderr)
+        sys.exit(1)
+    if proc.returncode != 0:
+        print(f"bench preflight: backend probe failed:\n{proc.stderr}",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"bench preflight: platform {proc.stdout.strip()}",
+          file=sys.stderr)
+
+
 def main():
+    _preflight()
     residues = make_workload()
     cfg = GibbsConfig(ncomp=15, niter=TIMED_SWEEPS, g=100)
 
