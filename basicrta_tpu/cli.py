@@ -25,7 +25,7 @@ def _cmd_contacts(args):
     from basicrta_tpu.contacts.records import ContactMeta
     from basicrta_tpu.io.universe import Universe
 
-    u = Universe(args.top, args.traj)
+    u = Universe(args.top, args.traj, dt_ns=args.dt)
     idx1 = u.select_atoms(args.sel1)
     idx2 = u.select_atoms(args.sel2)
     cfg = ContactConfig(map_cutoff=args.map_cutoff, cutoff=args.cutoff,
@@ -217,6 +217,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--sel2", required=True)
     c.add_argument("--cutoff", type=float, default=7.0)
     c.add_argument("--map-cutoff", type=float, default=10.0)
+    c.add_argument("--dt", type=float, default=None,
+                   help="frame interval [ns] for trajectories without a "
+                        "time axis (DCD, mdcrd, time-less NetCDF)")
     c.add_argument("--batch", type=int, default=32,
                    help="trajectory frames per device batch")
     c.add_argument("--ndevices", type=int, default=None,

@@ -1,10 +1,12 @@
 """MD file I/O: topologies, trajectories, and density grids.
 
-No MDAnalysis/gridData dependency: GRO/PDB/PSF topologies parse in Python,
-XTC/TRR/DCD trajectories go through the native C++ library
-(native/mdio.cpp), and OpenDX densities have a pure-Python writer.
+No MDAnalysis/gridData dependency: GRO/PDB/PSF/PRMTOP topologies parse in
+Python, XTC/TRR/DCD trajectories go through the native C++ library
+(native/mdio.cpp), Amber NetCDF/mdcrd trajectories through
+scipy/pure-Python readers, and OpenDX densities have a pure-Python writer.
 """
 
+from basicrta_tpu.io.amber import MDCRDReader, NCDFReader, read_prmtop
 from basicrta_tpu.io.legacy import (load_reference_contacts,
                                     load_reference_gibbs)
 from basicrta_tpu.io.native import (XTCReader, XTCWriter, TRRReader,
@@ -15,7 +17,8 @@ from basicrta_tpu.io.universe import Universe
 
 __all__ = [
     "XTCReader", "XTCWriter", "TRRReader", "TRRWriter",
-    "DCDReader", "DCDWriter",
-    "Topology", "read_gro", "read_pdb", "read_psf", "write_pdb",
+    "DCDReader", "DCDWriter", "NCDFReader", "MDCRDReader",
+    "Topology", "read_gro", "read_pdb", "read_psf", "read_prmtop",
+    "write_pdb",
     "Universe", "load_reference_contacts", "load_reference_gibbs",
 ]

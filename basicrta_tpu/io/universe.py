@@ -2,8 +2,8 @@
 
 The minimal analogue of the MDAnalysis Universe the reference builds at the
 top of each stage (reference contacts.py:246-249, kinetics.py:103): parse a
-topology (GRO/PDB), attach a trajectory (XTC/DCD), select atom groups, and
-iterate device-sized frame batches.
+topology (GRO/PDB/PSF/PRMTOP), attach a trajectory (XTC/TRR/DCD/NetCDF/
+mdcrd), select atom groups, and iterate device-sized frame batches.
 """
 
 from __future__ import annotations
@@ -15,6 +15,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from basicrta_tpu.contacts.mapper import FrameBatch
+from basicrta_tpu.io.amber import MDCRDReader, NCDFReader, read_prmtop
 from basicrta_tpu.io.native import DCDReader, TRRReader, XTCReader
 from basicrta_tpu.io.topology import (Topology, read_gro, read_pdb,
                                       read_psf)
@@ -28,6 +29,8 @@ def read_topology(path: str) -> Topology:
         return read_pdb(path)
     if ext == ".psf":
         return read_psf(path)
+    if ext in (".prmtop", ".parm7"):
+        return read_prmtop(path)
     raise ValueError(f"unsupported topology format: {path}")
 
 
@@ -81,12 +84,16 @@ class Universe:
     """Topology + trajectory pair."""
 
     def __init__(self, top_path: str, traj_path: Optional[str] = None,
-                 dcd_dt_ns: Optional[float] = None):
+                 dcd_dt_ns: Optional[float] = None,
+                 dt_ns: Optional[float] = None):
         self.top_path = top_path
         self.traj_path = traj_path
         self.topology = read_topology(top_path)
         self._traj = None
-        self._dcd_dt_ns = dcd_dt_ns
+        # dt_ns: explicit frame interval for formats without a time axis
+        # (DCD, mdcrd, time-less NetCDF); dcd_dt_ns kept as the original
+        # spelling of the same knob
+        self._dt_ns = dt_ns if dt_ns is not None else dcd_dt_ns
         if traj_path is not None:
             ext = os.path.splitext(traj_path)[1].lower()
             if ext == ".xtc":
@@ -95,6 +102,10 @@ class Universe:
                 self._traj = TRRReader(traj_path)
             elif ext == ".dcd":
                 self._traj = DCDReader(traj_path)
+            elif ext in (".nc", ".ncdf"):
+                self._traj = NCDFReader(traj_path)
+            elif ext == ".mdcrd":
+                self._traj = MDCRDReader(traj_path, self.topology.natoms)
             else:
                 raise ValueError(f"unsupported trajectory format: "
                                  f"{traj_path}")
@@ -113,16 +124,36 @@ class Universe:
     # CHARMM DCD headers store the integration step in AKMA time units
     _AKMA_PS = 0.04888821
 
+    def _read_frames(self, frames: Sequence[int]):
+        """Normalize every reader to (coords, times_ns or None, box or
+        None)."""
+        if self._traj is None:
+            coords = np.tile(self.topology.positions[None],
+                             (len(frames), 1, 1))
+            box = (np.tile(self.topology.box, (len(frames), 1))
+                   if self.topology.box is not None else None)
+            return coords, None, box
+        if isinstance(self._traj, (XTCReader, TRRReader)):
+            coords, times, boxmat, _ = self._traj.read(frames)
+            return coords, times, _box_from_matrix(boxmat)
+        if isinstance(self._traj, DCDReader):
+            coords, cell = self._traj.read(frames)
+            return coords, None, _box_from_unitcell(cell)
+        if isinstance(self._traj, NCDFReader):
+            return self._traj.read(frames)
+        coords, box = self._traj.read(frames)        # MDCRDReader
+        return coords, None, box
+
     def timestep_ns(self) -> float:
         """Frame interval in ns (the reference's ts = dt/1000,
         contacts.py:83)."""
-        if (isinstance(self._traj, (XTCReader, TRRReader))
-                and len(self._traj) > 1):
-            _, t, _, _ = self._traj.read([0, 1])
-            return float(t[1] - t[0])
+        if self._traj is not None and len(self._traj) > 1:
+            _, t, _ = self._read_frames([0, 1])
+            if t is not None:
+                return float(t[1] - t[0])
+        if self._dt_ns is not None:
+            return self._dt_ns
         if isinstance(self._traj, DCDReader):
-            if self._dcd_dt_ns is not None:
-                return self._dcd_dt_ns
             if self._traj.charmm:
                 # header delta [AKMA] x frames-between-saves -> ns
                 return float(self._traj.delta * max(self._traj.nsavc, 1)
@@ -131,17 +162,15 @@ class Universe:
                 "cannot infer the frame interval from a non-CHARMM DCD "
                 "header (delta units are writer-dependent); pass "
                 "Universe(..., dcd_dt_ns=...) explicitly")
+        if isinstance(self._traj, (MDCRDReader, NCDFReader)):
+            raise ValueError(
+                f"{type(self._traj).__name__} carries no usable time "
+                "axis; pass Universe(..., dt_ns=...) explicitly")
         return 1.0
 
     def frame_positions(self, frames: Sequence[int]) -> np.ndarray:
         """(F, A, 3) coordinates [Angstrom] of the given frames."""
-        if self._traj is None:
-            return np.tile(self.topology.positions[None], (len(frames), 1, 1))
-        if isinstance(self._traj, (XTCReader, TRRReader)):
-            coords, _, _, _ = self._traj.read(frames)
-        else:
-            coords, _ = self._traj.read(frames)
-        return coords
+        return self._read_frames(frames)[0]
 
     def iter_batches(self, batch_size: int = 32,
                      frames: Optional[Sequence[int]] = None
@@ -153,17 +182,8 @@ class Universe:
         ts = self.timestep_ns()
         for lo in range(0, len(frames), batch_size):
             chunk = frames[lo:lo + batch_size]
-            if self._traj is None:
-                coords = self.frame_positions(chunk)
-                box = (np.tile(self.topology.box, (len(chunk), 1))
-                       if self.topology.box is not None else None)
-                times = chunk * ts
-            elif isinstance(self._traj, (XTCReader, TRRReader)):
-                coords, times, boxmat, _ = self._traj.read(chunk)
-                box = _box_from_matrix(boxmat)
-            else:
-                coords, cell = self._traj.read(chunk)
-                box = _box_from_unitcell(cell)
+            coords, times, box = self._read_frames(chunk)
+            if times is None:
                 times = chunk * ts
             yield FrameBatch(frame_ids=chunk.astype(np.int64),
                              times=np.asarray(times, np.float64),

@@ -422,3 +422,220 @@ class TestSelectionExtensions:
         # around + byres: the MDAnalysis idiom 'byres around X sel'
         sel = top.select("byres around 200.0 resid 10")
         assert len(sel) == 6   # ALA(2) + CHOL 100(2)... depends on coords
+
+
+# ------------------------------ Amber formats ----------------------------- #
+
+PRMTOP_TEXT = (
+    "%VERSION  VERSION_STAMP = V0001.000  DATE = 08/18/26\n"
+    "%FLAG TITLE\n%FORMAT(20a4)\n"
+    "test\n"
+    "%FLAG ATOM_NAME\n%FORMAT(20a4)\n"
+    "N   CA  C   N   CA  C1  C2  C1  C2\n"
+    "%FLAG RESIDUE_LABEL\n%FORMAT(20a4)\n"
+    "TRP ALA CHOLCHOL\n"
+    "%FLAG RESIDUE_POINTER\n%FORMAT(10I8)\n"
+    "       1       4       6       8\n"
+)
+
+
+def _write_ncdf(path, coords, times_ps=None, lengths=None, angles=None,
+                conventions="AMBER"):
+    from scipy.io import netcdf_file
+    F, A, _ = coords.shape
+    f = netcdf_file(str(path), "w")
+    if conventions is not None:
+        f.Conventions = conventions
+    f.createDimension("frame", F)
+    f.createDimension("atom", A)
+    f.createDimension("spatial", 3)
+    c = f.createVariable("coordinates", "f", ("frame", "atom", "spatial"))
+    c[:] = coords
+    c.units = "angstrom"
+    if times_ps is not None:
+        t = f.createVariable("time", "d", ("frame",))
+        t[:] = times_ps
+        t.units = "picosecond"
+    if lengths is not None:
+        f.createDimension("cell_spatial", 3)
+        cl = f.createVariable("cell_lengths", "d",
+                              ("frame", "cell_spatial"))
+        cl[:] = lengths
+        if angles is not None:
+            f.createDimension("cell_angular", 3)
+            ca = f.createVariable("cell_angles", "d",
+                                  ("frame", "cell_angular"))
+            ca[:] = angles
+    f.close()
+    return str(path)
+
+
+def _write_mdcrd(path, coords, box=None):
+    with open(path, "w") as f:
+        f.write("test mdcrd\n")
+        for fr in range(len(coords)):
+            flat = coords[fr].ravel()
+            for lo in range(0, len(flat), 10):
+                f.write("".join(f"{v:8.3f}" for v in flat[lo:lo + 10])
+                        + "\n")
+            if box is not None:
+                f.write("".join(f"{v:8.3f}" for v in box[fr]) + "\n")
+    return str(path)
+
+
+class TestAmber:
+    def test_prmtop_parse(self, tmp_path):
+        from basicrta_tpu.io.amber import read_prmtop
+        p = tmp_path / "t.prmtop"
+        p.write_text(PRMTOP_TEXT)
+        top = read_prmtop(str(p))
+        assert top.natoms == 9
+        assert list(top.names) == ["N", "CA", "C", "N", "CA",
+                                   "C1", "C2", "C1", "C2"]
+        assert list(top.resids) == [1, 1, 1, 2, 2, 3, 3, 4, 4]
+        # CHOLCHOL abuts in the 4-char fields -- fixed-width split
+        assert list(np.unique(top.resnames)) == ["ALA", "CHOL", "TRP"]
+        assert len(top.select("protein")) == 5
+        assert len(top.select("resname CHOL")) == 4
+
+    def test_prmtop_rejects_non_prmtop(self, tmp_path):
+        p = tmp_path / "x.prmtop"
+        p.write_text("not a prmtop\n")
+        from basicrta_tpu.io.amber import read_prmtop
+        with pytest.raises(ValueError, match="VERSION"):
+            read_prmtop(str(p))
+
+    def test_ncdf_roundtrip(self, tmp_path, rng):
+        from basicrta_tpu.io.amber import NCDFReader
+        F, A = 4, 9
+        coords = rng.uniform(0, 80, (F, A, 3)).astype(np.float32)
+        times = np.arange(F) * 100.0                   # ps
+        lengths = np.tile([90.0, 90.0, 90.0], (F, 1))
+        path = _write_ncdf(tmp_path / "t.nc", coords, times, lengths)
+        r = NCDFReader(path)
+        assert r.natoms == A and len(r) == F
+        c, t, b = r.read()
+        assert np.allclose(c, coords, atol=1e-5)
+        assert np.allclose(t, times / 1000.0)          # ns
+        assert b.shape == (F, 3) and np.allclose(b, 90.0)
+        c2, t2, _ = r.read([3, 1])
+        assert np.allclose(c2[0], coords[3], atol=1e-5)
+        assert t2[0] == pytest.approx(0.3)
+
+    def test_ncdf_triclinic_and_warnings(self, tmp_path, rng):
+        from basicrta_tpu.io.amber import NCDFReader
+        coords = rng.uniform(0, 50, (2, 5, 3)).astype(np.float32)
+        lengths = np.tile([60.0, 60.0, 60.0], (2, 1))
+        angles = np.tile([70.5, 109.5, 70.5], (2, 1))
+        path = _write_ncdf(tmp_path / "t.nc", coords, None, lengths,
+                           angles)
+        _, t, b = NCDFReader(path).read()
+        assert t is None
+        assert b.shape == (2, 3, 3)
+        assert b[0, 0, 0] == pytest.approx(60.0)
+        assert b[0, 1, 0] == pytest.approx(60.0 * np.cos(
+            np.radians(70.5)), rel=1e-5)
+        path2 = _write_ncdf(tmp_path / "u.nc", coords,
+                            conventions="SOMETHING")
+        with pytest.warns(UserWarning, match="AMBER"):
+            NCDFReader(path2)
+
+    def test_ncdf_rejects_hdf5(self, tmp_path):
+        from basicrta_tpu.io.amber import NCDFReader
+        p = tmp_path / "h.nc"
+        p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\0" * 64)
+        with pytest.raises(ValueError, match="NetCDF-4"):
+            NCDFReader(str(p))
+
+    def test_prmtop_ncdf_contacts(self, tmp_path):
+        """Contacts run from PRMTOP + NetCDF fixtures (reference reach:
+        contacts.py:246-249 accepts any MDAnalysis-readable pair)."""
+        from basicrta_tpu.config import ContactConfig
+        from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
+        from basicrta_tpu.contacts.records import ContactMeta
+        p = tmp_path / "t.prmtop"
+        p.write_text(PRMTOP_TEXT)
+        F = 8
+        pos = np.zeros((F, 9, 3), np.float32)
+        pos[:, 0:3] = [10.0, 10.0, 10.0]
+        pos[:, 3:5] = [40.0, 40.0, 40.0]
+        pos[:, 5:7] = [70.0, 70.0, 70.0]
+        pos[:, 7:9] = [80.0, 80.0, 80.0]
+        for f in range(2, 5):
+            pos[f, 5:7] = [12.0, 10.0, 10.0]   # CHOL 3 visits TRP 1
+        ts = 0.1
+        traj = _write_ncdf(tmp_path / "t.nc", pos,
+                           np.arange(F) * ts * 1000.0,
+                           np.tile([90.0] * 3, (F, 1)))
+        u = Universe(str(p), traj)
+        assert u.timestep_ns() == pytest.approx(ts)
+        idx1 = u.select_atoms("protein")
+        idx2 = u.select_atoms("resname CHOL")
+        mc = MapContacts(
+            indices1=idx1, resids1=u.topology.resids[idx1],
+            indices2=idx2, resids2=u.topology.resids[idx2],
+            cfg=ContactConfig(map_cutoff=10.0),
+            meta=ContactMeta(ts=ts))
+        rec = mc.run(u.iter_batches(batch_size=4))
+        ev = ProcessContacts(cutoff=7.0).run(rec)
+        rows = {(int(a), int(b)): (s, d) for a, b, s, d in zip(
+            ev.sel1_resids, ev.sel2_resids, ev.start_times, ev.durations)}
+        assert (1, 3) in rows
+        s, d = rows[(1, 3)]
+        assert s == pytest.approx(0.2, abs=1e-6)
+        assert d == pytest.approx(0.3, abs=1e-6)
+
+    def test_mdcrd_box_detection(self, tmp_path, rng):
+        from basicrta_tpu.io.amber import MDCRDReader
+        A = 9
+        coords = rng.uniform(-150, 150, (5, A, 3)).astype(np.float32)
+        box = np.tile([90.0, 90.0, 90.0], (5, 1)).astype(np.float32)
+        # 27 values -> 3 coord lines; 5 frames: 15 lines plain, 20 boxed
+        plain = _write_mdcrd(tmp_path / "p.mdcrd", coords)
+        boxed = _write_mdcrd(tmp_path / "b.mdcrd", coords, box)
+        rp, rb = MDCRDReader(plain, A), MDCRDReader(boxed, A)
+        assert not rp.has_box and rb.has_box
+        assert len(rp) == len(rb) == 5
+        c, b = rp.read()
+        assert b is None and np.allclose(c, coords, atol=5e-4)
+        c, b = rb.read([4, 0])
+        assert np.allclose(b, 90.0) and np.allclose(c[0], coords[4],
+                                                    atol=5e-4)
+
+    def test_mdcrd_ambiguous_line_count_probe(self, tmp_path, rng):
+        """12 data lines fit both 3 frames boxed and 4 frames plain; the
+        3-field probe line disambiguates."""
+        from basicrta_tpu.io.amber import MDCRDReader
+        A = 9
+        boxed = _write_mdcrd(tmp_path / "b.mdcrd",
+                             rng.uniform(0, 9, (3, A, 3)),
+                             np.tile([80.0] * 3, (3, 1)))
+        plain = _write_mdcrd(tmp_path / "p.mdcrd",
+                             rng.uniform(0, 9, (4, A, 3)))
+        assert MDCRDReader(boxed, A).has_box
+        assert len(MDCRDReader(boxed, A)) == 3
+        assert not MDCRDReader(plain, A).has_box
+        assert len(MDCRDReader(plain, A)) == 4
+
+    def test_mdcrd_truncated(self, tmp_path, rng):
+        from basicrta_tpu.io.amber import MDCRDReader
+        path = _write_mdcrd(tmp_path / "t.mdcrd",
+                            rng.uniform(0, 9, (2, 9, 3)))
+        with open(path) as f:
+            lines = f.read().splitlines()
+        (tmp_path / "bad.mdcrd").write_text("\n".join(lines[:-2]) + "\n")
+        with pytest.raises(ValueError, match="box line|fit neither"):
+            MDCRDReader(str(tmp_path / "bad.mdcrd"), 9)
+
+    def test_mdcrd_universe_needs_dt(self, tmp_path, rng):
+        p = tmp_path / "t.prmtop"
+        p.write_text(PRMTOP_TEXT)
+        traj = _write_mdcrd(tmp_path / "t.mdcrd",
+                            rng.uniform(0, 9, (4, 9, 3)))
+        u = Universe(str(p), traj)
+        with pytest.raises(ValueError, match="dt_ns"):
+            u.timestep_ns()
+        u = Universe(str(p), traj, dt_ns=0.25)
+        batches = list(u.iter_batches(batch_size=3))
+        assert batches[1].times[0] == pytest.approx(0.75)
+        assert batches[0].box is None
