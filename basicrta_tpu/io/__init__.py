@@ -11,13 +11,14 @@ from basicrta_tpu.io.legacy import (load_reference_contacts,
                                     load_reference_gibbs)
 from basicrta_tpu.io.native import (XTCReader, XTCWriter, TRRReader,
                                     TRRWriter, DCDReader, DCDWriter)
-from basicrta_tpu.io.topology import (Topology, read_gro, read_pdb,
-                                      read_psf, write_pdb)
+from basicrta_tpu.io.topology import (PDBModelReader, Topology, read_gro,
+                                      read_pdb, read_psf, write_pdb)
 from basicrta_tpu.io.universe import Universe
 
 __all__ = [
     "XTCReader", "XTCWriter", "TRRReader", "TRRWriter",
     "DCDReader", "DCDWriter", "NCDFReader", "MDCRDReader",
+    "PDBModelReader",
     "Topology", "read_gro", "read_pdb", "read_psf", "read_prmtop",
     "write_pdb",
     "Universe", "load_reference_contacts", "load_reference_gibbs",

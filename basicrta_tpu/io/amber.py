@@ -275,3 +275,4 @@ class MDCRDReader:
 
     def __len__(self):
         return self.nframes
+

@@ -366,6 +366,8 @@ def read_pdb(path: str) -> Topology:
     box = None
     with open(path) as f:
         for ln in f:
+            if ln.startswith("ENDMDL"):
+                break          # multi-MODEL file: topology = first model
             if ln.startswith("CRYST1"):
                 box = np.asarray([float(ln[6:15]), float(ln[15:24]),
                                   float(ln[24:33])], np.float32)
@@ -413,3 +415,53 @@ def write_pdb(path: str, top: Topology,
                     f"{occ:6.2f}{b:6.2f}\n")
         f.write("END\n")
     return path
+
+
+# -------------------------- multi-model PDB ------------------------------- #
+
+class PDBModelReader:
+    """Multi-MODEL PDB as a trajectory (the ``mda.Universe(pdb, pdb)``
+    pattern the reference inherits; NMR ensembles, short demo
+    trajectories). A file with no MODEL records reads as one frame.
+    PDB carries no time axis — give ``Universe(..., dt_ns=...)``.
+    ``read(frames)`` returns ``(coords, box (F, 3) or None)``.
+    """
+
+    def __init__(self, path: str):
+        frames, cur = [], []
+        box = None
+        in_model = False
+        with open(path) as f:
+            for ln in f:
+                if ln.startswith("CRYST1"):
+                    box = np.asarray([float(ln[6:15]), float(ln[15:24]),
+                                      float(ln[24:33])], np.float32)
+                elif ln.startswith("MODEL"):
+                    in_model = True
+                elif ln.startswith("ENDMDL"):
+                    frames.append(cur)
+                    cur, in_model = [], False
+                elif ln.startswith(("ATOM", "HETATM")):
+                    cur.append((float(ln[30:38]), float(ln[38:46]),
+                                float(ln[46:54])))
+        if cur and (not frames or in_model):
+            frames.append(cur)               # trailing / un-MODELed atoms
+        if not frames:
+            raise ValueError(f"{path}: no ATOM/HETATM records")
+        counts = {len(fr) for fr in frames}
+        if len(counts) != 1:
+            raise ValueError(f"{path}: MODELs have differing atom counts "
+                             f"{sorted(counts)}")
+        self._coords = np.asarray(frames, np.float32)
+        self.nframes, self.natoms = self._coords.shape[:2]
+        self._box = (np.tile(box, (self.nframes, 1))
+                     if box is not None else None)
+
+    def read(self, frames: Optional[Sequence[int]] = None):
+        idx = (np.arange(self.nframes) if frames is None
+               else np.asarray(frames, np.int64))
+        box = self._box[idx] if self._box is not None else None
+        return self._coords[idx], box
+
+    def __len__(self):
+        return self.nframes

@@ -17,8 +17,8 @@ import numpy as np
 from basicrta_tpu.contacts.mapper import FrameBatch
 from basicrta_tpu.io.amber import MDCRDReader, NCDFReader, read_prmtop
 from basicrta_tpu.io.native import DCDReader, TRRReader, XTCReader
-from basicrta_tpu.io.topology import (Topology, read_gro, read_pdb,
-                                      read_psf)
+from basicrta_tpu.io.topology import (PDBModelReader, Topology, read_gro,
+                                      read_pdb, read_psf)
 
 
 def read_topology(path: str) -> Topology:
@@ -106,6 +106,8 @@ class Universe:
                 self._traj = NCDFReader(traj_path)
             elif ext == ".mdcrd":
                 self._traj = MDCRDReader(traj_path, self.topology.natoms)
+            elif ext == ".pdb":
+                self._traj = PDBModelReader(traj_path)
             else:
                 raise ValueError(f"unsupported trajectory format: "
                                  f"{traj_path}")
@@ -141,7 +143,7 @@ class Universe:
             return coords, None, _box_from_unitcell(cell)
         if isinstance(self._traj, NCDFReader):
             return self._traj.read(frames)
-        coords, box = self._traj.read(frames)        # MDCRDReader
+        coords, box = self._traj.read(frames)   # MDCRD / PDB models
         return coords, None, box
 
     def timestep_ns(self) -> float:
@@ -162,7 +164,8 @@ class Universe:
                 "cannot infer the frame interval from a non-CHARMM DCD "
                 "header (delta units are writer-dependent); pass "
                 "Universe(..., dcd_dt_ns=...) explicitly")
-        if isinstance(self._traj, (MDCRDReader, NCDFReader)):
+        if isinstance(self._traj, (MDCRDReader, NCDFReader,
+                                   PDBModelReader)):
             raise ValueError(
                 f"{type(self._traj).__name__} carries no usable time "
                 "axis; pass Universe(..., dt_ns=...) explicitly")

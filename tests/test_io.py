@@ -639,3 +639,77 @@ class TestAmber:
         batches = list(u.iter_batches(batch_size=3))
         assert batches[1].times[0] == pytest.approx(0.75)
         assert batches[0].box is None
+
+
+class TestPDBModels:
+    def _write_models(self, path, coords, box=None):
+        from basicrta_tpu.io.topology import Topology, write_pdb
+        A = coords.shape[1]
+        top = Topology(np.array(["CA"] * A),
+                       np.arange(A, dtype=np.int32) + 1,
+                       np.array(["ALA"] * A), coords[0],
+                       np.asarray(box, np.float32) if box is not None
+                       else None)
+        # write one PDB then splice frames into MODEL blocks
+        import io as _io
+        bodies = []
+        for fr in range(len(coords)):
+            tmp = str(path) + f".{fr}"
+            write_pdb(tmp, top, positions=coords[fr])
+            atom_lines = [ln for ln in open(tmp).read().splitlines()
+                          if ln.startswith("ATOM")]
+            bodies.append(atom_lines)
+        with open(path, "w") as f:
+            if box is not None:
+                f.write(f"CRYST1{box[0]:9.3f}{box[1]:9.3f}{box[2]:9.3f}"
+                        "  90.00  90.00  90.00 P 1         1\n")
+            for fr, lines in enumerate(bodies):
+                f.write(f"MODEL {fr + 1:8d}\n")
+                f.write("\n".join(lines) + "\nENDMDL\n")
+            f.write("END\n")
+        return str(path), top
+
+    def test_models_roundtrip_and_universe(self, tmp_path, rng):
+        from basicrta_tpu.io.topology import PDBModelReader
+        coords = rng.uniform(0, 90, (3, 7, 3)).astype(np.float32)
+        path, top = self._write_models(tmp_path / "m.pdb", coords,
+                                       [90.0, 90.0, 90.0])
+        r = PDBModelReader(path)
+        assert len(r) == 3 and r.natoms == 7
+        c, b = r.read([2, 0])
+        assert np.allclose(c[0], coords[2], atol=1e-3)   # F8.3 columns
+        assert np.allclose(b, 90.0)
+        u = Universe(path, path, dt_ns=0.5)
+        assert u.n_frames == 3
+        assert u.timestep_ns() == 0.5
+        batches = list(u.iter_batches(batch_size=2))
+        assert batches[1].times[0] == pytest.approx(1.0)
+        with pytest.raises(ValueError, match="dt_ns"):
+            Universe(path, path).timestep_ns()
+
+    def test_single_model_pdb(self, tmp_path, rng):
+        from basicrta_tpu.io.topology import PDBModelReader, Topology, \
+            write_pdb
+        coords = rng.uniform(0, 50, (1, 4, 3)).astype(np.float32)
+        top = Topology(np.array(["CA"] * 4),
+                       np.arange(4, dtype=np.int32) + 1,
+                       np.array(["GLY"] * 4), coords[0])
+        p = str(tmp_path / "s.pdb")
+        write_pdb(p, top)
+        r = PDBModelReader(p)
+        assert len(r) == 1
+        c, b = r.read()
+        assert b is None and np.allclose(c[0], coords[0], atol=1e-3)
+
+    def test_mismatched_models(self, tmp_path):
+        from basicrta_tpu.io.topology import PDBModelReader
+        p = tmp_path / "bad.pdb"
+        p.write_text(
+            "MODEL 1\n"
+            "ATOM      1 CA   ALA A   1      1.000   1.000   1.000  1.00  0.00\n"
+            "ENDMDL\nMODEL 2\n"
+            "ATOM      1 CA   ALA A   1      1.000   1.000   1.000  1.00  0.00\n"
+            "ATOM      2 CB   ALA A   1      2.000   1.000   1.000  1.00  0.00\n"
+            "ENDMDL\nEND\n")
+        with pytest.raises(ValueError, match="differing atom counts"):
+            PDBModelReader(str(p))
