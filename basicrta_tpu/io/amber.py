@@ -64,6 +64,7 @@ def read_prmtop(path: str) -> Topology:
     inpcrd-derived PDB.
     """
     names = resnames_r = pointers = None
+    charges = masses = None
     with open(path) as f:
         if not f.readline().startswith("%VERSION"):
             raise ValueError(f"{path} is not a PRMTOP file (missing "
@@ -77,6 +78,12 @@ def read_prmtop(path: str) -> Topology:
                           if s.strip()]
         elif flag == "RESIDUE_POINTER":
             pointers = [int(s) for s in " ".join(data).split()]
+        elif flag == "CHARGE":
+            # PRMTOP stores q * 18.2223 (kcal/mol internal units) -> e
+            charges = (np.asarray(" ".join(data).split(), np.float64)
+                       / 18.2223)
+        elif flag == "MASS":
+            masses = np.asarray(" ".join(data).split(), np.float64)
     if names is None or resnames_r is None or pointers is None:
         raise ValueError(f"{path}: missing ATOM_NAME / RESIDUE_LABEL / "
                          "RESIDUE_POINTER sections")
@@ -89,7 +96,11 @@ def read_prmtop(path: str) -> Topology:
         resids[lo:hi] = r + 1                            # Amber is 1-based
         resnames[lo:hi] = resnames_r[r]
     return Topology(np.asarray(names), resids,
-                    resnames.astype(str), positions=None, box=None)
+                    resnames.astype(str), positions=None, box=None,
+                    masses=(None if masses is None
+                            else masses.astype(np.float32)),
+                    charges=(None if charges is None
+                             else charges.astype(np.float32)))
 
 
 # --------------------------- NetCDF trajectory ---------------------------- #

@@ -9,6 +9,7 @@ users routinely pass through ``--sel1/--sel2``::
     name CA CB H* ... | resname CHOL POPC ... | segid PROA ...
     resid 313 | resid 100-200 | index 0 5 10-20
     around 5.0 TERM | byres TERM
+    prop mass > 1.1 | prop charge < 0 | prop abs z <= 15
     not EXPR | EXPR and EXPR | EXPR or EXPR | ( EXPR )
 
 ``name``/``resname``/``segid`` values accept ``*``/``?`` glob wildcards.
@@ -55,6 +56,31 @@ def convert_aa_code(resname: str) -> str:
         raise ValueError(f"unknown residue name {resname!r}") from None
 
 
+# element masses for name-based guessing (formats without a mass column)
+_ELEMENT_MASS = {
+    "H": 1.008, "C": 12.011, "N": 14.007, "O": 15.999, "S": 32.06,
+    "P": 30.974, "F": 18.998, "K": 39.098, "B": 10.81, "I": 126.90,
+    "CL": 35.45, "BR": 79.904, "NA": 22.990, "MG": 24.305, "ZN": 65.38,
+    "FE": 55.845, "MN": 54.938, "CU": 63.546, "NI": 58.693, "CO": 58.933,
+    "LI": 6.94, "AL": 26.982, "SI": 28.085, "SE": 78.971, "CD": 112.41,
+    "HG": 200.59,
+}
+_TWO_LETTER = {k for k in _ELEMENT_MASS if len(k) == 2}
+
+
+def guess_mass(name: str) -> float:
+    """Mass from an atom name (GRO/PDB carry none). Heuristic: a
+    two-letter element only when the RAW name is exactly its symbol
+    (so bare CL/NA ions resolve but CA stays alpha-carbon and HG1/HB2
+    stay hydrogens — the conservative side of MDAnalysis's guesser);
+    else the first letter after stripping leading digits."""
+    raw = name.upper()
+    if raw in _TWO_LETTER and raw != "CA":
+        return _ELEMENT_MASS[raw]
+    stripped = raw.lstrip("0123456789")
+    return _ELEMENT_MASS.get(stripped[:1], 0.0) if stripped else 0.0
+
+
 @dataclasses.dataclass
 class Topology:
     """Struct-of-arrays atom table."""
@@ -64,10 +90,21 @@ class Topology:
     positions: Optional[np.ndarray] = None  # (A, 3) float32 [Angstrom]
     box: Optional[np.ndarray] = None        # (3,) float32 [Angstrom]
     segids: Optional[np.ndarray] = None     # (A,) str (PSF/PDB segments)
+    masses: Optional[np.ndarray] = None     # (A,) float32 [amu] (PSF/PRMTOP)
+    charges: Optional[np.ndarray] = None    # (A,) float32 [e] (PSF/PRMTOP)
 
     @property
     def natoms(self) -> int:
         return len(self.names)
+
+    @property
+    def masses_or_guess(self) -> np.ndarray:
+        """Masses from the topology when it carries them, else guessed
+        from atom names (see :func:`guess_mass`)."""
+        if self.masses is not None:
+            return self.masses
+        return np.asarray([guess_mass(str(n)) for n in self.names],
+                          np.float32)
 
     @property
     def segids_or_default(self) -> np.ndarray:
@@ -274,7 +311,55 @@ class _SelectionParser:
                 m = inner(t)
                 return np.isin(t.resids, np.unique(t.resids[m]))
             return fn
+        if tok == "prop":
+            return self._prop()
         raise ValueError(f"unknown selection keyword {tok!r}")
+
+    _PROP_OPS = {
+        "<": np.less, "<=": np.less_equal, ">": np.greater,
+        ">=": np.greater_equal, "==": np.equal, "!=": np.not_equal,
+    }
+
+    def _prop(self):
+        """``prop [abs] {mass|charge|x|y|z} OP value`` (MDAnalysis
+        numeric-property selections)."""
+        attr = self._next()
+        use_abs = attr == "abs"
+        if use_abs:
+            attr = self._next()
+        if attr not in ("mass", "charge", "x", "y", "z"):
+            raise ValueError(f"'prop' supports mass/charge/x/y/z, "
+                             f"got {attr!r}")
+        op = self._next()
+        if op not in self._PROP_OPS:
+            raise ValueError(f"'prop' needs a comparison operator "
+                             f"(<, <=, >, >=, ==, !=), got {op!r}")
+        raw = self._next()
+        try:
+            value = float(raw)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"'prop {attr} {op}' needs a numeric value, "
+                f"got {raw!r}") from None
+
+        def fn(t, attr=attr, op=op, value=value, use_abs=use_abs):
+            if attr == "mass":
+                col = t.masses_or_guess
+            elif attr == "charge":
+                if t.charges is None:
+                    raise ValueError(
+                        "'prop charge' needs a topology with charges "
+                        "(PSF or PRMTOP)")
+                col = t.charges
+            else:
+                if t.positions is None:
+                    raise ValueError(
+                        f"'prop {attr}' needs atom coordinates in the "
+                        "topology")
+                col = t.positions[:, "xyz".index(attr)]
+            col = np.abs(col) if use_abs else col
+            return self._PROP_OPS[op](col, value)
+        return fn
 
 
 # ------------------------------ GRO format ------------------------------- #
@@ -327,6 +412,7 @@ def read_psf(path: str) -> Topology:
     reads; PSF is the CHARMM/NAMD standard).
     """
     names, resids, resnames, segids = [], [], [], []
+    charges, masses = [], []
     with open(path) as f:
         first = f.readline()
         if not first.startswith("PSF"):
@@ -350,9 +436,13 @@ def read_psf(path: str) -> Topology:
                           if re.match(r"-?\d+", rid) else 0)
             resnames.append(parts[3])
             names.append(parts[4])
+            charges.append(float(parts[6]))
+            masses.append(float(parts[7]))
     return Topology(np.asarray(names), np.asarray(resids, np.int32),
                     np.asarray(resnames), positions=None, box=None,
-                    segids=np.asarray(segids))
+                    segids=np.asarray(segids),
+                    masses=np.asarray(masses, np.float32),
+                    charges=np.asarray(charges, np.float32))
 
 
 # ------------------------------ PDB format ------------------------------- #

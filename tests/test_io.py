@@ -713,3 +713,78 @@ class TestPDBModels:
             "ENDMDL\nEND\n")
         with pytest.raises(ValueError, match="differing atom counts"):
             PDBModelReader(str(p))
+
+
+class TestPropSelections:
+    def test_mass_guess(self):
+        from basicrta_tpu.io.topology import guess_mass
+        assert guess_mass("CA") == pytest.approx(12.011)     # alpha carbon
+        assert guess_mass("HG1") == pytest.approx(1.008)     # hydrogen
+        assert guess_mass("CL") == pytest.approx(35.45)      # chloride ion
+        assert guess_mass("NA") == pytest.approx(22.990)
+        assert guess_mass("OW") == pytest.approx(15.999)
+        assert guess_mass("1HB") == pytest.approx(1.008)     # leading digit
+        assert guess_mass("XX") == 0.0
+
+    def test_prop_mass_guessed(self):
+        top = _make_topology()
+        names = np.array(["N", "CA", "HB1", "HA", "CB", "C1", "H1", "C2",
+                          "O1"])
+        top = Topology(names, top.resids, top.resnames, top.positions,
+                       top.box)
+        heavy = top.select("prop mass > 1.1")
+        assert len(heavy) == 6
+        assert len(top.select("prop mass <= 1.1")) == 3
+        assert len(top.select("protein and prop mass > 1.1")) == 3
+
+    def test_prop_from_psf(self, tmp_path):
+        from basicrta_tpu.io.topology import read_psf
+        p = tmp_path / "t.psf"
+        p.write_text(TestPSF.PSF_TEXT)
+        top = read_psf(str(p))
+        assert top.masses is not None and top.charges is not None
+        assert len(top.select("prop charge < 0")) == 2      # the two N
+        assert len(top.select("prop charge == 0")) == 4     # CHOL carbons
+        assert len(top.select("prop mass > 13")) == 2
+        assert len(top.select("prop abs charge >= 0.47")) == 3
+
+    def test_prop_from_prmtop(self, tmp_path):
+        from basicrta_tpu.io.amber import read_prmtop
+        p = tmp_path / "t.prmtop"
+        p.write_text(
+            PRMTOP_TEXT
+            + "%FLAG CHARGE\n%FORMAT(5E16.8)\n"
+            + "".join(f"{q * 18.2223:16.8E}" for q in
+                      [-0.47, 0.07, 0.51, -0.47, 0.07]) + "\n"
+            + "".join(f"{q * 18.2223:16.8E}" for q in
+                      [0.0, 0.0, 0.0, 0.0]) + "\n"
+            + "%FLAG MASS\n%FORMAT(5E16.8)\n"
+            + "".join(f"{m:16.8E}" for m in
+                      [14.007, 12.011, 12.011, 14.007, 12.011]) + "\n"
+            + "".join(f"{m:16.8E}" for m in [12.011] * 4) + "\n")
+        top = read_prmtop(str(p))
+        assert np.allclose(top.charges[:3], [-0.47, 0.07, 0.51],
+                           atol=1e-6)
+        assert len(top.select("prop charge < 0")) == 2
+        assert len(top.select("prop mass > 13")) == 2
+
+    def test_prop_coordinates(self):
+        top = _make_topology()     # positions arange(27): x = 0,3,6,...
+        assert len(top.select("prop x < 10")) == 4
+        assert list(top.select("prop z >= 23")) == [7, 8]
+        assert len(top.select("prop abs x <= 6")) == 3
+        assert len(top.select("prop x != 0")) == 8
+
+    def test_prop_errors(self):
+        top = _make_topology()
+        with pytest.raises(ValueError, match="mass/charge"):
+            top.select("prop bogus > 1")
+        with pytest.raises(ValueError, match="comparison operator"):
+            top.select("prop mass 12")
+        with pytest.raises(ValueError, match="numeric value"):
+            top.select("prop mass > heavy")
+        with pytest.raises(ValueError, match="charges"):
+            top.select("prop charge < 0")
+        top_nopos = Topology(top.names, top.resids, top.resnames)
+        with pytest.raises(ValueError, match="coordinates"):
+            top_nopos.select("prop x > 0")
