@@ -6,7 +6,8 @@ Python, XTC/TRR/DCD trajectories go through the native C++ library
 scipy/pure-Python readers, and OpenDX densities have a pure-Python writer.
 """
 
-from basicrta_tpu.io.amber import MDCRDReader, NCDFReader, read_prmtop
+from basicrta_tpu.io.amber import (InpcrdReader, MDCRDReader, NCDFReader,
+                                   read_prmtop)
 from basicrta_tpu.io.legacy import (load_reference_contacts,
                                     load_reference_gibbs)
 from basicrta_tpu.io.native import (XTCReader, XTCWriter, TRRReader,
@@ -18,7 +19,7 @@ from basicrta_tpu.io.universe import Universe
 __all__ = [
     "XTCReader", "XTCWriter", "TRRReader", "TRRWriter",
     "DCDReader", "DCDWriter", "NCDFReader", "MDCRDReader",
-    "PDBModelReader",
+    "PDBModelReader", "InpcrdReader",
     "Topology", "read_gro", "read_pdb", "read_psf", "read_prmtop",
     "write_pdb",
     "Universe", "load_reference_contacts", "load_reference_gibbs",

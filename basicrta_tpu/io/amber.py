@@ -287,3 +287,67 @@ class MDCRDReader:
     def __len__(self):
         return self.nframes
 
+
+# --------------------------- inpcrd / restart ------------------------------ #
+
+class InpcrdReader:
+    """Amber ASCII restart/coordinate file (.inpcrd/.rst7) as a one-frame
+    trajectory — the standard companion of a PRMTOP (reference reach:
+    ``mda.Universe(prmtop, inpcrd)``).
+
+    Layout: title line; natoms [time] line; coordinates 6F12.7;
+    optionally velocities (same size) and/or one 6-value box line
+    (3 lengths + 3 angles). The value count distinguishes the variants
+    (3N / 3N+6 / 6N / 6N+6); the degenerate natoms=2 file (where
+    3N+6 == 6N) is resolved in favor of coordinates+box, Amber's
+    overwhelmingly common restart shape. ``read(frames)`` returns
+    ``(coords (1, A, 3), box (1, 3) or (1, 3, 3) or None)``.
+    """
+
+    def __init__(self, path: str):
+        with open(path) as f:
+            f.readline()                          # title
+            hdr = f.readline().split()
+            if not hdr:
+                raise ValueError(f"{path}: missing natoms line")
+            self.natoms = int(hdr[0])
+            body = f.read()
+        # 12-char fixed-width fields (they abut when values fill the
+        # width), line by line
+        vals = []
+        for ln in body.splitlines():
+            ln = ln.rstrip()
+            vals.extend(float(ln[i:i + 12])
+                        for i in range(0, len(ln), 12))
+        n = self.natoms
+        nv = len(vals)
+        if nv == 3 * n:
+            has_vel = has_box = False
+        elif nv == 6 * n and n != 2:
+            has_vel, has_box = True, False
+        elif nv == 3 * n + 6:
+            has_vel, has_box = False, True
+        elif nv == 6 * n + 6:
+            has_vel, has_box = True, True
+        else:
+            raise ValueError(
+                f"{path}: {nv} values do not fit natoms={n} with or "
+                "without velocities/box")
+        del has_vel  # velocities are parsed past, never used
+        coords = np.asarray(vals[:3 * n], np.float32).reshape(1, n, 3)
+        box = None
+        if has_box:
+            lengths = np.asarray(vals[-6:-3], np.float32)[None]
+            angles = np.asarray(vals[-3:], np.float64)[None]
+            box = _cell_to_box(lengths, angles)
+        self._coords, self._box = coords, box
+        self.nframes = 1
+
+    def read(self, frames: Optional[Sequence[int]] = None):
+        idx = (np.arange(1) if frames is None
+               else np.asarray(frames, np.int64))
+        box = self._box[idx] if self._box is not None else None
+        return self._coords[idx], box
+
+    def __len__(self):
+        return 1

@@ -15,7 +15,8 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from basicrta_tpu.contacts.mapper import FrameBatch
-from basicrta_tpu.io.amber import MDCRDReader, NCDFReader, read_prmtop
+from basicrta_tpu.io.amber import (InpcrdReader, MDCRDReader, NCDFReader,
+                                   read_prmtop)
 from basicrta_tpu.io.native import DCDReader, TRRReader, XTCReader
 from basicrta_tpu.io.topology import (PDBModelReader, Topology, read_gro,
                                       read_pdb, read_psf)
@@ -108,6 +109,8 @@ class Universe:
                 self._traj = MDCRDReader(traj_path, self.topology.natoms)
             elif ext == ".pdb":
                 self._traj = PDBModelReader(traj_path)
+            elif ext in (".inpcrd", ".rst7", ".rst"):
+                self._traj = InpcrdReader(traj_path)
             else:
                 raise ValueError(f"unsupported trajectory format: "
                                  f"{traj_path}")
@@ -115,6 +118,15 @@ class Universe:
                 raise ValueError(
                     f"topology has {self.topology.natoms} atoms but "
                     f"trajectory has {self._traj.natoms}")
+            if self.topology.positions is None:
+                # PSF/PRMTOP carry no coordinates: seed the topology
+                # with frame 0 so position-dependent selections
+                # ('around', 'prop x/y/z') work, MDAnalysis-style
+                coords, _, box = self._read_frames([0])
+                self.topology.positions = coords[0]
+                if self.topology.box is None and box is not None \
+                        and box.ndim == 2:
+                    self.topology.box = box[0]
 
     @property
     def n_frames(self) -> int:

@@ -788,3 +788,74 @@ class TestPropSelections:
         top_nopos = Topology(top.names, top.resids, top.resnames)
         with pytest.raises(ValueError, match="coordinates"):
             top_nopos.select("prop x > 0")
+
+
+class TestInpcrd:
+    def _write(self, path, coords, box=None, vel=False):
+        n = len(coords)
+        vals = list(coords.ravel())
+        if vel:
+            vals += list(np.zeros(3 * n))
+        with open(path, "w") as f:
+            f.write("test restart\n")
+            f.write(f"{n:6d}  0.1000000E+04\n")
+            for lo in range(0, len(vals), 6):
+                f.write("".join(f"{v:12.7f}" for v in vals[lo:lo + 6])
+                        + "\n")
+            if box is not None:
+                f.write("".join(f"{v:12.7f}" for v in box) + "\n")
+        return str(path)
+
+    def test_variants(self, tmp_path, rng):
+        from basicrta_tpu.io.amber import InpcrdReader
+        coords = rng.uniform(-90, 90, (7, 3)).astype(np.float32)
+        plain = self._write(tmp_path / "a.rst7", coords)
+        boxed = self._write(tmp_path / "b.rst7", coords,
+                            [80.0, 80.0, 80.0, 90.0, 90.0, 90.0])
+        velbox = self._write(tmp_path / "c.rst7", coords,
+                             [80.0, 80.0, 80.0, 90.0, 90.0, 90.0],
+                             vel=True)
+        for p, want_box in [(plain, False), (boxed, True), (velbox, True)]:
+            r = InpcrdReader(p)
+            assert r.natoms == 7 and len(r) == 1
+            c, b = r.read()
+            assert np.allclose(c[0], coords, atol=1e-6)
+            assert (b is not None) == want_box
+            if want_box:
+                assert b.shape == (1, 3) and np.allclose(b, 80.0)
+
+    def test_triclinic_box(self, tmp_path, rng):
+        from basicrta_tpu.io.amber import InpcrdReader
+        coords = rng.uniform(0, 50, (5, 3)).astype(np.float32)
+        p = self._write(tmp_path / "t.rst7", coords,
+                        [70.0, 70.0, 70.0, 109.47, 109.47, 109.47])
+        _, b = InpcrdReader(p).read()
+        assert b.shape == (1, 3, 3)
+
+    def test_bad_count(self, tmp_path, rng):
+        from basicrta_tpu.io.amber import InpcrdReader
+        p = self._write(tmp_path / "x.rst7",
+                        rng.uniform(0, 9, (5, 3)).astype(np.float32))
+        with open(p) as f:
+            txt = f.read().splitlines()
+        (tmp_path / "bad.rst7").write_text("\n".join(txt[:-1]) + "\n")
+        with pytest.raises(ValueError, match="do not fit"):
+            InpcrdReader(str(tmp_path / "bad.rst7"))
+
+    def test_universe_position_injection(self, tmp_path, rng):
+        """PRMTOP carries no coordinates; Universe seeds the topology
+        with frame 0 so 'around'/'prop x' selections work."""
+        p = tmp_path / "t.prmtop"
+        p.write_text(PRMTOP_TEXT)
+        pos = np.zeros((9, 3), np.float32)
+        pos[0:5] = [10, 10, 10]
+        pos[5:7] = [13, 10, 10]
+        pos[7:9] = [60, 60, 60]
+        rst = self._write(tmp_path / "t.rst7", pos,
+                          [90.0, 90.0, 90.0, 90.0, 90.0, 90.0])
+        u = Universe(str(p), rst)
+        assert u.topology.positions is not None
+        assert np.allclose(u.topology.box, 90.0)
+        near = u.select_atoms("resname CHOL and around 5.0 protein")
+        assert list(near) == [5, 6]
+        assert len(u.select_atoms("prop x > 50")) == 2
