@@ -25,12 +25,13 @@ def _cmd_contacts(args):
     from basicrta_tpu.contacts.records import ContactMeta
     from basicrta_tpu.io.universe import Universe
 
-    u = Universe(args.top, args.traj, dt_ns=args.dt)
+    traj = args.traj if len(args.traj) > 1 else args.traj[0]
+    u = Universe(args.top, traj, dt_ns=args.dt)
     idx1 = u.select_atoms(args.sel1)
     idx2 = u.select_atoms(args.sel2)
     cfg = ContactConfig(map_cutoff=args.map_cutoff, cutoff=args.cutoff,
                         frames_per_batch=args.batch)
-    meta = ContactMeta(top=args.top, traj=args.traj, sel1=args.sel1,
+    meta = ContactMeta(top=args.top, traj=traj, sel1=args.sel1,
                        sel2=args.sel2, ts=u.timestep_ns())
     mapper = MapContacts(idx1, u.topology.resids[idx1], idx2,
                          u.topology.resids[idx2], cfg=cfg, meta=meta,
@@ -212,7 +213,9 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("contacts", help="extract the contact map and "
                        "residence events from a trajectory")
     c.add_argument("--top", required=True)
-    c.add_argument("--traj", required=True)
+    c.add_argument("--traj", required=True, nargs="+",
+                   help="trajectory file, or several segment files read "
+                        "as one continuous trajectory")
     c.add_argument("--sel1", required=True)
     c.add_argument("--sel2", required=True)
     c.add_argument("--cutoff", type=float, default=7.0)

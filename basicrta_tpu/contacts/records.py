@@ -28,7 +28,7 @@ class ContactMeta:
     """Explicit replacement for the reference's dtype-metadata payload
     (contacts.py:80-84)."""
     top: Optional[str] = None        # topology path
-    traj: Optional[str] = None       # trajectory path
+    traj: Optional[object] = None    # trajectory path or segment list
     sel1: Optional[str] = None       # selection string for group 1
     sel2: Optional[str] = None       # selection string for group 2
     ts: Optional[float] = None       # frame interval [ns]

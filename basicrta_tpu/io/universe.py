@@ -81,10 +81,99 @@ def _box_from_unitcell(cell: np.ndarray) -> np.ndarray:
     return H
 
 
-class Universe:
-    """Topology + trajectory pair."""
+def _open_traj(path: str, natoms: int):
+    """Open one trajectory file by extension."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".xtc":
+        return XTCReader(path)
+    if ext == ".trr":
+        return TRRReader(path)
+    if ext == ".dcd":
+        return DCDReader(path)
+    if ext in (".nc", ".ncdf"):
+        return NCDFReader(path)
+    if ext == ".mdcrd":
+        return MDCRDReader(path, natoms)
+    if ext == ".pdb":
+        return PDBModelReader(path)
+    if ext in (".inpcrd", ".rst7", ".rst"):
+        return InpcrdReader(path)
+    raise ValueError(f"unsupported trajectory format: {path}")
 
-    def __init__(self, top_path: str, traj_path: Optional[str] = None,
+
+def _normalized_read(traj, frames):
+    """Normalize every reader to (coords, times_ns or None, box or
+    None)."""
+    if isinstance(traj, (XTCReader, TRRReader)):
+        coords, times, boxmat, _ = traj.read(frames)
+        return coords, times, _box_from_matrix(boxmat)
+    if isinstance(traj, DCDReader):
+        coords, cell = traj.read(frames)
+        return coords, None, _box_from_unitcell(cell)
+    if isinstance(traj, NCDFReader):
+        return traj.read(frames)
+    if isinstance(traj, _ChainReader):
+        return traj.read(frames)
+    coords, box = traj.read(frames)   # MDCRD / PDB models / inpcrd
+    return coords, None, box
+
+
+class _ChainReader:
+    """Several trajectory files read as one continuous trajectory —
+    the MDAnalysis ChainReader pattern (``mda.Universe(top, [t1, t2])``,
+    which the reference inherits through contacts.py:246-249). Mixed
+    formats are fine as long as atom counts agree; the chain carries
+    times only when EVERY segment does (else pass ``dt_ns``)."""
+
+    def __init__(self, paths: Sequence[str], natoms: int):
+        self._readers = [_open_traj(p, natoms) for p in paths]
+        counts = {r.natoms for r in self._readers}
+        if len(counts) != 1:
+            raise ValueError(f"chained trajectories disagree on atom "
+                             f"count: {sorted(counts)}")
+        self.natoms = self._readers[0].natoms
+        lens = np.asarray([len(r) for r in self._readers], np.int64)
+        self._offsets = np.concatenate([[0], np.cumsum(lens)])
+        self.nframes = int(self._offsets[-1])
+
+    def read(self, frames: Optional[Sequence[int]] = None):
+        idx = (np.arange(self.nframes) if frames is None
+               else np.asarray(frames, np.int64))
+        which = np.searchsorted(self._offsets, idx, side="right") - 1
+        coords = np.empty((len(idx), self.natoms, 3), np.float32)
+        times = np.empty(len(idx), np.float64)
+        have_times = True
+        boxes = [None] * len(idx)
+        for seg in np.unique(which):
+            sel = np.flatnonzero(which == seg)
+            local = idx[sel] - self._offsets[seg]
+            c, t, b = _normalized_read(self._readers[seg], local)
+            coords[sel] = c
+            if t is None:
+                have_times = False
+            else:
+                times[sel] = t
+            if b is not None:
+                for j, s in enumerate(sel):
+                    boxes[s] = b[j]
+        box = None
+        if all(bx is not None for bx in boxes):
+            if any(bx.ndim == 2 for bx in boxes):
+                # mixed diagonal/triclinic segments: promote to matrices
+                boxes = [bx if bx.ndim == 2 else np.diag(bx)
+                         for bx in boxes]
+            box = np.stack(boxes)
+        return coords, (times if have_times else None), box
+
+    def __len__(self):
+        return self.nframes
+
+
+class Universe:
+    """Topology + trajectory pair (or list of chained trajectory
+    segments)."""
+
+    def __init__(self, top_path: str, traj_path=None,
                  dcd_dt_ns: Optional[float] = None,
                  dt_ns: Optional[float] = None):
         self.top_path = top_path
@@ -96,24 +185,15 @@ class Universe:
         # spelling of the same knob
         self._dt_ns = dt_ns if dt_ns is not None else dcd_dt_ns
         if traj_path is not None:
-            ext = os.path.splitext(traj_path)[1].lower()
-            if ext == ".xtc":
-                self._traj = XTCReader(traj_path)
-            elif ext == ".trr":
-                self._traj = TRRReader(traj_path)
-            elif ext == ".dcd":
-                self._traj = DCDReader(traj_path)
-            elif ext in (".nc", ".ncdf"):
-                self._traj = NCDFReader(traj_path)
-            elif ext == ".mdcrd":
-                self._traj = MDCRDReader(traj_path, self.topology.natoms)
-            elif ext == ".pdb":
-                self._traj = PDBModelReader(traj_path)
-            elif ext in (".inpcrd", ".rst7", ".rst"):
-                self._traj = InpcrdReader(traj_path)
+            if isinstance(traj_path, (list, tuple)):
+                if len(traj_path) == 1:
+                    self._traj = _open_traj(traj_path[0],
+                                            self.topology.natoms)
+                else:
+                    self._traj = _ChainReader(traj_path,
+                                              self.topology.natoms)
             else:
-                raise ValueError(f"unsupported trajectory format: "
-                                 f"{traj_path}")
+                self._traj = _open_traj(traj_path, self.topology.natoms)
             if self._traj.natoms != self.topology.natoms:
                 raise ValueError(
                     f"topology has {self.topology.natoms} atoms but "
@@ -147,16 +227,7 @@ class Universe:
             box = (np.tile(self.topology.box, (len(frames), 1))
                    if self.topology.box is not None else None)
             return coords, None, box
-        if isinstance(self._traj, (XTCReader, TRRReader)):
-            coords, times, boxmat, _ = self._traj.read(frames)
-            return coords, times, _box_from_matrix(boxmat)
-        if isinstance(self._traj, DCDReader):
-            coords, cell = self._traj.read(frames)
-            return coords, None, _box_from_unitcell(cell)
-        if isinstance(self._traj, NCDFReader):
-            return self._traj.read(frames)
-        coords, box = self._traj.read(frames)   # MDCRD / PDB models
-        return coords, None, box
+        return _normalized_read(self._traj, frames)
 
     def timestep_ns(self) -> float:
         """Frame interval in ns (the reference's ts = dt/1000,
@@ -177,7 +248,7 @@ class Universe:
                 "header (delta units are writer-dependent); pass "
                 "Universe(..., dcd_dt_ns=...) explicitly")
         if isinstance(self._traj, (MDCRDReader, NCDFReader,
-                                   PDBModelReader)):
+                                   PDBModelReader, _ChainReader)):
             raise ValueError(
                 f"{type(self._traj).__name__} carries no usable time "
                 "axis; pass Universe(..., dt_ns=...) explicitly")

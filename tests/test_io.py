@@ -859,3 +859,75 @@ class TestInpcrd:
         near = u.select_atoms("resname CHOL and around 5.0 protein")
         assert list(near) == [5, 6]
         assert len(u.select_atoms("prop x > 50")) == 2
+
+
+class TestChainReader:
+    def test_two_xtc_segments(self, tmp_path, rng):
+        coords = rng.uniform(0, 50, (8, 30, 3)).astype(np.float32)
+        times = np.arange(8) * 0.1
+        box = np.tile([50.0] * 3, (8, 1))
+        XTCWriter(str(tmp_path / "p1.xtc")).write(coords[:5], times[:5],
+                                                  box[:5])
+        XTCWriter(str(tmp_path / "p2.xtc")).write(coords[5:], times[5:],
+                                                  box[5:])
+        from basicrta_tpu.io.topology import Topology, write_gro
+        top = Topology(np.array(["CA"] * 30),
+                       np.arange(30, dtype=np.int32),
+                       np.array(["ALA"] * 30), coords[0],
+                       np.array([50.0] * 3, np.float32))
+        gro = write_gro(str(tmp_path / "t.gro"), top)
+        u = Universe(gro, [str(tmp_path / "p1.xtc"),
+                           str(tmp_path / "p2.xtc")])
+        assert u.n_frames == 8
+        assert u.timestep_ns() == pytest.approx(0.1, abs=1e-6)
+        # random access crossing the segment boundary, out of order
+        c = u.frame_positions([6, 2, 5])
+        assert np.abs(c[0] - coords[6]).max() < 0.006
+        assert np.abs(c[1] - coords[2]).max() < 0.006
+        batches = list(u.iter_batches(batch_size=3))
+        got_t = np.concatenate([b.times for b in batches])
+        assert np.allclose(got_t, times, atol=1e-6)
+        assert all(b.box is not None for b in batches)
+        # single-element list behaves like a plain path
+        u1 = Universe(gro, [str(tmp_path / "p1.xtc")])
+        assert u1.n_frames == 5
+
+    def test_mixed_format_chain_needs_dt(self, tmp_path, rng):
+        coords = rng.uniform(0, 50, (6, 12, 3)).astype(np.float32)
+        box = np.tile([50.0] * 3, (6, 1))
+        XTCWriter(str(tmp_path / "a.xtc")).write(
+            coords[:3], np.arange(3) * 0.1, box[:3])
+        DCDWriter(str(tmp_path / "b.dcd")).write(coords[3:], box[3:])
+        from basicrta_tpu.io.topology import Topology, write_gro
+        top = Topology(np.array(["CA"] * 12),
+                       np.arange(12, dtype=np.int32),
+                       np.array(["ALA"] * 12), coords[0])
+        gro = write_gro(str(tmp_path / "t.gro"), top)
+        chain = [str(tmp_path / "a.xtc"), str(tmp_path / "b.dcd")]
+        # the first segment carries times -> the chain infers dt from it
+        assert Universe(gro, chain).timestep_ns() == pytest.approx(
+            0.1, abs=1e-6)
+        # an all-timeless chain needs an explicit dt
+        DCDWriter(str(tmp_path / "c.dcd")).write(coords[:3], box[:3])
+        with pytest.raises(ValueError, match="dt_ns"):
+            Universe(gro, [str(tmp_path / "c.dcd"),
+                           str(tmp_path / "b.dcd")]).timestep_ns()
+        u = Universe(gro, chain, dt_ns=0.1)
+        assert u.n_frames == 6
+        batches = list(u.iter_batches(batch_size=4))
+        # timeless chain: times come from the global frame index
+        assert batches[1].times[1] == pytest.approx(0.5)
+        c = u.frame_positions([4])
+        assert np.allclose(c[0], coords[4], atol=0.006)
+
+    def test_chain_atom_count_mismatch(self, tmp_path, rng):
+        XTCWriter(str(tmp_path / "a.xtc")).write(
+            rng.uniform(0, 9, (2, 5, 3)).astype(np.float32),
+            [0.0, 0.1], [[50.0] * 3] * 2)
+        XTCWriter(str(tmp_path / "b.xtc")).write(
+            rng.uniform(0, 9, (2, 6, 3)).astype(np.float32),
+            [0.2, 0.3], [[50.0] * 3] * 2)
+        from basicrta_tpu.io.universe import _ChainReader
+        with pytest.raises(ValueError, match="atom count"):
+            _ChainReader([str(tmp_path / "a.xtc"),
+                          str(tmp_path / "b.xtc")], 5)
