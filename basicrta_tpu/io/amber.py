@@ -18,7 +18,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from basicrta_tpu.io.topology import Topology
+from basicrta_tpu.io.topology import (Topology, _InMemoryFrames,
+                                      box_from_cosines)
 
 # ------------------------------ PRMTOP ----------------------------------- #
 
@@ -114,18 +115,9 @@ def _cell_to_box(lengths: np.ndarray, angles_deg: Optional[np.ndarray]
     if angles_deg is None or np.allclose(angles_deg, 90.0, atol=1e-4):
         return lengths
     ang = np.radians(np.asarray(angles_deg, np.float64))
-    ca, cb, cg = np.cos(ang[:, 0]), np.cos(ang[:, 1]), np.cos(ang[:, 2])
-    sg = np.sqrt(np.maximum(1.0 - cg * cg, 1e-12))
     A, B, C = (lengths[:, i].astype(np.float64) for i in range(3))
-    H = np.zeros((len(lengths), 3, 3), np.float32)
-    H[:, 0, 0] = A
-    H[:, 1, 0] = B * cg
-    H[:, 1, 1] = B * sg
-    H[:, 2, 0] = C * cb
-    H[:, 2, 1] = C * (ca - cb * cg) / sg
-    H[:, 2, 2] = np.sqrt(np.maximum(
-        C * C - H[:, 2, 0] ** 2 - H[:, 2, 1] ** 2, 1e-12))
-    return H
+    return box_from_cosines(A, B, C, np.cos(ang[:, 0]), np.cos(ang[:, 1]),
+                            np.cos(ang[:, 2]))
 
 
 class NCDFReader:
@@ -206,7 +198,7 @@ class NCDFReader:
 
 # ---------------------------- ASCII mdcrd --------------------------------- #
 
-class MDCRDReader:
+class MDCRDReader(_InMemoryFrames):
     """Amber ASCII trajectory (mdcrd, 10F8.3).
 
     Layout: one title line, then per frame ceil(3*natoms/10) coordinate
@@ -233,12 +225,18 @@ class MDCRDReader:
             fits_plain = len(data) % cl == 0
             fits_box = len(data) % (cl + 1) == 0
             if fits_plain and fits_box and len(data):
+                if self.natoms == 1:
+                    # 1 atom: coordinate and box lines both hold 3
+                    # fields, so nothing distinguishes the layouts
+                    raise ValueError(
+                        f"{path}: box detection is ambiguous for "
+                        "natoms=1; pass has_box explicitly")
                 # both layouts divide: a box line has exactly 3 fields
                 # where a coordinate line at that position would have 10
                 # (or the frame's 3N%10 remainder, which is never 3 when
                 # the ambiguity can arise for natoms > 1)
                 probe = self._fields(data[cl]) if cl < len(data) else []
-                has_box = len(probe) == 3 and self.natoms > 1
+                has_box = len(probe) == 3
             elif fits_box:
                 has_box = True
             elif fits_plain:
@@ -278,19 +276,10 @@ class MDCRDReader:
         value fills its 8 columns, so split() is not safe)."""
         return [ln[i:i + width] for i in range(0, len(ln.rstrip()), width)]
 
-    def read(self, frames: Optional[Sequence[int]] = None):
-        idx = (np.arange(self.nframes) if frames is None
-               else np.asarray(frames, np.int64))
-        box = self._box[idx] if self._box is not None else None
-        return self._coords[idx], box
-
-    def __len__(self):
-        return self.nframes
-
 
 # --------------------------- inpcrd / restart ------------------------------ #
 
-class InpcrdReader:
+class InpcrdReader(_InMemoryFrames):
     """Amber ASCII restart/coordinate file (.inpcrd/.rst7) as a one-frame
     trajectory — the standard companion of a PRMTOP (reference reach:
     ``mda.Universe(prmtop, inpcrd)``).
@@ -342,12 +331,3 @@ class InpcrdReader:
             box = _cell_to_box(lengths, angles)
         self._coords, self._box = coords, box
         self.nframes = 1
-
-    def read(self, frames: Optional[Sequence[int]] = None):
-        idx = (np.arange(1) if frames is None
-               else np.asarray(frames, np.int64))
-        box = self._box[idx] if self._box is not None else None
-        return self._coords[idx], box
-
-    def __len__(self):
-        return 1

@@ -24,9 +24,40 @@ from __future__ import annotations
 import dataclasses
 import fnmatch
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+
+def box_from_cosines(A, B, C, ca, cb, cg) -> np.ndarray:
+    """Triclinic cell row matrix (F, 3, 3) from edge lengths and angle
+    cosines (the one construction shared by DCD unitcells, Amber
+    cell_lengths/angles, and inpcrd box lines)."""
+    sg = np.sqrt(np.maximum(1.0 - cg * cg, 1e-12))
+    H = np.zeros((len(A), 3, 3), np.float32)
+    H[:, 0, 0] = A
+    H[:, 1, 0] = B * cg
+    H[:, 1, 1] = B * sg
+    H[:, 2, 0] = C * cb
+    H[:, 2, 1] = C * (ca - cb * cg) / sg
+    H[:, 2, 2] = np.sqrt(np.maximum(
+        C * C - H[:, 2, 0] ** 2 - H[:, 2, 1] ** 2, 1e-12))
+    return H
+
+
+class _InMemoryFrames:
+    """read()/__len__ for readers that parse the whole file up front
+    into ``self._coords`` (F, A, 3) and ``self._box`` ((F, ...) or
+    None)."""
+
+    def read(self, frames: Optional[Sequence[int]] = None):
+        idx = (np.arange(self.nframes) if frames is None
+               else np.asarray(frames, np.int64))
+        box = self._box[idx] if self._box is not None else None
+        return self._coords[idx], box
+
+    def __len__(self):
+        return self.nframes
 
 # standard amino-acid residue names (3-letter, incl. common His variants)
 PROTEIN_RESNAMES = {
@@ -185,9 +216,9 @@ class _SelectionParser:
 
     def _values(self) -> List[str]:
         vals = []
-        # 'around'/'byres' stop value lists so a missing 'and' is a loud
-        # parse error instead of silently matching them as names
-        stop = {"and", "or", "not", "(", ")", "around", "byres"}
+        # 'around'/'byres'/'prop' stop value lists so a missing 'and' is
+        # a loud parse error instead of silently matching them as names
+        stop = {"and", "or", "not", "(", ")", "around", "byres", "prop"}
         while self._peek() is not None and self._peek() not in stop:
             vals.append(self._next())
         if not vals:
@@ -509,7 +540,7 @@ def write_pdb(path: str, top: Topology,
 
 # -------------------------- multi-model PDB ------------------------------- #
 
-class PDBModelReader:
+class PDBModelReader(_InMemoryFrames):
     """Multi-MODEL PDB as a trajectory (the ``mda.Universe(pdb, pdb)``
     pattern the reference inherits; NMR ensembles, short demo
     trajectories). A file with no MODEL records reads as one frame.
@@ -546,12 +577,3 @@ class PDBModelReader:
         self.nframes, self.natoms = self._coords.shape[:2]
         self._box = (np.tile(box, (self.nframes, 1))
                      if box is not None else None)
-
-    def read(self, frames: Optional[Sequence[int]] = None):
-        idx = (np.arange(self.nframes) if frames is None
-               else np.asarray(frames, np.int64))
-        box = self._box[idx] if self._box is not None else None
-        return self._coords[idx], box
-
-    def __len__(self):
-        return self.nframes

@@ -18,7 +18,8 @@ from basicrta_tpu.contacts.mapper import FrameBatch
 from basicrta_tpu.io.amber import (InpcrdReader, MDCRDReader, NCDFReader,
                                    read_prmtop)
 from basicrta_tpu.io.native import DCDReader, TRRReader, XTCReader
-from basicrta_tpu.io.topology import (PDBModelReader, Topology, read_gro,
+from basicrta_tpu.io.topology import (PDBModelReader, Topology,
+                                      box_from_cosines, read_gro,
                                       read_pdb, read_psf)
 
 
@@ -69,16 +70,7 @@ def _box_from_unitcell(cell: np.ndarray) -> np.ndarray:
     ca, cb, cg = cosv[:, 0], cosv[:, 1], cosv[:, 2]
     if np.abs(cosv).max() < 1e-6:
         return np.stack([A, B, C], axis=1).astype(np.float32)
-    sg = np.sqrt(np.maximum(1.0 - cg * cg, 1e-12))
-    H = np.zeros((len(cell), 3, 3), np.float32)
-    H[:, 0, 0] = A
-    H[:, 1, 0] = B * cg
-    H[:, 1, 1] = B * sg
-    H[:, 2, 0] = C * cb
-    H[:, 2, 1] = C * (ca - cb * cg) / sg
-    H[:, 2, 2] = np.sqrt(np.maximum(
-        C * C - H[:, 2, 0] ** 2 - H[:, 2, 1] ** 2, 1e-12))
-    return H
+    return box_from_cosines(A, B, C, ca, cb, cg)
 
 
 def _open_traj(path: str, natoms: int):
@@ -133,8 +125,25 @@ class _ChainReader:
                              f"count: {sorted(counts)}")
         self.natoms = self._readers[0].natoms
         lens = np.asarray([len(r) for r in self._readers], np.int64)
+        if (lens == 0).any():
+            empty = [p for p, n in zip(paths, lens) if n == 0]
+            raise ValueError(f"chained trajectory segment(s) have no "
+                             f"frames: {empty}")
         self._offsets = np.concatenate([[0], np.cumsum(lens)])
         self.nframes = int(self._offsets[-1])
+        # decide the time/box contract ONCE so every read() is
+        # consistent regardless of which segments a batch happens to
+        # touch (a per-read decision would hand adjacent batches times
+        # from different sources)
+        probes = [_normalized_read(r, [0]) for r in self._readers]
+        self._have_times = all(t is not None for _, t, _ in probes)
+        self._have_box = all(b is not None for _, _, b in probes)
+        if not self._have_box and any(b is not None
+                                      for _, _, b in probes):
+            warnings.warn(
+                "chained trajectory segments disagree on box presence; "
+                "the chain reports no box (minimum-image disabled)",
+                stacklevel=3)
 
     def read(self, frames: Optional[Sequence[int]] = None):
         idx = (np.arange(self.nframes) if frames is None
@@ -142,28 +151,25 @@ class _ChainReader:
         which = np.searchsorted(self._offsets, idx, side="right") - 1
         coords = np.empty((len(idx), self.natoms, 3), np.float32)
         times = np.empty(len(idx), np.float64)
-        have_times = True
         boxes = [None] * len(idx)
         for seg in np.unique(which):
             sel = np.flatnonzero(which == seg)
             local = idx[sel] - self._offsets[seg]
             c, t, b = _normalized_read(self._readers[seg], local)
             coords[sel] = c
-            if t is None:
-                have_times = False
-            else:
+            if self._have_times:
                 times[sel] = t
-            if b is not None:
+            if self._have_box:
                 for j, s in enumerate(sel):
                     boxes[s] = b[j]
         box = None
-        if all(bx is not None for bx in boxes):
+        if self._have_box:
             if any(bx.ndim == 2 for bx in boxes):
                 # mixed diagonal/triclinic segments: promote to matrices
                 boxes = [bx if bx.ndim == 2 else np.diag(bx)
                          for bx in boxes]
             box = np.stack(boxes)
-        return coords, (times if have_times else None), box
+        return coords, (times if self._have_times else None), box
 
     def __len__(self):
         return self.nframes
@@ -198,6 +204,8 @@ class Universe:
                 raise ValueError(
                     f"topology has {self.topology.natoms} atoms but "
                     f"trajectory has {self._traj.natoms}")
+            if len(self._traj) == 0:
+                raise ValueError(f"trajectory has no frames: {traj_path}")
             if self.topology.positions is None:
                 # PSF/PRMTOP carry no coordinates: seed the topology
                 # with frame 0 so position-dependent selections
@@ -235,7 +243,14 @@ class Universe:
         if self._traj is not None and len(self._traj) > 1:
             _, t, _ = self._read_frames([0, 1])
             if t is not None:
-                return float(t[1] - t[0])
+                dt = float(t[1] - t[0])
+                if dt <= 0:
+                    raise ValueError(
+                        f"non-increasing frame times (dt = {dt} ns "
+                        "between frames 0 and 1 — restarted segment "
+                        "clocks?); pass Universe(..., dt_ns=...) "
+                        "(CLI: --dt) explicitly")
+                return dt
         if self._dt_ns is not None:
             return self._dt_ns
         if isinstance(self._traj, DCDReader):
@@ -246,12 +261,13 @@ class Universe:
             raise ValueError(
                 "cannot infer the frame interval from a non-CHARMM DCD "
                 "header (delta units are writer-dependent); pass "
-                "Universe(..., dcd_dt_ns=...) explicitly")
+                "Universe(..., dcd_dt_ns=...) (CLI: --dt) explicitly")
         if isinstance(self._traj, (MDCRDReader, NCDFReader,
                                    PDBModelReader, _ChainReader)):
             raise ValueError(
                 f"{type(self._traj).__name__} carries no usable time "
-                "axis; pass Universe(..., dt_ns=...) explicitly")
+                "axis; pass Universe(..., dt_ns=...) (CLI: --dt) "
+                "explicitly")
         return 1.0
 
     def frame_positions(self, frames: Sequence[int]) -> np.ndarray:

@@ -904,14 +904,11 @@ class TestChainReader:
                        np.array(["ALA"] * 12), coords[0])
         gro = write_gro(str(tmp_path / "t.gro"), top)
         chain = [str(tmp_path / "a.xtc"), str(tmp_path / "b.dcd")]
-        # the first segment carries times -> the chain infers dt from it
-        assert Universe(gro, chain).timestep_ns() == pytest.approx(
-            0.1, abs=1e-6)
-        # an all-timeless chain needs an explicit dt
-        DCDWriter(str(tmp_path / "c.dcd")).write(coords[:3], box[:3])
+        # a chain carries times only when EVERY segment does: otherwise
+        # adjacent batches would mix file times with synthesized
+        # frame*dt times depending on batch boundaries
         with pytest.raises(ValueError, match="dt_ns"):
-            Universe(gro, [str(tmp_path / "c.dcd"),
-                           str(tmp_path / "b.dcd")]).timestep_ns()
+            Universe(gro, chain).timestep_ns()
         u = Universe(gro, chain, dt_ns=0.1)
         assert u.n_frames == 6
         batches = list(u.iter_batches(batch_size=4))
@@ -931,3 +928,47 @@ class TestChainReader:
         with pytest.raises(ValueError, match="atom count"):
             _ChainReader([str(tmp_path / "a.xtc"),
                           str(tmp_path / "b.xtc")], 5)
+
+
+class TestReviewRegressions:
+    """Regressions from the io-range code review."""
+
+    def test_missing_and_before_prop_is_loud(self):
+        top = _make_topology()
+        with pytest.raises(ValueError):
+            top.select("resname CHOL prop mass > 12")
+
+    def test_mdcrd_single_atom_ambiguity_is_loud(self, tmp_path):
+        from basicrta_tpu.io.amber import MDCRDReader
+        coords = np.zeros((2, 1, 3), np.float32)
+        box = np.tile([9.0, 9.0, 9.0], (2, 1))
+        path = _write_mdcrd(tmp_path / "one.mdcrd", coords, box)
+        with pytest.raises(ValueError, match="ambiguous"):
+            MDCRDReader(path, 1)
+        r = MDCRDReader(path, 1, has_box=True)
+        assert len(r) == 2 and r.has_box
+
+    def test_zero_frame_trajectory_is_loud(self, tmp_path):
+        p = tmp_path / "t.prmtop"
+        p.write_text(PRMTOP_TEXT)
+        (tmp_path / "empty.mdcrd").write_text("title only\n")
+        with pytest.raises(ValueError, match="no frames"):
+            Universe(str(p), str(tmp_path / "empty.mdcrd"))
+
+    def test_nonincreasing_times_are_loud(self, tmp_path, rng):
+        """Two segments that restart their clocks must not yield a
+        negative dt silently."""
+        coords = rng.uniform(0, 50, (4, 6, 3)).astype(np.float32)
+        box = np.tile([50.0] * 3, (4, 1))
+        XTCWriter(str(tmp_path / "a.xtc")).write(
+            coords[:1], [5.0], box[:1])        # one frame at t=5
+        XTCWriter(str(tmp_path / "b.xtc")).write(
+            coords[1:], np.arange(3) * 0.1, box[1:])   # restarts at 0
+        from basicrta_tpu.io.topology import Topology, write_gro
+        top = Topology(np.array(["CA"] * 6), np.arange(6, dtype=np.int32),
+                       np.array(["ALA"] * 6), coords[0])
+        gro = write_gro(str(tmp_path / "t.gro"), top)
+        u = Universe(gro, [str(tmp_path / "a.xtc"),
+                           str(tmp_path / "b.xtc")])
+        with pytest.raises(ValueError, match="non-increasing"):
+            u.timestep_ns()
