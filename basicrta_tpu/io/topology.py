@@ -8,7 +8,7 @@ users routinely pass through ``--sel1/--sel2``::
     protein | backbone | all
     name CA CB H* ... | resname CHOL POPC ... | segid PROA ...
     resid 313 | resid 100-200 | index 0 5 10-20
-    around 5.0 TERM | byres TERM
+    around 5.0 TERM | byres TERM | sphzone 8.0 TERM | point x y z R
     prop mass > 1.1 | prop charge < 0 | prop abs z <= 15
     not EXPR | EXPR and EXPR | EXPR or EXPR | ( EXPR )
 
@@ -216,9 +216,10 @@ class _SelectionParser:
 
     def _values(self) -> List[str]:
         vals = []
-        # 'around'/'byres'/'prop' stop value lists so a missing 'and' is
+        # geometric/prop keywords stop value lists so a missing 'and' is
         # a loud parse error instead of silently matching them as names
-        stop = {"and", "or", "not", "(", ")", "around", "byres", "prop"}
+        stop = {"and", "or", "not", "(", ")", "around", "byres", "prop",
+                "point", "sphzone"}
         while self._peek() is not None and self._peek() not in stop:
             vals.append(self._next())
         if not vals:
@@ -342,9 +343,57 @@ class _SelectionParser:
                 m = inner(t)
                 return np.isin(t.resids, np.unique(t.resids[m]))
             return fn
+        if tok == "point":
+            # point x y z R: atoms within R of a fixed point (MDAnalysis)
+            vals = [self._next() for _ in range(4)]
+            try:
+                x, y, z, radius = (float(v) for v in vals)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"'point' needs x y z radius, got {vals!r}") from None
+            return lambda t: self._within(t, np.array([[x, y, z]],
+                                                      np.float32), radius)
+        if tok == "sphzone":
+            # sphzone R SEL: atoms within R of SEL's center of geometry
+            # (the zone INCLUDES the reference group, unlike 'around')
+            cut = self._next()
+            try:
+                radius = float(cut)
+            except (TypeError, ValueError):
+                raise ValueError(f"'sphzone' needs a numeric radius, "
+                                 f"got {cut!r}") from None
+            inner = self._term()
+
+            def fn(t, radius=radius, inner=inner):
+                if t.positions is None:
+                    raise ValueError(
+                        "'sphzone' selections need atom coordinates in "
+                        "the topology")
+                ref = inner(t)
+                if not ref.any():
+                    return np.zeros(t.natoms, bool)
+                cog = np.asarray(t.positions, np.float32)[ref].mean(
+                    axis=0, keepdims=True)
+                return self._within(t, cog, radius)
+            return fn
         if tok == "prop":
             return self._prop()
         raise ValueError(f"unknown selection keyword {tok!r}")
+
+    @staticmethod
+    def _within(t, centers: np.ndarray, radius: float) -> np.ndarray:
+        """Atoms within radius of any center point (minimum-image when
+        the topology has an orthorhombic box)."""
+        if t.positions is None:
+            raise ValueError(
+                "point-based selections need atom coordinates in the "
+                "topology")
+        pos = np.asarray(t.positions, np.float32)
+        d = pos[:, None, :] - centers[None, :, :]
+        if t.box is not None:
+            box = np.asarray(t.box, np.float32)
+            d -= box * np.round(d / box)
+        return np.sqrt((d * d).sum(-1)).min(axis=1) <= radius
 
     _PROP_OPS = {
         "<": np.less, "<=": np.less_equal, ">": np.greater,

@@ -972,3 +972,43 @@ class TestReviewRegressions:
                            str(tmp_path / "b.xtc")])
         with pytest.raises(ValueError, match="non-increasing"):
             u.timestep_ns()
+
+
+class TestGeometricSelections:
+    def test_point(self):
+        # atoms on a line, 4 A apart along x (positions arange(27))
+        pos = np.zeros((5, 3), np.float32)
+        pos[:, 0] = np.arange(5) * 4.0
+        top = Topology(np.array(["A", "B", "C", "D", "E"]),
+                       np.arange(5, dtype=np.int32) + 1,
+                       np.array(["RES"] * 5), pos,
+                       np.array([1000.0] * 3, np.float32))
+        assert list(top.select("point 8.0 0 0 4.5")) == [1, 2, 3]
+        # PBC: with a 12 A box along x, E at x=16 images to 4
+        top.box = np.array([12.0, 1000.0, 1000.0], np.float32)
+        assert 4 in top.select("point 4.0 0 0 1.0")
+
+    def test_sphzone(self):
+        pos = np.zeros((5, 3), np.float32)
+        pos[:, 0] = np.arange(5) * 4.0
+        top = Topology(np.array(["A", "B", "C", "D", "E"]),
+                       np.arange(5, dtype=np.int32) + 1,
+                       np.array(["RES"] * 5), pos,
+                       np.array([1000.0] * 3, np.float32))
+        # cog of B and D is x=8 (atom C): zone includes the reference
+        sel = top.select("sphzone 4.5 (name B or name D)")
+        assert list(sel) == [1, 2, 3]
+        # around would exclude the group; sphzone keeps it
+        assert 2 in top.select("sphzone 0.5 name C")
+
+    def test_geometric_errors(self):
+        top = _make_topology()
+        with pytest.raises(ValueError, match="x y z radius"):
+            top.select("point 1 2 3 huge")
+        with pytest.raises(ValueError, match="numeric radius"):
+            top.select("sphzone big name CA")
+        nopos = Topology(top.names, top.resids, top.resnames)
+        with pytest.raises(ValueError, match="coordinates"):
+            nopos.select("point 0 0 0 5")
+        with pytest.raises(ValueError):
+            top.select("name CA point 0 0 0 5")   # missing 'and' is loud
