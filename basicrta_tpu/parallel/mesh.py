@@ -20,7 +20,6 @@ Both compose in one ``shard_map`` over a ('lanes', 'events') mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
