@@ -35,9 +35,13 @@ def fixedwidth_bins(delta: float, smin: np.ndarray, smax: np.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("nbins",))
 def _accumulate(positions: jnp.ndarray, weights: jnp.ndarray,
-                gmin: jnp.ndarray, delta: jnp.ndarray,
+                mask: jnp.ndarray, gmin: jnp.ndarray, delta: jnp.ndarray,
                 nbins: Tuple[int, int, int]) -> jnp.ndarray:
-    """(F, A, 3) positions x (F, K) frame weights -> (K, nx, ny, nz)."""
+    """(F, A, 3) positions x (F, K) frame weights -> (K, nx, ny, nz).
+
+    ``mask`` (F, A) zeroes padded atom slots — rows with fewer live atoms
+    than A (ragged sel2 residues) pad with any finite position and
+    mask 0, contributing nothing to the grid or the spill bin."""
     F, A, _ = positions.shape
     K = weights.shape[1]
     nx, ny, nz = nbins
@@ -51,9 +55,10 @@ def _accumulate(positions: jnp.ndarray, weights: jnp.ndarray,
     # per-component offset: component k scatters into [k*(_nvox+1), ...)
     offs = jnp.arange(K, dtype=jnp.int32) * (nvox + 1)
     ids = flat[None, :, :] + offs[:, None, None]          # (K, F, A)
-    w = jnp.broadcast_to(weights.T[:, :, None], (K, F, A))
+    w = weights.T[:, :, None] * mask[None, :, :]          # (K, F, A)
     out = jnp.zeros((K * (nvox + 1),), jnp.float32)
-    out = out.at[ids.reshape(-1)].add(w.reshape(-1))
+    out = out.at[ids.reshape(-1)].add(
+        jnp.broadcast_to(w, (K, F, A)).reshape(-1))
     out = out.reshape(K, nvox + 1)
     # the spill bin carries the total weight of out-of-grid atoms, so the
     # caller can warn about silent density loss (reference
@@ -61,15 +66,70 @@ def _accumulate(positions: jnp.ndarray, weights: jnp.ndarray,
     return out[:, :nvox].reshape(K, nx, ny, nz), out[:, nvox]
 
 
+class GridAccumulator:
+    """Incremental weighted 3-D histogram over a fixed grid.
+
+    Lets callers stream (positions, weights[, mask]) chunks without ever
+    materializing the full position table (the frame table can be an
+    on-disk memmap of GB scale). Grid bounds must be known up front —
+    pass ``gridcenter`` (the kinetics use) or explicit bounds."""
+
+    def __init__(self, K: int, gridcenter, xdim=40.0, ydim=40.0,
+                 zdim=40.0, delta: float = 1.0):
+        center = np.asarray(gridcenter, np.float64)
+        halfdim = np.asarray([xdim, ydim, zdim], np.float64) / 2
+        nbins, gmin, gmax = fixedwidth_bins(delta, center - halfdim,
+                                            center + halfdim)
+        self.edges = [np.linspace(gmin[d], gmax[d], nbins[d] + 1)
+                      for d in range(3)]
+        self._nbins = tuple(int(n) for n in nbins)
+        self._gmin = jnp.asarray(gmin, jnp.float32)
+        self._delta = jnp.asarray((gmax - gmin) / nbins, jnp.float32)
+        self.grids = np.zeros((K,) + self._nbins, np.float32)
+        self._spilled = np.zeros((K,), np.float64)
+        self.n_rows = 0
+
+    def add(self, positions, weights, mask=None, frame_chunk: int = 256):
+        positions = np.asarray(positions, np.float32)
+        weights = np.asarray(weights, np.float32)
+        if weights.ndim == 1:
+            weights = weights[:, None]
+        if mask is None:
+            mask = np.ones(positions.shape[:2], np.float32)
+        for lo in range(0, len(positions), frame_chunk):
+            g, s = _accumulate(
+                jnp.asarray(positions[lo:lo + frame_chunk]),
+                jnp.asarray(weights[lo:lo + frame_chunk]),
+                jnp.asarray(mask[lo:lo + frame_chunk], jnp.float32),
+                self._gmin, self._delta, self._nbins)
+            self.grids += np.asarray(g)
+            self._spilled += np.asarray(s, np.float64)
+        self.n_rows += len(positions)
+
+    def finish(self):
+        """Warn about out-of-grid loss; return (grids, edges)."""
+        total = (self.grids.reshape(len(self.grids), -1)
+                 .sum(axis=-1, dtype=np.float64) + self._spilled)
+        lost = self._spilled.sum()
+        if lost > 0 and total.sum() > 0:
+            warnings.warn(
+                f"{lost / total.sum():.1%} of weighted density falls "
+                "outside the grid and was dropped; enlarge the grid "
+                "dimensions or recenter it (reference wdensity.py:206-218 "
+                "contract)", stacklevel=2)
+        return self.grids, self.edges
+
+
 def weighted_histogram_3d(positions: np.ndarray, weights: np.ndarray,
                           gridcenter=None, xdim=40.0, ydim=40.0, zdim=40.0,
                           delta: float = 1.0, padding: float = 2.0,
-                          frame_chunk: int = 256):
+                          frame_chunk: int = 256, mask=None):
     """Per-component weighted position histograms.
 
     Args:
         positions: (F, A, 3) atom coordinates [Angstrom].
         weights: (F, K) per-frame component weights.
+        mask: optional (F, A) atom-slot mask (0 = padded slot).
     Returns:
         (grids (K, nx, ny, nz), edges [3 arrays]).
     """
@@ -77,37 +137,15 @@ def weighted_histogram_3d(positions: np.ndarray, weights: np.ndarray,
     weights = np.asarray(weights, np.float32)
     if weights.ndim == 1:
         weights = weights[:, None]
-    if gridcenter is not None:
-        center = np.asarray(gridcenter, np.float64)
-        halfdim = np.asarray([xdim, ydim, zdim], np.float64) / 2
-        smin, smax = center - halfdim, center + halfdim
-    else:
+    if gridcenter is None:
         smin = positions.reshape(-1, 3).min(axis=0) - padding
         smax = positions.reshape(-1, 3).max(axis=0) + padding
-    nbins, gmin, gmax = fixedwidth_bins(delta, smin, smax)
-    edges = [np.linspace(gmin[d], gmax[d], nbins[d] + 1) for d in range(3)]
-
-    K = weights.shape[1]
-    grids = np.zeros((K,) + tuple(nbins), np.float32)
-    spilled = np.zeros((K,), np.float64)
-    dvec = jnp.asarray((gmax - gmin) / nbins, jnp.float32)
-    gmin_j = jnp.asarray(gmin, jnp.float32)
-    for lo in range(0, len(positions), frame_chunk):
-        g, s = _accumulate(
-            jnp.asarray(positions[lo:lo + frame_chunk]),
-            jnp.asarray(weights[lo:lo + frame_chunk]),
-            gmin_j, dvec, tuple(int(n) for n in nbins))
-        grids += np.asarray(g)
-        spilled += np.asarray(s, np.float64)
-    total = grids.reshape(K, -1).sum(axis=-1, dtype=np.float64) + spilled
-    lost = spilled.sum()
-    if lost > 0 and total.sum() > 0:
-        warnings.warn(
-            f"{lost / total.sum():.1%} of weighted density falls outside "
-            "the grid and was dropped; enlarge the grid dimensions or "
-            "recenter it (reference wdensity.py:206-218 contract)",
-            stacklevel=2)
-    return grids, edges
+        gridcenter = 0.5 * (smin + smax)
+        xdim, ydim, zdim = smax - smin
+    acc = GridAccumulator(weights.shape[1], gridcenter, xdim, ydim, zdim,
+                          delta)
+    acc.add(positions, weights, mask, frame_chunk)
+    return acc.finish()
 
 
 # number densities expressed in Angstrom^-3 per 1 unit of each density
@@ -199,12 +237,24 @@ class WDensity:
 
     def __init__(self, positions: np.ndarray, weights: np.ndarray,
                  gridcenter=None, xdim=40.0, ydim=40.0, zdim=40.0,
-                 delta: float = 1.0, padding: float = 2.0):
+                 delta: float = 1.0, padding: float = 2.0, mask=None):
         grids, edges = weighted_histogram_3d(
-            positions, weights, gridcenter, xdim, ydim, zdim, delta, padding)
+            positions, weights, gridcenter, xdim, ydim, zdim, delta,
+            padding, mask=mask)
         n_frames = len(positions)
         grids = grids / float(n_frames)      # reference wdensity.py:268
         self.densities = [Density(g, edges).make_density() for g in grids]
+
+    @classmethod
+    def from_accumulator(cls, acc: "GridAccumulator") -> "WDensity":
+        """Finish a streamed :class:`GridAccumulator` into densities
+        without ever holding the full position table (memmapped frame
+        tables; reference kinetics.py:46-77 scale)."""
+        grids, edges = acc.finish()
+        grids = grids / float(max(acc.n_rows, 1))
+        self = cls.__new__(cls)
+        self.densities = [Density(g, edges).make_density() for g in grids]
+        return self
 
     @property
     def density(self) -> Density:

@@ -10,6 +10,7 @@ weighted 3D densities.
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import numpy as np
@@ -18,9 +19,18 @@ from basicrta_tpu.contacts.records import ContactEvents
 from basicrta_tpu.io.native import XTCWriter
 from basicrta_tpu.io.topology import write_gro
 from basicrta_tpu.io.universe import Universe
-from basicrta_tpu.kinetics.density import WDensity
+from basicrta_tpu.kinetics.density import GridAccumulator, WDensity
 from basicrta_tpu.ops.surv import start_stop_frames
 from basicrta_tpu.sampler.gibbs import Gibbs
+
+
+def _resid_of(residue) -> int:
+    """Residue id from a 'W313'-style label, a plain '313' string, or an
+    int (Gibbs permits all three through save/load round-trips)."""
+    m = re.search(r"-?\d+", str(residue))
+    if m is None:
+        raise ValueError(f"cannot parse a residue id from {residue!r}")
+    return int(m.group())
 
 
 class MapKinetics:
@@ -71,13 +81,20 @@ class MapKinetics:
         """
         if self._frame_table is not None:
             return self._frame_table
-        resid = int(str(self.gibbs.residue)[1:])
+        resid = _resid_of(self.gibbs.residue)
         sel = self.events.sel1_resids == resid
         starts = self.events.start_times[sel]
         durs = self.events.durations[sel]
         lips = self.events.sel2_resids[sel]
         ts = self.meta.ts or self.gibbs.ts
         pind = self.gibbs.pindicator_per_event()   # aligned with durations
+        if len(pind) != len(durs):
+            raise ValueError(
+                f"the Gibbs run has {len(pind)} events for residue "
+                f"{self.gibbs.residue} but this contacts table has "
+                f"{len(durs)} — the table was built at a different "
+                "cutoff/selection than the one sampled; pass the "
+                "contacts file the Gibbs run came from")
         # times_for_residue == durations[sel], same order
         first, last = start_stop_frames(starts, durs, ts)
         nper = (last - first + 1).astype(np.int64)
@@ -182,6 +199,17 @@ class MapKinetics:
     def _write_reduced(self, u: Universe, idx1, idx2, frames, lipids, out,
                        chunk: int = 256):
         resids2 = u.topology.resids[idx2]
+        # XTC (and the reduced.gro built from the first sel2 residue)
+        # needs a fixed atom count per frame; heterogeneous sel2 types
+        # cannot share one reduced trajectory
+        counts = {int(lip): int((resids2 == lip).sum())
+                  for lip in np.unique(lipids)}
+        if len(set(counts.values())) > 1:
+            raise ValueError(
+                "contacting sel2 residues have differing atom counts "
+                f"({sorted(set(counts.values()))}); a reduced trajectory "
+                "needs one residue type — narrow sel2 (e.g. 'resname "
+                "POPC') and rerun contacts")
         ts = self.meta.ts or self.gibbs.ts
         writer = XTCWriter(out)
         box = (np.tile(u.topology.box, (1, 1))
@@ -195,8 +223,10 @@ class MapKinetics:
                 lip_idx = idx2[resids2 == lip]
                 sel_pos.append(np.concatenate(
                     [pos[i, idx1], pos[i, lip_idx]], axis=0))
+            # monotonic step numbers across chunks (tools key on them)
             writer.write(np.stack(sel_pos), fr * ts,
-                         np.repeat(box, len(fr), axis=0))
+                         np.repeat(box, len(fr), axis=0),
+                         steps=np.arange(lo, lo + len(fr)))
 
     # ------------------------------------------------------------------ #
     def weighted_densities(self, step: int = 1, top_n: Optional[int] = None,
@@ -213,26 +243,40 @@ class MapKinetics:
         idx1 = u.select_atoms(self.meta.sel1 or "protein")
         idx2 = u.select_atoms(self.meta.sel2 or "not protein")
         resids2 = u.topology.resids[idx2]
-        resid = int(str(self.gibbs.residue)[1:])
+        resid = _resid_of(self.gibbs.residue)
         table = self.frame_table()
         ncomp = table.shape[1] - 2
-        wi = table[:, 2:].copy()
-        if filterP > 0:
-            wi[wi < filterP] = 0.0
 
         # grid centered on the residue (reference kinetics.py:165-168)
         res_idx = u.topology.select(f"resid {resid}")
         res_idx = np.intersect1d(res_idx, idx1)
         center = u.frame_positions([0])[0][res_idx].mean(axis=0)
 
-        frames = table[:, 0].astype(int)
-        lipids = table[:, 1].astype(int)
+        def stream(rows, acc, weights=None):
+            """Accumulate table rows chunkwise: the table can be an
+            on-disk memmap of GB scale, so neither the positions nor the
+            probability columns ever materialize whole (weights=None
+            reads all P columns per chunk; else a per-row vector)."""
+            for lo in range(0, len(rows), frame_chunk):
+                rr = rows[lo:lo + frame_chunk]
+                w = np.asarray(table[rr, 2:] if weights is None
+                               else weights[lo:lo + frame_chunk],
+                               np.float32)
+                if filterP > 0:
+                    w = np.where(w < filterP, 0.0, w)
+                fr = table[rr, 0].astype(int)
+                lp = table[rr, 1].astype(int)
+                pos, mask = self._contact_positions(u, idx2, resids2,
+                                                    fr, lp)
+                acc.add(pos, w, mask, frame_chunk)
+
+        os.makedirs(self.savedir, exist_ok=True)
         outnames = []
         if top_n is None:
-            sel = slice(None, None, step)
-            pos = self._contact_positions(u, idx2, resids2, frames[sel],
-                                          lipids[sel])
-            d = WDensity(pos, wi[sel], gridcenter=center)
+            rows = np.arange(0, len(table), step)
+            acc = GridAccumulator(ncomp, center)
+            stream(rows, acc)
+            d = WDensity.from_accumulator(acc)
             for k, den in enumerate(d.densities):
                 suffix = f"_step{step}" if step > 1 else ""
                 out = os.path.join(self.savedir,
@@ -240,28 +284,37 @@ class MapKinetics:
                 outnames.append(den.export(out))
         else:
             for k in range(ncomp):
-                order = np.argsort(wi[:, k])[::-1]
-                keep = order[wi[order, k] > 0][:top_n:step]
+                wk = np.asarray(table[:, 2 + k])
+                if filterP > 0:
+                    wk = np.where(wk < filterP, 0.0, wk)
+                order = np.argsort(wk)[::-1]
+                keep = order[wk[order] > 0][:top_n:step]
                 if len(keep) == 0:
                     continue
-                pos = self._contact_positions(u, idx2, resids2,
-                                              frames[keep], lipids[keep])
-                d = WDensity(pos, wi[keep, k], gridcenter=center)
+                acc = GridAccumulator(1, center)
+                stream(keep, acc, wk[keep])
+                d = WDensity.from_accumulator(acc)
                 suffix = f"_step{step}" if step > 1 else ""
                 out = os.path.join(self.savedir,
                                    f"wcomp{k}_top{top_n}{suffix}.dx")
                 outnames.append(d.density.export(out))
         return outnames
 
-    def _contact_positions(self, u, idx2, resids2, frames, lipids,
-                           chunk: int = 512):
-        """Positions of the contacting sel2 residue at each table row."""
-        out = []
-        for lo in range(0, len(frames), chunk):
-            pos = u.frame_positions(frames[lo:lo + chunk])
-            for i, lip in enumerate(lipids[lo:lo + chunk]):
-                out.append(pos[i, idx2[resids2 == lip]])
-        return np.stack(out)
+    def _contact_positions(self, u, idx2, resids2, frames, lipids):
+        """Positions of the contacting sel2 residue at each table row,
+        padded to the widest residue with a (rows, A) live-atom mask
+        (sel2 may mix residue types with differing atom counts)."""
+        lip_idx = {int(lip): idx2[resids2 == lip]
+                   for lip in np.unique(lipids)}
+        amax = max(len(v) for v in lip_idx.values())
+        pos = u.frame_positions(frames)
+        out = np.zeros((len(frames), amax, 3), np.float32)
+        mask = np.zeros((len(frames), amax), np.float32)
+        for i, lip in enumerate(lipids):
+            li = lip_idx[int(lip)]
+            out[i, :len(li)] = pos[i, li]
+            mask[i, :len(li)] = 1.0
+        return out, mask
 
 
 def _subset_topology(top, indices):

@@ -47,10 +47,7 @@ def _pad_size(n: int, floor: int = 128, step: int = 4) -> int:
     protein's residues land in a handful of compile signatures instead of
     one per size class; EM/vote cost is linear in rows, so the bounded
     padding waste is much cheaper than the avoided XLA compiles."""
-    b = floor
-    while b < n:
-        b *= step
-    return b
+    return _next_pow2(n, floor=floor, step=step)
 
 
 @functools.partial(jax.jit, static_argnames=("lmode", "n_init", "max_iter"))
@@ -137,12 +134,7 @@ def _quantize_tier(n: int, cap: int) -> int:
     """Round a tier boundary up to a power of two (floor 16) so compile
     keys coalesce across buckets; rounding UP only moves columns into a
     heavier (always-correct) sampler tier."""
-    if n <= 0:
-        return 0
-    b = 16
-    while b < n:
-        b *= 2
-    return min(b, cap)
+    return min(_next_pow2(n, floor=16), cap) if n > 0 else 0
 
 
 def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 from glob import glob
 from typing import Dict, List, Optional, Union
 
@@ -76,7 +77,6 @@ def residue_labels_for(events: ContactEvents,
     back to 'X{resid}' when no topology is available
     (reference gibbs.py:62-67 uses pickled AtomGroups instead)."""
     top_path = events.meta.top
-    sel1 = events.meta.sel1 or "protein"
     if top_path and os.path.exists(top_path):
         try:
             from basicrta_tpu.io.topology import convert_aa_code
@@ -91,9 +91,16 @@ def residue_labels_for(events: ContactEvents,
                 except ValueError:
                     out.append(f"X{resid}")
             return out
-        except Exception:
-            pass
-        _ = sel1
+        except Exception as e:  # noqa: BLE001
+            # falling back to X-prefixed labels changes the result
+            # directory names (basicrta-{cutoff}/X313 vs W313): say so
+            # loudly instead of silently splitting the results tree
+            # between reruns
+            warnings.warn(
+                f"could not read {top_path} for residue labels "
+                f"({type(e).__name__}: {e}); falling back to X-prefixed "
+                "labels — result directories will be named X<resid>",
+                stacklevel=2)
     return [f"X{r}" for r in resids]
 
 
@@ -130,6 +137,12 @@ class ParallelGibbs:
         else:
             self.events = contacts
             self.cutoff = self.events.meta.cutoff
+            if self.cutoff is None:
+                raise ValueError(
+                    "the ContactEvents instance carries no cutoff "
+                    "metadata (meta.cutoff is None) — results would be "
+                    "written to 'basicrta-None/'; set events.meta.cutoff "
+                    "or load from a contacts_{cutoff} file")
         self.cfg = cfg
         self.root = root
 

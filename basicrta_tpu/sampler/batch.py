@@ -30,10 +30,12 @@ from basicrta_tpu.sampler.kernels import (MixtureState, collapsed_sweep,
                                           init_mixture_params)
 
 
-def _next_pow2(n: int, floor: int = 128) -> int:
+def _next_pow2(n: int, floor: int = 128, step: int = 2) -> int:
+    """Smallest floor * step^k >= n (the geometric ladder every padded
+    compile signature in the package quantizes to)."""
     b = floor
     while b < n:
-        b *= 2
+        b *= step
     return b
 
 

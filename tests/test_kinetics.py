@@ -339,3 +339,140 @@ class TestMapKinetics:
         for o in outs:
             grid, _, _ = read_dx(o)
             assert grid.sum() > 0
+
+
+class TestKineticsRegressions:
+    """Regressions from the kinetics/postprocess/protein code review."""
+
+    @pytest.fixture(scope="class")
+    def ragged_system(self, tmp_path_factory):
+        """sel2 mixes a 2-atom CHOL with a 1-atom ION (differing atom
+        counts), both contacting residue 5."""
+        from basicrta_tpu.config import GibbsConfig, ContactConfig
+        from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
+        from basicrta_tpu.contacts.records import ContactMeta
+        from basicrta_tpu.io.topology import Topology, write_gro
+        from basicrta_tpu.io.native import XTCWriter
+        from basicrta_tpu.io.universe import Universe
+        from basicrta_tpu.sampler.gibbs import Gibbs
+        from basicrta_tpu.postprocess.tau import AllNoiseError
+
+        root = str(tmp_path_factory.mktemp("ragged"))
+        names = np.array(["CA", "CB", "C1", "C2", "NA"])
+        resids = np.array([5, 5, 100, 100, 200], np.int32)
+        resnames = np.array(["TRP", "TRP", "CHOL", "CHOL", "ION"])
+        top = Topology(names, resids, resnames,
+                       np.zeros((5, 3), np.float32),
+                       np.array([60.0] * 3, np.float32))
+        F, ts = 400, 0.1
+        pos = np.zeros((F, 5, 3), np.float32)
+        pos[:, 0:2] = [10.0, 10.0, 10.0]
+        pos[:, 2:4] = [40.0, 40.0, 40.0]
+        pos[:, 4] = [50.0, 50.0, 50.0]
+        # CHOL 100 and ION 200 bind in several windows of mixed length
+        rng = np.random.default_rng(42)
+        f = 0
+        state = False
+        while f < F - 30:
+            length = int(rng.integers(1, 25))
+            if state:
+                if rng.random() < 0.5:
+                    pos[f:f + length, 2:4] = [13.0, 10.0, 10.0]
+                else:
+                    pos[f:f + length, 4] = [12.0, 10.0, 10.0]
+            state = not state
+            f += length
+        gro = os.path.join(root, "top.gro")
+        write_gro(gro, top)
+        xtc = os.path.join(root, "traj.xtc")
+        XTCWriter(xtc).write(pos, np.arange(F) * ts,
+                             np.tile([60.0] * 3, (F, 1)))
+        u = Universe(gro, xtc)
+        i1 = u.select_atoms("protein")
+        i2 = u.select_atoms("resname CHOL ION")
+        meta = ContactMeta(top=gro, traj=xtc, sel1="protein",
+                           sel2="resname CHOL ION", ts=ts)
+        rec = MapContacts(i1, u.topology.resids[i1], i2,
+                          u.topology.resids[i2],
+                          cfg=ContactConfig(map_cutoff=10.0),
+                          meta=meta).run(u.iter_batches(64))
+        ev = ProcessContacts(7.0).run(rec)
+        cfg = GibbsConfig(ncomp=3, niter=600, g=10, burnin=200,
+                          gmm_n_init=4, seed=0)
+        g = Gibbs(ev.times_for_residue(5), residue="W5", cutoff=7.0,
+                  cfg=cfg, root=root)
+        g.run(save=False)
+        g.process_gibbs(save=False)
+        try:
+            g.estimate_tau()
+        except AllNoiseError:
+            g.tau = (0.0, 0.0, 0.0)
+        return root, g, ev
+
+    def test_ragged_densities_mask(self, ragged_system):
+        """Mixed sel2 atom counts flow through the padded+masked density
+        path; total grid mass equals sum(weight x live atoms)."""
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev = ragged_system
+        mk = MapKinetics(g, ev, root=root)
+        table = mk.frame_table()
+        outs = mk.weighted_densities()
+        assert len(outs) > 0
+        # recompute expected mass: each row contributes w * n_atoms(lip)
+        n_atoms = {100: 2, 200: 1}
+        atoms = np.asarray([n_atoms[int(l)] for l in table[:, 1]])
+        expected = (table[:, 2:] * atoms[:, None]).sum()
+        from basicrta_tpu.io.dx import read_dx
+        total = 0.0
+        for p in outs:
+            grid, origin, delta = read_dx(p)
+            # densities are counts/voxel-volume/n_frames
+            total += grid.sum() * np.prod(delta) * len(table)
+        assert total == pytest.approx(expected, rel=1e-4)
+
+    def test_reduced_traj_heterogeneous_sel2_is_loud(self, ragged_system):
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev = ragged_system
+        mk = MapKinetics(g, ev, root=root)
+        with pytest.raises(ValueError, match="differing atom counts"):
+            mk.create_traj()
+
+    def test_event_table_mismatch_is_loud(self, ragged_system):
+        import dataclasses
+        from basicrta_tpu.contacts.records import ContactEvents
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev = ragged_system
+        trunc = ContactEvents(ev.sel1_resids[:-1], ev.sel2_resids[:-1],
+                              ev.start_times[:-1], ev.durations[:-1],
+                              ev.meta)
+        mk = MapKinetics(g, trunc, root=root)
+        with pytest.raises(ValueError, match="different "):
+            mk.frame_table()
+
+    def test_resid_parse(self):
+        from basicrta_tpu.kinetics.mapper import _resid_of
+        assert _resid_of("W313") == 313
+        assert _resid_of("313") == 313
+        assert _resid_of(313) == 313
+        assert _resid_of("HSD42") == 42
+        with pytest.raises(ValueError, match="residue id"):
+            _resid_of("XYZ")
+
+    def test_reduced_xtc_steps_monotonic(self, ragged_system):
+        """Chunked reduced-trajectory writes must carry monotonic step
+        numbers (previously restarted at 0 every chunk)."""
+        from basicrta_tpu.io.native import XTCReader
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev = ragged_system
+        mk = MapKinetics(g, ev, root=root)
+        u = mk._open_universe()
+        i1 = u.select_atoms("protein")
+        i2 = u.select_atoms("resname CHOL ION")
+        table = mk.frame_table()
+        rows = np.flatnonzero(table[:, 1] == 100)[:20]  # one residue type
+        assert len(rows) >= 15
+        out = os.path.join(root, "steps_check.xtc")
+        mk._write_reduced(u, i1, i2, table[rows, 0].astype(int),
+                          table[rows, 1].astype(int), out, chunk=7)
+        _, _, _, steps = XTCReader(out).read()
+        assert np.array_equal(steps, np.arange(len(rows)))
