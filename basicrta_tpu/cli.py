@@ -31,8 +31,12 @@ def _cmd_contacts(args):
     idx2 = u.select_atoms(args.sel2)
     cfg = ContactConfig(map_cutoff=args.map_cutoff, cutoff=args.cutoff,
                         frames_per_batch=args.batch)
+    # ts=None unless --dt was given: MapContacts then infers the frame
+    # interval from the FULL frame-time vector with a regularity check
+    # (mapper.py); seeding it from u.timestep_ns() (frames 0-1 only)
+    # would disable that validation for irregular strides
     meta = ContactMeta(top=args.top, traj=traj, sel1=args.sel1,
-                       sel2=args.sel2, ts=u.timestep_ns())
+                       sel2=args.sel2, ts=args.dt)
     mapper = MapContacts(idx1, u.topology.resids[idx1], idx2,
                          u.topology.resids[idx2], cfg=cfg, meta=meta,
                          n_devices=args.ndevices)

@@ -24,9 +24,9 @@ import numpy as np
 _PAD = 1.0e6
 
 
-def group_by_residue(positions: np.ndarray,
-                     resids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Group an (A, 3) atom array into (R, P, 3) padded residue blocks.
+def group_by_residue(resids: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Group atoms into (R, P) padded residue index blocks.
 
     Returns the per-residue atom-index matrix (R, P) with -1 padding and the
     sorted unique resids (R,). Use the index matrix to gather coordinates per

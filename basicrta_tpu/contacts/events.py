@@ -24,8 +24,9 @@ def merge_events(records: ContactRecords, cutoff: float) -> ContactEvents:
 
     A run breaks when the residue pair changes or the frame gap exceeds one
     timestep (the reference's ``diff > ts`` test on rounded times,
-    contacts.py:215-219; we compare integer frame indices, which is exact on
-    the timestep grid).
+    contacts.py:215-219; we compare the records' GLOBAL frame indices,
+    which is exact on the timestep grid and immune to time axes that
+    repeat across chained trajectory segments).
     """
     rec = records.filter_cutoff(cutoff)
     ts = rec.meta.ts
@@ -37,7 +38,7 @@ def merge_events(records: ContactRecords, cutoff: float) -> ContactEvents:
             np.zeros(0, np.float64), np.zeros(0, np.float64), rec.meta)
 
     dec = decimals_of(ts)
-    tidx = np.rint(np.round(rec.times, dec) / ts).astype(np.int64)
+    tidx = np.asarray(rec.frames, np.int64)
     order = np.lexsort((tidx, rec.sel2_resids, rec.sel1_resids))
     s1 = rec.sel1_resids[order]
     s2 = rec.sel2_resids[order]

@@ -132,9 +132,9 @@ class MapContacts:
         self.cfg = cfg
         self.meta = meta or ContactMeta()
         self.group_idx1, self.uniq_resids1 = group_by_residue(
-            np.zeros((len(indices1), 3)), np.asarray(resids1))
+            np.asarray(resids1))
         self.group_idx2, self.uniq_resids2 = group_by_residue(
-            np.zeros((len(indices2), 3)), np.asarray(resids2))
+            np.asarray(resids2))
         # frame-axis data parallelism over chips: the TPU equivalent of the
         # reference's trajectory-slice pool fan-out (contacts.py:60-75;
         # SURVEY.md section 2 parallelism item 1). Each device computes the

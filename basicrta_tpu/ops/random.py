@@ -46,27 +46,25 @@ def _accept_first(body, init, rounds: int, unroll: bool):
     return jax.lax.fori_loop(0, rounds, body, init)
 
 
-def _binomial_inversion(key, n, p, dtype):
-    """Binomial via CDF inversion with a *parallel* fixed-length PMF table.
+def _inversion_counts(u, n, p, terms: int, dtype):
+    """CDF-inversion count from a *parallel* ``terms``-row PMF table.
 
-    Exact for counts within the first ``_INV_TERMS`` PMF terms; used only
-    when n*p <= 10, where the mass beyond 64 is < 1e-12. The PMF recurrence
-    ``pmf_{k+1} = pmf_k (n-k)/(k+1) p/q`` is evaluated as a log-space cumsum
-    over a (T, ...) table instead of a sequential scan — on TPU the
-    sequential form costs ~T kernel latencies per call; the parallel form is
-    two cumulative ops.
+    The PMF recurrence ``pmf_{k+1} = pmf_k (n-k)/(k+1) p/q`` is evaluated
+    as a log-space cumsum over a (terms, ...) table instead of a
+    sequential scan — on TPU the sequential form costs ~terms kernel
+    latencies per call; the parallel form is two cumulative ops. Shared
+    by :func:`_binomial_inversion` and :func:`binomial_small` so the
+    precision-critical precise-log usage lives in ONE place.
     """
     tiny = jnp.finfo(dtype).tiny
     q = jnp.maximum(1.0 - p, tiny)
-    u = jax.random.uniform(key, n.shape, dtype)
     # precise log/exp: XLA:TPU's native lowerings approximate, and the
     # n-fold amplification in n*log(q) scales the whole CDF — measured
     # chi2 p ~ 1e-131 for Binomial(100, 0.02) draws (ops/precise.py)
     logpmf0 = n * log_f32(q)
     log_ratio = log_f32(jnp.maximum(p, tiny)) - log_f32(q)
-
-    j = jnp.arange(_INV_TERMS - 1, dtype=dtype).reshape(
-        (_INV_TERMS - 1,) + (1,) * n.ndim)
+    j = jnp.arange(terms - 1, dtype=dtype).reshape(
+        (terms - 1,) + (1,) * n.ndim)
     # log step j -> j+1; -inf once k exceeds n (pmf identically 0)
     steps = jnp.where(n - j > 0,
                       log_f32(jnp.maximum(n - j, tiny)) - log_f32(j + 1.0)
@@ -74,9 +72,19 @@ def _binomial_inversion(key, n, p, dtype):
                       -jnp.inf)
     logpmf = jnp.concatenate(
         [jnp.zeros((1,) + n.shape, dtype), jnp.cumsum(steps, axis=0)],
-        axis=0) + logpmf0                                   # (T, ...)
+        axis=0) + logpmf0                                   # (terms, ...)
     cdf = jnp.cumsum(exp_f32(logpmf), axis=0)
-    m = jnp.sum((u[None] > cdf).astype(dtype), axis=0)
+    return jnp.sum((u[None] > cdf).astype(dtype), axis=0)
+
+
+def _binomial_inversion(key, n, p, dtype):
+    """Binomial via CDF inversion (:func:`_inversion_counts`).
+
+    Exact for counts within the first ``_INV_TERMS`` PMF terms; used only
+    when n*p <= 10, where the mass beyond 64 is < 1e-12.
+    """
+    u = jax.random.uniform(key, n.shape, dtype)
+    m = _inversion_counts(u, n, p, _INV_TERMS, dtype)
     return jnp.minimum(m, n)
 
 
@@ -160,7 +168,9 @@ def binomial(key: jax.Array, n: jax.Array, p: jax.Array,
     m = jnp.where(flip, n - m, m)
     m = jnp.where((p <= 0.0) | (n <= 0.0), 0.0, m)
     m = jnp.where(p >= 1.0, n, m)
-    return jnp.clip(m, 0.0, n)
+    # upper bound through maximum(n, 0): clip with max < min would
+    # return n itself, handing negative-n callers a negative "count"
+    return jnp.clip(m, 0.0, jnp.maximum(n, 0.0))
 
 
 def gamma(key: jax.Array, a: jax.Array, dtype=jnp.float32,
@@ -221,27 +231,13 @@ def binomial_small(key: jax.Array, n: jax.Array, p: jax.Array, nmax: int,
     no rejection rounds, far cheaper than the general sampler when the bound
     is small (the Gibbs tail tier uses nmax = kernels.SMALL_NMAX).
     """
-    tiny = jnp.finfo(dtype).tiny
     n = jnp.asarray(n, dtype)
     p = jnp.clip(jnp.asarray(p, dtype), 0.0, 1.0)
     n, p = jnp.broadcast_arrays(n, p)
-    q = jnp.maximum(1.0 - p, tiny)
     u = jax.random.uniform(key, n.shape, dtype)
-    # precise log/exp: see _binomial_inversion (ops/precise.py)
-    logpmf0 = n * log_f32(q)
-    log_ratio = log_f32(jnp.maximum(p, tiny)) - log_f32(q)
-    j = jnp.arange(nmax, dtype=dtype).reshape((nmax,) + (1,) * n.ndim)
-    steps = jnp.where(n - j > 0,
-                      log_f32(jnp.maximum(n - j, tiny)) - log_f32(j + 1.0)
-                      + log_ratio,
-                      -jnp.inf)
-    logpmf = jnp.concatenate(
-        [jnp.zeros((1,) + n.shape, dtype), jnp.cumsum(steps, axis=0)],
-        axis=0) + logpmf0
-    cdf = jnp.cumsum(exp_f32(logpmf), axis=0)
-    m = jnp.sum((u[None] > cdf).astype(dtype), axis=0)
+    m = _inversion_counts(u, n, p, nmax + 1, dtype)
     m = jnp.where(p >= 1.0, n, m)
-    return jnp.clip(m, 0.0, n)
+    return jnp.clip(m, 0.0, jnp.maximum(n, 0.0))
 
 
 def _multinomial_chain(key, n, probs, binom, dtype, unroll=False):

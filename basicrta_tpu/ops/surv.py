@@ -25,7 +25,9 @@ def infer_timestep(times: np.ndarray) -> float:
     diffs = np.diff(ts_sorted)
     nonzero = diffs[diffs != 0]
     if nonzero.size:
-        return float(nonzero[0])
+        # diffs of a sorted array are not themselves sorted: take the
+        # minimum, not the first (the first gap can be any multiple)
+        return float(nonzero.min())
     return float(ts_sorted.min())
 
 
@@ -84,16 +86,19 @@ def ci_bars(tau: np.ndarray) -> np.ndarray:
 
 
 def decimals_of(ts: float) -> int:
-    """Number of significant decimals in the timestep.
+    """Rounding precision that preserves multiples of the timestep.
 
-    For fractional timesteps this is the count of decimal digits (0.1 -> 1);
-    for integral ones it is ``-(len(str(ts)) - 1)`` so that rounding to it
-    keeps the leading digit (reference util.py:508-513).
+    The count of decimal digits for fractional timesteps (0.1 -> 1,
+    0.25 -> 2) and minus the count of trailing zeros for integral ones
+    (1.0 -> 0, 10.0 -> -1). The reference's get_dec (util.py:508-513)
+    intends the same but mis-handles integral FLOAT timesteps
+    (str(1.0) = '1.0' makes it return -2, so np.round(times, -2)
+    collapses every time below 50 ns to zero); Decimal normalization
+    gives the exact exponent for every representation, including
+    scientific notation.
     """
-    frac = str(float(ts)).split(".")[1].rstrip("0")
-    if len(frac) == 0:
-        return -len(str(ts)) + 1
-    return len(frac)
+    from decimal import Decimal
+    return -Decimal(str(float(ts))).normalize().as_tuple().exponent
 
 
 def start_stop_frames(start_times: np.ndarray, durations: np.ndarray,

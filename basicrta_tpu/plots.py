@@ -75,10 +75,7 @@ def plot_tau_stack(tables, basename="figs/tau_clusters", scale: float = 1.0):
     ax.set_ylabel(r"$\tau$ [ns]")
     if max_c < 10:
         ax.legend(fontsize=6, ncol=2)
-    if basename:
-        os.makedirs(os.path.dirname(basename) or ".", exist_ok=True)
-        fig.savefig(f"{basename}.png", bbox_inches="tight", dpi=150)
-    return fig
+    return _save(fig, basename)
 
 
 def plot_protein(residues, taus, bars, prot: Optional[str] = None,
@@ -197,13 +194,22 @@ def plot_tau_hist(gibbs, scale=1.0, basename=None):
     rp = gibbs.processed
     imaxs = rp.pindicator_values.max(axis=0)
     non_noise = np.where(imaxs >= gibbs.cfg.noise_cutoff)[0]
+    basename = basename or os.path.join(gibbs.savedir, "tau_hist")
+    if non_noise.size == 0:
+        # every cluster is noise (the AllNoiseError case, tau = 0):
+        # emit the results-unavailable figure instead of crashing on
+        # argmin of an empty set
+        fig, ax = plt.subplots(figsize=(4 * scale, 3 * scale))
+        ax.set_title("Results unavailable (all clusters are noise)")
+        ax.set_xlabel(r"$\tau$ [ns]")
+        ax.set_ylabel("count")
+        return _save(fig, basename)
     slowest = non_noise[np.argmin(gibbs.parameters[non_noise, 1])]
     taus = 1.0 / rp.data[rp.labels == slowest, 1]
     fig, ax = plt.subplots(figsize=(4 * scale, 3 * scale))
     ax.hist(taus, bins=15, alpha=0.6, color=f"C{slowest % 10}")
     ax.set_xlabel(r"$\tau$ [ns]")
     ax.set_ylabel("count")
-    basename = basename or os.path.join(gibbs.savedir, "tau_hist")
     return _save(fig, basename)
 
 

@@ -155,8 +155,8 @@ class TestDistances:
         resids1 = np.repeat(np.arange(4), [5, 4, 5, 3])
         resids2 = np.repeat(np.arange(5) + 100, [5, 5, 5, 5, 3])
 
-        idx1, u1 = group_by_residue(pos[0, :A1], resids1)
-        idx2, u2 = group_by_residue(pos[0, A1:], resids2)
+        idx1, u1 = group_by_residue(resids1)
+        idx2, u2 = group_by_residue(resids2)
         p1, m1 = gather_grouped(jnp.asarray(pos[:, :A1]), idx1)
         p2, m2 = gather_grouped(jnp.asarray(pos[:, A1:]), idx2)
         d = np.asarray(min_dist_per_residue_pair(
@@ -474,8 +474,8 @@ class TestPrefilter:
         pos, resids1, resids2, A1 = self._random_system(rng)
         F = len(pos)
         box = np.tile(np.array([25.0, 28.0, 30.0], np.float32), (F, 1))
-        idx1, u1 = group_by_residue(pos[0, :A1], resids1)
-        idx2, u2 = group_by_residue(pos[0, A1:], resids2)
+        idx1, u1 = group_by_residue(resids1)
+        idx2, u2 = group_by_residue(resids2)
         p1, m1 = gather_grouped(jnp.asarray(pos[:, :A1]), idx1)
         p2, m2 = gather_grouped(jnp.asarray(pos[:, A1:]), idx2)
         boxj = jnp.asarray(box) if use_pbc else None
@@ -511,8 +511,8 @@ class TestPrefilter:
         H[1] = [8.0, 24.0, 0]
         H[2] = [-6.0, 7.0, 26.0]
         box = np.tile(H, (F, 1, 1))
-        idx1, u1 = group_by_residue(pos[0, :A1], resids1)
-        idx2, u2 = group_by_residue(pos[0, A1:], resids2)
+        idx1, u1 = group_by_residue(resids1)
+        idx2, u2 = group_by_residue(resids2)
         p1, m1 = gather_grouped(jnp.asarray(pos[:, :A1]), idx1)
         p2, m2 = gather_grouped(jnp.asarray(pos[:, A1:]), idx2)
         cutoff = 7.0
@@ -613,3 +613,38 @@ class TestColumnStore:
         np.testing.assert_array_equal(a.frames, b.frames)
         np.testing.assert_array_equal(a.min_dist, b.min_dist)
         np.testing.assert_array_equal(a.times, b.times)
+
+
+class TestMergeRegressions:
+    """Regressions from the contacts/ops code review."""
+
+    def _records(self, frames, times, ts):
+        from basicrta_tpu.contacts.records import (ContactMeta,
+                                                   ContactRecords)
+        n = len(frames)
+        return ContactRecords(
+            np.asarray(frames, np.int64),
+            np.full(n, 10, np.int32), np.full(n, 100, np.int32),
+            np.full(n, 3.0, np.float32), np.asarray(times, np.float64),
+            ContactMeta(ts=ts))
+
+    def test_integral_timestep_events(self):
+        """ts = 1.0 ns: two separate 2-frame events must stay separate
+        (the old decimals_of(-2) rounding collapsed all times < 50 ns)."""
+        from basicrta_tpu.contacts.events import merge_events
+        rec = self._records([0, 1, 10, 11], [0.0, 1.0, 10.0, 11.0], 1.0)
+        ev = merge_events(rec, 7.0)
+        assert len(ev.durations) == 2
+        assert np.allclose(sorted(ev.durations), [2.0, 2.0])
+        assert np.allclose(sorted(ev.start_times), [0.0, 10.0])
+
+    def test_chained_restarted_clock_events(self):
+        """Runs key on GLOBAL frame indices: duplicate per-segment times
+        (restarted clocks) must not merge distant events."""
+        from basicrta_tpu.contacts.events import merge_events
+        # segment A frames 0-1 (times 0.0, 0.1), segment B global frames
+        # 10-11 whose local clock restarted (times 0.0, 0.1 again)
+        rec = self._records([0, 1, 10, 11], [0.0, 0.1, 0.0, 0.1], 0.1)
+        ev = merge_events(rec, 7.0)
+        assert len(ev.durations) == 2
+        assert np.allclose(ev.durations, [0.2, 0.2])

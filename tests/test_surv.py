@@ -55,7 +55,27 @@ def test_ci_bars():
 def test_decimals_of():
     assert decimals_of(0.1) == 1
     assert decimals_of(0.25) == 2
-    assert decimals_of(1.0) == -2  # str(1.0) -> '1.0', matches reference
+    # integral timesteps round at the unit scale (the reference's get_dec,
+    # util.py:508-513, returns -2 for float 1.0 via str(1.0) = '1.0',
+    # which collapses every time below 50 ns to zero; deliberate fix)
+    assert decimals_of(1.0) == 0
+    assert decimals_of(2.0) == 0
+    assert decimals_of(10.0) == -1
+    assert decimals_of(1e-5) == 5
+
+
+def test_infer_timestep_takes_minimum_gap():
+    # diffs of a sorted array are not sorted: the first nonzero gap here
+    # is 0.3 but the timestep-recovering smallest gap is 0.1
+    assert infer_timestep(np.array([0.3, 0.6, 0.7])) == pytest.approx(0.1)
+
+
+def test_start_stop_frames_integral_ts():
+    # ts = 1.0 previously rounded times to -2 decimals, zeroing them
+    first, last = start_stop_frames(np.array([0.0, 5.0, 123.0]),
+                                    np.array([3.0, 1.0, 7.0]), 1.0)
+    assert np.array_equal(first, [0, 5, 123])
+    assert np.array_equal(last, [2, 5, 129])
 
 
 def test_start_stop_frames():
