@@ -192,7 +192,7 @@ def _cmd_kinetics(args):
     from basicrta_tpu.sampler.gibbs import Gibbs
 
     g = Gibbs.load(args.gibbs)
-    mk = MapKinetics(g, args.contacts)
+    mk = MapKinetics(g, args.contacts, traj_format=args.traj_format)
     written = mk.create_traj(top_n=args.top_n)
     for w in written:
         print(f"wrote {w}")
@@ -293,6 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--comp-trajs", action="store_true",
                    help="also write per-component assigned-event "
                         "trajectories (comp{k}_traj.xtc)")
+    k.add_argument("--traj-format", choices=("xtc", "trr", "dcd"),
+                   default="xtc", dest="traj_format",
+                   help="format of the reduced trajectories")
     k.set_defaults(fn=_cmd_kinetics)
     return p
 

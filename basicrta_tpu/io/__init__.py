@@ -11,14 +11,16 @@ from basicrta_tpu.io.amber import (InpcrdReader, MDCRDReader, NCDFReader,
 from basicrta_tpu.io.legacy import (load_reference_contacts,
                                     load_reference_gibbs)
 from basicrta_tpu.io.native import (XTCReader, XTCWriter, TRRReader,
-                                    TRRWriter, DCDReader, DCDWriter)
+                                    TRRWriter, DCDReader, DCDWriter,
+                                    trajectory_writer)
 from basicrta_tpu.io.topology import (PDBModelReader, Topology, read_gro,
                                       read_pdb, read_psf, write_pdb)
 from basicrta_tpu.io.universe import Universe
 
 __all__ = [
     "XTCReader", "XTCWriter", "TRRReader", "TRRWriter",
-    "DCDReader", "DCDWriter", "NCDFReader", "MDCRDReader",
+    "DCDReader", "DCDWriter", "trajectory_writer",
+    "NCDFReader", "MDCRDReader",
     "PDBModelReader", "InpcrdReader",
     "Topology", "read_gro", "read_pdb", "read_psf", "read_prmtop",
     "write_pdb",

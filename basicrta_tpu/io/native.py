@@ -207,6 +207,9 @@ class XTCWriter:
         if got != F:
             raise IOError(f"XTC write failed with code {got}")
 
+    def close(self):
+        """Frames flush per write(); nothing buffered."""
+
     def __enter__(self):
         return self
 
@@ -307,6 +310,9 @@ class TRRWriter:
         if got != F:
             raise IOError(f"TRR write failed with code {got}")
 
+    def close(self):
+        """Frames flush per write(); nothing buffered."""
+
     def __enter__(self):
         return self
 
@@ -386,3 +392,95 @@ class DCDWriter:
                                 self.nsavc)
         if got != F:
             raise IOError(f"DCD write failed with code {got}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class BufferedDCDWriter:
+    """Chunk-append facade over the one-shot DCD codec.
+
+    DCD puts the frame count in its header, so chunks accumulate in RAM
+    and flush once on :meth:`close`. The format has no per-frame times;
+    the header interval (delta, AKMA units — what ``Universe`` reads
+    back, io/universe.py ``timestep_ns``) is taken from the first two
+    frame times handed to :meth:`write` (1 ns when unknowable).
+    """
+
+    _AKMA_PS = 0.04888821  # CHARMM AKMA time unit in ps
+
+    def __init__(self, path: str):
+        self.path = path
+        self._coords: list = []
+        self._boxes: list = []
+        self._t0 = None
+        self._t1 = None
+        self._closed = False
+
+    def write(self, coords: np.ndarray, times: np.ndarray,
+              box: np.ndarray, steps: Optional[np.ndarray] = None):
+        """Same signature as XTCWriter/TRRWriter (steps are meaningless in
+        DCD and ignored); coords/box in Angstrom, times in ns."""
+        coords = np.asarray(coords, np.float32)
+        box = np.asarray(box, np.float64)
+        if box.ndim == 3:                     # full matrix -> diagonal
+            box = box[:, (0, 1, 2), (0, 1, 2)]
+        self._coords.append(coords)
+        self._boxes.append(np.broadcast_to(
+            box, (len(coords), 3)).astype(np.float64))
+        times = np.asarray(times, np.float64)
+        if len(times):
+            if self._t0 is None:
+                self._t0 = float(times[0])
+            elif self._t1 is None:
+                self._t1 = float(times[0])
+            if self._t1 is None and len(times) > 1:
+                self._t1 = float(times[1])
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        if not self._coords:
+            return
+        dt_ns = (abs(self._t1 - self._t0)
+                 if self._t0 is not None and self._t1 is not None
+                 and self._t1 != self._t0 else 1.0)
+        delta = dt_ns * 1000.0 / self._AKMA_PS
+        DCDWriter(self.path, delta=delta, nsavc=1).write(
+            np.concatenate(self._coords), np.concatenate(self._boxes))
+        self._coords = []
+        self._boxes = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+TRAJ_WRITE_FORMATS = ("xtc", "trr", "dcd")
+
+
+def trajectory_writer(path: str):
+    """Writer for ``path`` picked by extension (.xtc/.trr/.dcd).
+
+    All three share the chunk-append interface
+    ``write(coords, times, box, steps=None)`` (Angstrom/ns) and flush on
+    ``close()``/context exit — the reference gets this dispatch from
+    ``mda.Writer`` (reference kinetics.py:106-125 writes whatever
+    extension the name carries).
+    """
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext == "xtc":
+        return XTCWriter(path)
+    if ext == "trr":
+        return TRRWriter(path)
+    if ext == "dcd":
+        return BufferedDCDWriter(path)
+    raise ValueError(f"no trajectory writer for '.{ext}' "
+                     f"(supported: {', '.join(TRAJ_WRITE_FORMATS)})")

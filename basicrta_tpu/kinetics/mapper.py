@@ -16,7 +16,7 @@ from typing import Optional
 import numpy as np
 
 from basicrta_tpu.contacts.records import ContactEvents
-from basicrta_tpu.io.native import XTCWriter
+from basicrta_tpu.io.native import TRAJ_WRITE_FORMATS, trajectory_writer
 from basicrta_tpu.io.topology import write_gro
 from basicrta_tpu.io.universe import Universe
 from basicrta_tpu.kinetics.density import GridAccumulator, WDensity
@@ -39,6 +39,10 @@ class MapKinetics:
     :param gibbs: processed Gibbs instance of one residue.
     :param contacts: ContactEvents (or path) whose metadata names the
         topology/trajectory (reference kinetics.py:22-44).
+    :param traj_format: extension of the reduced trajectories written by
+        :meth:`create_traj`/:meth:`write_component_trajs` — ``xtc``
+        (default), ``trr``, or ``dcd`` (the reference writes whatever
+        extension ``mda.Writer`` gets, kinetics.py:106-125).
     """
 
     # above this many rows the frame table is written as an on-disk
@@ -46,7 +50,12 @@ class MapKinetics:
     # because the expanded table can reach GBs (reference kinetics.py:46-77)
     MEMMAP_ROWS = 2_000_000
 
-    def __init__(self, gibbs: Gibbs, contacts, root: Optional[str] = None):
+    def __init__(self, gibbs: Gibbs, contacts, root: Optional[str] = None,
+                 traj_format: str = "xtc"):
+        if traj_format not in TRAJ_WRITE_FORMATS:
+            raise ValueError(f"traj_format {traj_format!r} not one of "
+                             f"{TRAJ_WRITE_FORMATS}")
+        self.traj_format = traj_format
         self.gibbs = gibbs
         if isinstance(contacts, str):
             if contacts.endswith(".pkl"):   # reference pickle (io/legacy)
@@ -155,7 +164,7 @@ class MapKinetics:
 
         written = []
         if top_n is None:
-            out = os.path.join(self.savedir, "traj_all.xtc")
+            out = os.path.join(self.savedir, f"traj_all.{self.traj_format}")
             if os.path.exists(out):
                 raise FileExistsError(f"{out} exists, remove then rerun")
             self._write_reduced(u, idx1, idx2, table[:, 0].astype(int),
@@ -164,8 +173,9 @@ class MapKinetics:
         else:
             for k in range(ncomp):
                 order = np.argsort(table[:, 2 + k])[::-1][:top_n]
-                out = os.path.join(self.savedir,
-                                   f"traj_comp{k}_top{top_n}.xtc")
+                out = os.path.join(
+                    self.savedir,
+                    f"traj_comp{k}_top{top_n}.{self.traj_format}")
                 self._write_reduced(u, idx1, idx2,
                                     table[order, 0].astype(int),
                                     table[order, 1].astype(int), out)
@@ -189,7 +199,8 @@ class MapKinetics:
             rows = np.where(assigned == k)[0][::step]
             if len(rows) == 0:
                 continue
-            out = os.path.join(self.savedir, f"comp{k}_traj.xtc")
+            out = os.path.join(self.savedir,
+                               f"comp{k}_traj.{self.traj_format}")
             self._write_reduced(u, idx1, idx2,
                                 table[rows, 0].astype(int),
                                 table[rows, 1].astype(int), out)
@@ -211,22 +222,22 @@ class MapKinetics:
                 "needs one residue type — narrow sel2 (e.g. 'resname "
                 "POPC') and rerun contacts")
         ts = self.meta.ts or self.gibbs.ts
-        writer = XTCWriter(out)
         box = (np.tile(u.topology.box, (1, 1))
                if u.topology.box is not None else np.full((1, 3), 1000.0))
-        for lo in range(0, len(frames), chunk):
-            fr = frames[lo:lo + chunk]
-            lp = lipids[lo:lo + chunk]
-            pos = u.frame_positions(fr)
-            sel_pos = []
-            for i, lip in enumerate(lp):
-                lip_idx = idx2[resids2 == lip]
-                sel_pos.append(np.concatenate(
-                    [pos[i, idx1], pos[i, lip_idx]], axis=0))
-            # monotonic step numbers across chunks (tools key on them)
-            writer.write(np.stack(sel_pos), fr * ts,
-                         np.repeat(box, len(fr), axis=0),
-                         steps=np.arange(lo, lo + len(fr)))
+        with trajectory_writer(out) as writer:
+            for lo in range(0, len(frames), chunk):
+                fr = frames[lo:lo + chunk]
+                lp = lipids[lo:lo + chunk]
+                pos = u.frame_positions(fr)
+                sel_pos = []
+                for i, lip in enumerate(lp):
+                    lip_idx = idx2[resids2 == lip]
+                    sel_pos.append(np.concatenate(
+                        [pos[i, idx1], pos[i, lip_idx]], axis=0))
+                # monotonic step numbers across chunks (tools key on them)
+                writer.write(np.stack(sel_pos), fr * ts,
+                             np.repeat(box, len(fr), axis=0),
+                             steps=np.arange(lo, lo + len(fr)))
 
     # ------------------------------------------------------------------ #
     def weighted_densities(self, step: int = 1, top_n: Optional[int] = None,

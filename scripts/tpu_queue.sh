@@ -18,6 +18,11 @@ timeout 5400 python scripts/abench.py \
 
 timeout 3600 python scripts/device_prng.py 2>&1 | tee /tmp/q_prng.log
 
+# safety capture: a headline number with the CURRENT default, so a
+# brief unattended tunnel window still records a bench even before any
+# default flip
+timeout 3600 python bench.py 2>&1 | tee /tmp/q_bench.log
+
 echo "QUEUE DONE — review /tmp/q_abench.log and /tmp/q_prng.log, flip the"
-echo "segment_pallas early_exit default if a btrd form wins, then run"
-echo "python bench.py."
+echo "segment_pallas early_exit default if a btrd form wins, then rerun"
+echo "python bench.py (pre-flip number is in /tmp/q_bench.log)."

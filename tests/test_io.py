@@ -1012,3 +1012,68 @@ class TestGeometricSelections:
             nopos.select("point 0 0 0 5")
         with pytest.raises(ValueError):
             top.select("name CA point 0 0 0 5")   # missing 'and' is loud
+
+
+class TestTrajectoryWriterFacade:
+    """trajectory_writer: extension dispatch + the chunk-append contract
+    (MapKinetics writes reduced trajectories through it)."""
+
+    def test_dispatch(self, tmp_path):
+        from basicrta_tpu.io.native import (BufferedDCDWriter,
+                                            TRRWriter, trajectory_writer)
+        assert isinstance(trajectory_writer(str(tmp_path / "a.xtc")),
+                          XTCWriter)
+        assert isinstance(trajectory_writer(str(tmp_path / "a.trr")),
+                          TRRWriter)
+        assert isinstance(trajectory_writer(str(tmp_path / "a.DCD")),
+                          BufferedDCDWriter)
+        with pytest.raises(ValueError, match="no trajectory writer"):
+            trajectory_writer(str(tmp_path / "a.pdb"))
+
+    @pytest.mark.parametrize("ext", ["xtc", "trr", "dcd"])
+    def test_chunked_writes_roundtrip(self, tmp_path, traj_data, ext):
+        from basicrta_tpu.io.native import TRRReader, trajectory_writer
+        coords, times, box = traj_data
+        path = str(tmp_path / f"t.{ext}")
+        with trajectory_writer(path) as w:
+            w.write(coords[:2], times[:2], box[:2],
+                    steps=np.arange(2))
+            w.write(coords[2:], times[2:], box[2:],
+                    steps=np.arange(2, len(coords)))
+        if ext == "dcd":
+            r = DCDReader(path)
+            c, cell = r.read()
+            assert np.allclose(c, coords)
+            assert np.allclose(cell[:, [0, 2, 5]], 50.0)
+            # header interval inferred from the first two frame times
+            assert r.delta * r.nsavc * 0.04888821 == pytest.approx(
+                100.0, rel=1e-5)          # 0.1 ns in ps
+        else:
+            r = XTCReader(path) if ext == "xtc" else TRRReader(path)
+            c, t, b, _ = r.read()
+            tol = 0.006 if ext == "xtc" else 1e-4
+            assert np.abs(c - coords).max() < tol
+            assert np.allclose(t, times, atol=1e-6)
+        assert r.nframes == len(coords)
+
+    def test_dcd_single_frame_default_interval(self, tmp_path, traj_data):
+        from basicrta_tpu.io.native import trajectory_writer
+        coords, times, box = traj_data
+        path = str(tmp_path / "one.dcd")
+        with trajectory_writer(path) as w:
+            w.write(coords[:1], times[:1], box[:1])
+        r = DCDReader(path)
+        assert r.nframes == 1
+        c, _ = r.read()
+        assert np.allclose(c, coords[:1])
+
+    def test_dcd_full_box_matrix(self, tmp_path, traj_data):
+        from basicrta_tpu.io.native import trajectory_writer
+        coords, times, _ = traj_data
+        full = np.zeros((len(coords), 3, 3), np.float32)
+        full[:, 0, 0] = full[:, 1, 1] = full[:, 2, 2] = 50.0
+        path = str(tmp_path / "m.dcd")
+        with trajectory_writer(path) as w:
+            w.write(coords, times, full)
+        _, cell = DCDReader(path).read()
+        assert np.allclose(cell[:, [0, 2, 5]], 50.0)

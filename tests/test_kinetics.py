@@ -313,6 +313,29 @@ class TestMapKinetics:
         for w in written:
             assert XTCReader(w).nframes == 5
 
+    def test_traj_format_trr_dcd(self, system):
+        """create_traj honors traj_format: TRR/DCD reduced trajectories
+        carry the same coordinates as the XTC default."""
+        from basicrta_tpu.io.native import DCDReader, TRRReader, XTCReader
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev, _ = system
+        with pytest.raises(ValueError, match="traj_format"):
+            MapKinetics(g, ev, traj_format="pdb")
+        outs = {}
+        for fmt in ("xtc", "trr", "dcd"):
+            mk = MapKinetics(g, ev, traj_format=fmt)
+            written = mk.create_traj(top_n=4)
+            assert all(w.endswith("." + fmt) for w in written)
+            outs[fmt] = written
+        readers = {"xtc": XTCReader, "trr": TRRReader, "dcd": DCDReader}
+        for fmt in ("trr", "dcd"):
+            for ref, w in zip(outs["xtc"], outs[fmt]):
+                c_ref = readers["xtc"](ref).read()[0]
+                c = readers[fmt](w).read()[0]
+                assert c.shape == c_ref.shape
+                # XTC is quantized at 0.001 nm; TRR/DCD are exact f32
+                assert np.abs(c - c_ref).max() < 0.012
+
     def test_weighted_densities(self, system):
         from basicrta_tpu.kinetics.mapper import MapKinetics
         root, g, ev, _ = system
@@ -476,3 +499,4 @@ class TestKineticsRegressions:
                           table[rows, 1].astype(int), out, chunk=7)
         _, _, _, steps = XTCReader(out).read()
         assert np.array_equal(steps, np.arange(len(rows)))
+
