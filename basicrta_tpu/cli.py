@@ -201,7 +201,11 @@ def _cmd_kinetics(args):
             print(f"wrote {w}")
     if args.wdensity:
         for w in mk.weighted_densities(step=args.step, top_n=args.top_n,
-                                       filterP=args.filterP):
+                                       filterP=args.filterP,
+                                       xdim=args.grid_dim,
+                                       ydim=args.grid_dim,
+                                       zdim=args.grid_dim,
+                                       delta=args.grid_delta):
             print(f"wrote {w}")
 
 
@@ -296,6 +300,11 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--traj-format", choices=("xtc", "trr", "dcd"),
                    default="xtc", dest="traj_format",
                    help="format of the reduced trajectories")
+    k.add_argument("--grid-dim", type=float, default=40.0, dest="grid_dim",
+                   help="density grid edge length [A] centered on the "
+                        "residue (reference kinetics.py:167)")
+    k.add_argument("--grid-delta", type=float, default=1.0,
+                   dest="grid_delta", help="density grid resolution [A]")
     k.set_defaults(fn=_cmd_kinetics)
     return p
 

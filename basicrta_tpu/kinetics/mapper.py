@@ -241,7 +241,10 @@ class MapKinetics:
 
     # ------------------------------------------------------------------ #
     def weighted_densities(self, step: int = 1, top_n: Optional[int] = None,
-                           filterP: float = 0.0, frame_chunk: int = 512):
+                           filterP: float = 0.0, frame_chunk: int = 512,
+                           gridcenter=None, xdim: float = 40.0,
+                           ydim: float = 40.0, zdim: float = 40.0,
+                           delta: float = 1.0):
         """Posterior-weighted sel2 densities around the residue
         (reference kinetics.py:127-204).
 
@@ -249,6 +252,11 @@ class MapKinetics:
         (pwdensity variant); otherwise per-component densities over the
         top-N most probable frames (wdensity variant). Returns the list of
         written .dx paths.
+
+        The grid defaults to a 40 Å cube at 1 Å resolution centered on the
+        residue (reference kinetics.py:165-168); ``gridcenter``/``xdim``/
+        ``ydim``/``zdim``/``delta`` override it (the reference's
+        user-grid surface, wdensity.py ``_set_user_grid``).
         """
         u = self._open_universe()
         idx1 = u.select_atoms(self.meta.sel1 or "protein")
@@ -259,9 +267,14 @@ class MapKinetics:
         ncomp = table.shape[1] - 2
 
         # grid centered on the residue (reference kinetics.py:165-168)
-        res_idx = u.topology.select(f"resid {resid}")
-        res_idx = np.intersect1d(res_idx, idx1)
-        center = u.frame_positions([0])[0][res_idx].mean(axis=0)
+        # unless the caller supplies one
+        if gridcenter is None:
+            res_idx = u.topology.select(f"resid {resid}")
+            res_idx = np.intersect1d(res_idx, idx1)
+            center = u.frame_positions([0])[0][res_idx].mean(axis=0)
+        else:
+            center = np.asarray(gridcenter, np.float64)
+        grid_kw = dict(xdim=xdim, ydim=ydim, zdim=zdim, delta=delta)
 
         def stream(rows, acc, weights=None):
             """Accumulate table rows chunkwise: the table can be an
@@ -285,7 +298,7 @@ class MapKinetics:
         outnames = []
         if top_n is None:
             rows = np.arange(0, len(table), step)
-            acc = GridAccumulator(ncomp, center)
+            acc = GridAccumulator(ncomp, center, **grid_kw)
             stream(rows, acc)
             d = WDensity.from_accumulator(acc)
             for k, den in enumerate(d.densities):
@@ -302,7 +315,7 @@ class MapKinetics:
                 keep = order[wk[order] > 0][:top_n:step]
                 if len(keep) == 0:
                     continue
-                acc = GridAccumulator(1, center)
+                acc = GridAccumulator(1, center, **grid_kw)
                 stream(keep, acc, wk[keep])
                 d = WDensity.from_accumulator(acc)
                 suffix = f"_step{step}" if step > 1 else ""

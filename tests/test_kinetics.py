@@ -313,6 +313,24 @@ class TestMapKinetics:
         for w in written:
             assert XTCReader(w).nframes == 5
 
+    def test_weighted_densities_custom_grid(self, system):
+        """gridcenter/dims/delta pass through to the accumulator
+        (reference _set_user_grid surface, wdensity.py:154-218)."""
+        from basicrta_tpu.kinetics.mapper import MapKinetics
+        root, g, ev, _ = system
+        mk = MapKinetics(g, ev)
+        outs = mk.weighted_densities(gridcenter=[13.0, 10.0, 10.0],
+                                     xdim=20.0, ydim=20.0, zdim=10.0,
+                                     delta=0.5)
+        grid, origin, delta = read_dx(outs[0])
+        assert grid.shape == (40, 40, 20)      # dims / delta
+        assert np.allclose(delta, 0.5)
+        assert np.allclose(origin + 0.25,      # voxel center offset
+                           [13.0 - 10.0, 10.0 - 10.0, 10.0 - 5.0],
+                           atol=0.5)
+        for o in outs:
+            os.remove(o)
+
     def test_traj_format_trr_dcd(self, system):
         """create_traj honors traj_format: TRR/DCD reduced trajectories
         carry the same coordinates as the XTC default."""
