@@ -48,8 +48,10 @@ def _cmd_contacts(args):
         print(f"\rcontacts: frame {done}/{nframes} ({rate:,.0f} frames/s)",
               end="", file=sys.stderr)
 
+    ckpt_dir = "contacts.npz.ckpt" if args.checkpoint_every > 0 else None
     records = mapper.run(u.iter_batches(cfg.frames_per_batch),
-                         progress_cb=progress)
+                         progress_cb=progress, checkpoint_dir=ckpt_dir,
+                         checkpoint_every=max(args.checkpoint_every, 1))
     print(file=sys.stderr)
     records.save("contacts.npz")
     print('Saved contacts as "contacts.npz"')
@@ -236,6 +238,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--ndevices", type=int, default=None,
                    help="shard frame batches over this many devices "
                         "(0: all visible; default: unsharded)")
+    c.add_argument("--checkpoint-every", type=int, default=0,
+                   dest="checkpoint_every", metavar="FRAMES",
+                   help="checkpoint the scan every FRAMES frames into "
+                        "contacts.npz.ckpt/ and resume from it on rerun "
+                        "(0: off)")
     c.set_defaults(fn=_cmd_contacts)
 
     g = sub.add_parser("gibbs", help="run Gibbs samplers for all residues")

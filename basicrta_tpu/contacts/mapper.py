@@ -13,7 +13,10 @@ The trajectory source is any iterable of ``FrameBatch`` — provided by
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
 import os
+import shutil
 import tempfile
 from typing import Iterable, Optional
 
@@ -102,6 +105,107 @@ class _ColumnStore:
         return out
 
 
+class _Checkpointer:
+    """Durable mid-scan checkpoints for :meth:`MapContacts.run`.
+
+    Contact rows accumulate into append-only ``shard_{k:06d}.npz`` files
+    under the checkpoint directory with an atomically-replaced
+    ``state.json`` recording the next unprocessed frame, so a preempted
+    trajectory scan resumes where the last checkpoint left off instead of
+    frame 0 (the reference restarts contact extraction from scratch — its
+    worker shards are per-run temporaries, reference contacts.py:86-98).
+    The state carries a fingerprint of the selections/config; resuming
+    with different inputs is refused. A completed run removes the
+    directory.
+    """
+
+    STATE = "state.json"
+
+    def __init__(self, ckpt_dir: str, fingerprint: str, every: int):
+        self.dir = ckpt_dir
+        self.fp = fingerprint
+        self.every = max(int(every), 1)
+        self.pending = {k: [] for k, _ in _COLUMN_SPEC}
+        self.pending_diffs: list = []
+        self.n_shards = 0
+        self.next_frame = 0
+        self.last_time = None
+        self._last_ckpt_frame = 0
+
+    def load(self):
+        """Restore prior progress; (columns, diffs, last_time, next_frame)
+        or None when starting fresh."""
+        path = os.path.join(self.dir, self.STATE)
+        if not os.path.exists(path):
+            os.makedirs(self.dir, exist_ok=True)
+            return None
+        with open(path) as fh:
+            state = json.load(fh)
+        if state["fingerprint"] != self.fp:
+            raise ValueError(
+                f"checkpoint {self.dir} was written by a run with "
+                "different selections/cutoff/trajectory; remove it or "
+                "point --checkpoint elsewhere")
+        cols = {k: [] for k, _ in _COLUMN_SPEC}
+        diffs = []
+        for i in range(state["shards"]):
+            with np.load(os.path.join(self.dir,
+                                      f"shard_{i:06d}.npz")) as z:
+                for k, _ in _COLUMN_SPEC:
+                    cols[k].append(z[k])
+                diffs.append(z["diffs"])
+        self.n_shards = state["shards"]
+        self.next_frame = int(state["next_frame"])
+        self.last_time = state["last_time"]
+        self._last_ckpt_frame = self.next_frame
+        out = {k: (np.concatenate(v) if v else np.zeros(0, dt))
+               for (k, dt), v in zip(_COLUMN_SPEC, cols.values())}
+        d = (np.concatenate(diffs) if diffs else np.zeros(0))
+        return out, d, self.last_time, self.next_frame
+
+    def add(self, rows, new_diffs, next_frame: int, last_time):
+        for (k, dt), col in zip(_COLUMN_SPEC, rows):
+            self.pending[k].append(np.asarray(col, dt))
+        self.pending_diffs.extend(np.atleast_1d(d) for d in new_diffs)
+        self.next_frame = int(next_frame)
+        self.last_time = last_time
+        if self.next_frame - self._last_ckpt_frame >= self.every:
+            self.flush()
+
+    def flush(self):
+        if self.next_frame == self._last_ckpt_frame:
+            return
+        payload = {k: (np.concatenate(v) if v else np.zeros(0, dt))
+                   for (k, dt), v in zip(_COLUMN_SPEC,
+                                         self.pending.values())}
+        payload["diffs"] = (np.concatenate(self.pending_diffs)
+                            if self.pending_diffs
+                            else np.zeros(0, np.float64))
+        shard = os.path.join(self.dir, f"shard_{self.n_shards:06d}.npz")
+        tmp = shard + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, shard)   # shard first, then the state naming it:
+        self.n_shards += 1       # a crash in between leaves an orphan
+        for v in self.pending.values():
+            v.clear()
+        self.pending_diffs.clear()
+        self._write_state()
+        self._last_ckpt_frame = self.next_frame
+
+    def _write_state(self):
+        path = os.path.join(self.dir, self.STATE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"fingerprint": self.fp, "shards": self.n_shards,
+                       "next_frame": self.next_frame,
+                       "last_time": self.last_time}, fh)
+        os.replace(tmp, path)
+
+    def cleanup(self):
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
 @dataclasses.dataclass
 class FrameBatch:
     """One streamed chunk of trajectory."""
@@ -147,6 +251,18 @@ class MapContacts:
             mesh = Mesh(np.asarray(devs[:n]), ("frames",))
             self._sharding = NamedSharding(mesh, PartitionSpec("frames"))
 
+    def _fingerprint(self) -> str:
+        """Identity of this scan for checkpoint validation: the selections
+        and every config field that changes the output rows."""
+        h = hashlib.sha256()
+        for arr in (self.indices1, self.indices2,
+                    self.group_idx1, self.group_idx2,
+                    self.uniq_resids1, self.uniq_resids2):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(repr((self.cfg.map_cutoff, self.cfg.use_pbc,
+                       self.meta.top, self.meta.traj)).encode())
+        return h.hexdigest()
+
     def _prefilter_active(self) -> bool:
         """Bounding-sphere pruning on/off (ContactConfig.prefilter)."""
         mode = self.cfg.prefilter
@@ -159,15 +275,39 @@ class MapContacts:
         return bool(mode)
 
     def run(self, trajectory: Iterable[FrameBatch], progress_cb=None,
-            spill_dir: Optional[str] = None) -> ContactRecords:
+            spill_dir: Optional[str] = None,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 200_000) -> ContactRecords:
         """Stream frame batches through the distance kernel and collect all
-        residue pairs within the map cutoff."""
+        residue pairs within the map cutoff.
+
+        ``checkpoint_dir`` enables durable mid-scan checkpoints every
+        ``checkpoint_every`` frames: a preempted scan rerun with the same
+        arguments resumes from the last checkpoint and produces the
+        identical ContactRecords (the trajectory iterable must yield the
+        same frames in the same monotonic order). The directory is
+        removed when the scan completes.
+        """
         cols = _ColumnStore(self.cfg.host_row_budget, spill_dir)
         last_time = None
         frame_diffs: list = []   # every consecutive frame-time gap
         nominal = None
         pending = None  # (device result, real frame count, batch)
         prefilter = self._prefilter_active()
+
+        ckpt = None
+        start_frame = 0
+        if checkpoint_dir is not None:
+            ckpt = _Checkpointer(checkpoint_dir, self._fingerprint(),
+                                 checkpoint_every)
+            loaded = ckpt.load()
+            if loaded is not None:
+                lcols, ldiffs, last_time, start_frame = loaded
+                if lcols["frames"].size:
+                    cols.append(lcols["frames"], lcols["s1"], lcols["s2"],
+                                lcols["dist"], lcols["times"])
+                if ldiffs.size:
+                    frame_diffs.append(ldiffs)
 
         def prepare(batch):
             nonlocal nominal
@@ -311,14 +451,25 @@ class MapContacts:
                         self.cfg.map_cutoff)
                 else:
                     rows = decode_compact(cidx, cdist, batch, F_real, R2)
-            cols.append(*rows)
             bt = np.asarray(batch.times, np.float64)[:F_real]
+            bf = np.asarray(batch.frame_ids)[:F_real]
+            if start_frame and len(bf) and bf[0] < start_frame:
+                # resume landed mid-batch: drop rows/times of frames the
+                # checkpoint already covers
+                keep = rows[0] >= start_frame
+                rows = tuple(c[keep] for c in rows)
+                bt = bt[bf >= start_frame]
+            cols.append(*rows)
+            new_diffs = []
             if len(bt) > 0:
                 if last_time is not None:
-                    frame_diffs.append(bt[0] - last_time)
+                    new_diffs.append(bt[0] - last_time)
                 if len(bt) > 1:
-                    frame_diffs.append(np.diff(bt))
+                    new_diffs.append(np.diff(bt))
                 last_time = float(bt[-1])
+            frame_diffs.extend(new_diffs)
+            if ckpt is not None and len(bf):
+                ckpt.add(rows, new_diffs, int(bf[-1]) + 1, last_time)
             if progress_cb is not None:
                 progress_cb(int(batch.frame_ids[-1]) + 1)
 
@@ -326,6 +477,11 @@ class MapContacts:
         # decodes batch i+1 from the trajectory (dispatch is async; the
         # sync happens in collect)
         for batch in trajectory:
+            if start_frame and int(batch.frame_ids[-1]) < start_frame:
+                # checkpoint already covers this whole batch: no device work
+                if progress_cb is not None:
+                    progress_cb(int(batch.frame_ids[-1]) + 1)
+                continue
             kind, pack = dispatch(batch)
             if pending is not None:
                 collect(*pending)
@@ -353,6 +509,8 @@ class MapContacts:
                     "an explicit ContactMeta(ts=...) for this trajectory.")
             meta.ts = ts
         cat = cols.finalize()
+        if ckpt is not None:
+            ckpt.cleanup()   # complete: the records ARE the artifact now
         return ContactRecords(cat["frames"], cat["s1"], cat["s2"],
                               cat["dist"], cat["times"], meta)
 

@@ -1,5 +1,7 @@
 """Tests for contact extraction and residence-event merging."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -648,3 +650,92 @@ class TestMergeRegressions:
         ev = merge_events(rec, 7.0)
         assert len(ev.durations) == 2
         assert np.allclose(ev.durations, [0.2, 0.2])
+
+
+class TestCheckpointResume:
+    """MapContacts durable mid-scan checkpoints: a preempted scan rerun
+    with the same inputs resumes from the last checkpoint and produces
+    the identical ContactRecords (the reference restarts from frame 0)."""
+
+    @staticmethod
+    def _mapper(map_cutoff=10.0):
+        return MapContacts(
+            indices1=np.arange(6), resids1=np.array([1, 1, 2, 2, 3, 3]),
+            indices2=np.arange(6, 10), resids2=np.array([8, 8, 9, 9]),
+            cfg=ContactConfig(map_cutoff=map_cutoff, use_pbc=False),
+            meta=ContactMeta(sel1="p", sel2="l"))
+
+    @staticmethod
+    def _batches(nframes=40, bsize=5, seed=3):
+        rng = np.random.default_rng(seed)
+        pos = rng.uniform(0, 30, (nframes, 10, 3)).astype(np.float32)
+        ids = np.arange(nframes)
+        return [FrameBatch(ids[i:i + bsize], ids[i:i + bsize] * 0.1,
+                           pos[i:i + bsize])
+                for i in range(0, nframes, bsize)]
+
+    @staticmethod
+    def _interrupt_after(batches, n):
+        for i, b in enumerate(batches):
+            if i == n:
+                raise RuntimeError("preempted")
+            yield b
+
+    @staticmethod
+    def _assert_same(a, b):
+        assert np.array_equal(a.frames, b.frames)
+        assert np.array_equal(a.sel1_resids, b.sel1_resids)
+        assert np.array_equal(a.sel2_resids, b.sel2_resids)
+        assert np.array_equal(a.min_dist, b.min_dist)
+        assert np.array_equal(a.times, b.times)
+        assert a.meta.ts == pytest.approx(b.meta.ts)
+
+    def test_resume_is_exact(self, tmp_path):
+        ck = str(tmp_path / "scan.ckpt")
+        batches = self._batches()
+        full = self._mapper().run(batches)
+        with pytest.raises(RuntimeError, match="preempted"):
+            self._mapper().run(self._interrupt_after(batches, 5),
+                               checkpoint_dir=ck, checkpoint_every=5)
+        assert os.path.exists(os.path.join(ck, "state.json"))
+        import json as _json
+        with open(os.path.join(ck, "state.json")) as fh:
+            state = _json.load(fh)
+        assert 0 < state["next_frame"] < 40
+        assert state["shards"] >= 1
+        resumed = self._mapper().run(batches, checkpoint_dir=ck,
+                                     checkpoint_every=5)
+        self._assert_same(resumed, full)
+        assert not os.path.exists(ck)   # completed run cleans up
+
+    def test_resume_with_different_batching_straddles(self, tmp_path):
+        """Checkpoints align to the interrupted run's batch ends; a resume
+        with a different batch size lands mid-batch and must drop the
+        already-covered head rows."""
+        ck = str(tmp_path / "scan.ckpt")
+        full = self._mapper().run(self._batches())
+        with pytest.raises(RuntimeError):
+            self._mapper().run(
+                self._interrupt_after(self._batches(), 4),
+                checkpoint_dir=ck, checkpoint_every=1)
+        resumed = self._mapper().run(self._batches(bsize=4),
+                                     checkpoint_dir=ck, checkpoint_every=7)
+        self._assert_same(resumed, full)
+
+    def test_fingerprint_mismatch_is_refused(self, tmp_path):
+        ck = str(tmp_path / "scan.ckpt")
+        with pytest.raises(RuntimeError):
+            self._mapper().run(self._interrupt_after(self._batches(), 3),
+                               checkpoint_dir=ck, checkpoint_every=1)
+        with pytest.raises(ValueError, match="different selections"):
+            self._mapper(map_cutoff=9.0).run(self._batches(),
+                                             checkpoint_dir=ck)
+
+    def test_fresh_run_with_checkpointing_matches_plain(self, tmp_path):
+        ck = str(tmp_path / "scan.ckpt")
+        batches = self._batches(nframes=20, bsize=6)   # trailing partial
+        full = self._mapper().run(batches)
+        ckd = self._mapper().run(batches, checkpoint_dir=ck,
+                                 checkpoint_every=6)
+        self._assert_same(ckd, full)
+        assert not os.path.exists(ck)
