@@ -102,7 +102,16 @@ class ContactConfig:
     # pruned). 'auto' enables it when the dense kernel's per-frame atom-
     # pair count crosses prefilter_auto_pairs; True/False force it.
     prefilter: object = "auto"
-    prefilter_cap: int = 4096    # plausible residue pairs per frame
+    # per-frame packing capacity for plausible residue pairs. The exact
+    # atom sweep and the device->host transfer scale with the cap, so the
+    # mapper ADAPTS it: batches run at the smallest power-of-two cap that
+    # held every frame so far (x2 margin, floor prefilter_cap_min), a
+    # frame overflowing the current cap is redone at the exact fit, and
+    # prefilter_cap is the ceiling past which the batch falls back to the
+    # dense kernel (exactness is guarded at every step). Set
+    # prefilter_cap_min == prefilter_cap to pin a static cap (benchmarks).
+    prefilter_cap: int = 4096
+    prefilter_cap_min: int = 256
     prefilter_auto_pairs: int = 1_000_000
     # host-memory valve: accumulated contact rows spill to an on-disk
     # memmap past this budget (the reference's nslices memory valve,

@@ -395,13 +395,27 @@ class MapContacts:
                                                  cap)
             return "dense", (dmin, fuse(nhit, cidx, cdist))
 
+        # adaptive prefilter cap: the exact atom sweep and the host
+        # transfer both scale with cap_pairs, so batches run at the
+        # smallest power-of-two cap that held every frame so far (x2
+        # margin). Undershoots are redone at the exact fit (n_pl is the
+        # true per-frame count, independent of the cap), so adaptation
+        # never changes the rows — only the work. The pow2 ladder bounds
+        # recompiles at log2(cap_max/cap_min) kernels, all cached.
+        cap_max = int(self.cfg.prefilter_cap)
+        cap0 = min(max(int(self.cfg.prefilter_cap_min), 16), cap_max)
+        cap_state = {"cap": cap0, "peak": 0}
+
+        def _pow2ceil(x: int) -> int:
+            return 1 << (max(int(x), 1) - 1).bit_length()
+
         def dispatch(batch):
             prep = prepare(batch)
             if prefilter:
                 p1, m1, p2, m2, box, use_pbc, triclinic = prep
                 n_pl, cidx, cdist = min_dist_pruned(
                     p1, p2, self.cfg.map_cutoff, box,
-                    cap_pairs=int(self.cfg.prefilter_cap),
+                    cap_pairs=cap_state["cap"],
                     use_pbc=use_pbc, mask1=m1, mask2=m2,
                     triclinic=triclinic)
                 return "pruned", fuse(n_pl, cidx, cdist)
@@ -427,15 +441,32 @@ class MapContacts:
             R2 = len(self.uniq_resids2)
             if kind == "pruned":
                 n_pl, cidx, cdist = unfuse(pack, F_real)
-                cap = cidx.shape[1]
-                if (n_pl > cap).any():
-                    # a frame had more plausible residue pairs than the
-                    # packing cap: redo the batch densely (exactness
-                    # guard; the prefilter only ever drops pairs that are
-                    # provably beyond the cutoff)
-                    kind, pack = dense_pack(*prepare(batch))
+                peak = int(n_pl.max()) if len(n_pl) else 0
+                cap_state["peak"] = max(cap_state["peak"], peak)
+                if peak > cidx.shape[1]:
+                    need = _pow2ceil(peak)
+                    if need > cap_max:
+                        # past the cap ceiling: redo the batch densely
+                        # (exactness guard; the prefilter only ever drops
+                        # pairs that are provably beyond the cutoff)
+                        kind, pack = dense_pack(*prepare(batch))
+                    else:
+                        # the adaptive cap undershot this batch: redo at
+                        # the exact fit (n_pl is the true count, so one
+                        # retry always holds every frame)
+                        p1, m1, p2, m2, box, use_pbc, triclinic = \
+                            prepare(batch)
+                        ret = min_dist_pruned(
+                            p1, p2, self.cfg.map_cutoff, box,
+                            cap_pairs=need, use_pbc=use_pbc, mask1=m1,
+                            mask2=m2, triclinic=triclinic)
+                        n_pl, cidx, cdist = unfuse(fuse(*ret), F_real)
+                        rows = decode_compact(cidx, cdist, batch,
+                                              F_real, R2)
                 else:
                     rows = decode_compact(cidx, cdist, batch, F_real, R2)
+                cap_state["cap"] = min(
+                    max(_pow2ceil(2 * cap_state["peak"]), cap0), cap_max)
             if kind == "dense":
                 dmin_dev, fused = pack
                 if fused is not None:

@@ -566,6 +566,52 @@ class TestPrefilter:
             np.testing.assert_allclose(rec.min_dist, dense.min_dist,
                                        rtol=1e-5)
 
+    def test_adaptive_cap_growth_is_exact(self, rng):
+        """The adaptive prefilter cap starts at prefilter_cap_min and grows
+        through undershoot-retries without changing a single row: a dense
+        cluster (hundreds of plausible pairs/frame) overflows the initial
+        cap, later sparse batches keep the grown cap."""
+        F, R1, P1, R2, P2 = 3, 12, 3, 10, 3
+        resids1 = np.repeat(np.arange(R1), P1)
+        resids2 = np.repeat(np.arange(R2) + 100, P2)
+        A1 = R1 * P1
+        ts = 0.1
+
+        def frames(spread):
+            c1 = rng.uniform(0, spread, (F, R1, 3))
+            c2 = rng.uniform(0, spread, (F, R2, 3))
+            p1 = (c1[:, :, None] + rng.normal(0, 0.5, (F, R1, P1, 3)))
+            p2 = (c2[:, :, None] + rng.normal(0, 0.5, (F, R2, P2, 3)))
+            return np.concatenate([p1.reshape(F, -1, 3),
+                                   p2.reshape(F, -1, 3)],
+                                  axis=1).astype(np.float32)
+
+        # batch 1: everything piled into a 6 A box -> all 120 residue
+        # pairs plausible (>> cap_min 16); batch 2: sparse
+        pos_dense = frames(spread=6.0)
+        pos_sparse = frames(spread=60.0)
+        batches = lambda: [
+            FrameBatch(np.arange(F), np.arange(F) * ts, pos_dense),
+            FrameBatch(np.arange(F, 2 * F), np.arange(F, 2 * F) * ts,
+                       pos_sparse)]
+
+        def run(prefilter):
+            mc = MapContacts(
+                indices1=np.arange(A1), resids1=resids1,
+                indices2=np.arange(A1, A1 + R2 * P2), resids2=resids2,
+                cfg=ContactConfig(map_cutoff=10.0, prefilter=prefilter,
+                                  prefilter_cap_min=16, use_pbc=False),
+                meta=ContactMeta(ts=ts))
+            return mc.run(batches())
+
+        dense, pruned = run(False), run(True)
+        assert len(dense.frames) > R1 * R2  # the pile really is dense
+        np.testing.assert_array_equal(pruned.frames, dense.frames)
+        np.testing.assert_array_equal(pruned.sel1_resids, dense.sel1_resids)
+        np.testing.assert_array_equal(pruned.sel2_resids, dense.sel2_resids)
+        np.testing.assert_allclose(pruned.min_dist, dense.min_dist,
+                                   rtol=1e-5)
+
 
 class TestColumnStore:
     """Host-memory valve: contact rows spill to disk memmaps past the row
