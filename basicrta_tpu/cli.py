@@ -25,11 +25,17 @@ def _cmd_contacts(args):
     from basicrta_tpu.contacts.records import ContactMeta
     from basicrta_tpu.io.universe import Universe
 
+    cutoffs = args.cutoff
+    bad = [c for c in cutoffs if c > args.map_cutoff]
+    if bad:
+        raise SystemExit(f"analysis cutoff(s) {bad} exceed the map cutoff "
+                         f"{args.map_cutoff}; rows beyond it were never "
+                         "recorded (raise --map-cutoff)")
     traj = args.traj if len(args.traj) > 1 else args.traj[0]
     u = Universe(args.top, traj, dt_ns=args.dt)
     idx1 = u.select_atoms(args.sel1)
     idx2 = u.select_atoms(args.sel2)
-    cfg = ContactConfig(map_cutoff=args.map_cutoff, cutoff=args.cutoff,
+    cfg = ContactConfig(map_cutoff=args.map_cutoff, cutoff=cutoffs[0],
                         frames_per_batch=args.batch)
     # ts=None unless --dt was given: MapContacts then infers the frame
     # interval from the FULL frame-time vector with a regularity check
@@ -55,10 +61,14 @@ def _cmd_contacts(args):
     print(file=sys.stderr)
     records.save("contacts.npz")
     print('Saved contacts as "contacts.npz"')
-    events = ProcessContacts(cutoff=args.cutoff).run(records)
-    out = f"contacts_{args.cutoff}.npz"
-    events.save(out)
-    print(f'Saved contacts to "{out}"')
+    # one scan serves any number of analysis cutoffs (the reference
+    # reruns ProcessContacts per cutoff over the pickled map,
+    # contacts.py:154-195; here each is a filter pass on the records)
+    for cutoff in cutoffs:
+        events = ProcessContacts(cutoff=cutoff).run(records)
+        out = f"contacts_{cutoff}.npz"
+        events.save(out)
+        print(f'Saved contacts to "{out}"')
 
 
 def _cmd_gibbs(args):
@@ -228,7 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "as one continuous trajectory")
     c.add_argument("--sel1", required=True)
     c.add_argument("--sel2", required=True)
-    c.add_argument("--cutoff", type=float, default=7.0)
+    c.add_argument("--cutoff", type=float, default=[7.0], nargs="+",
+                   help="analysis cutoff(s) [A]; several values write one "
+                        "event table each from the single scan")
     c.add_argument("--map-cutoff", type=float, default=10.0)
     c.add_argument("--dt", type=float, default=None,
                    help="frame interval [ns] for trajectories without a "

@@ -47,10 +47,27 @@ def contacts_done(workdir):
     try:
         main(["contacts", "--top", "top.gro", "--traj", "traj.xtc",
               "--sel1", "protein", "--sel2", "resname CHOL",
-              "--cutoff", "7.0", "--batch", "64"])
+              "--cutoff", "7.0", "5.0", "--batch", "64"])
     finally:
         os.chdir(cwd)
     return workdir
+
+
+def test_cli_multi_cutoff(contacts_done):
+    """One scan, one event table per analysis cutoff; tighter cutoff
+    keeps a subset and rejects cutoffs beyond the map cutoff."""
+    from basicrta_tpu.contacts.records import ContactEvents
+    e7 = ContactEvents.load(os.path.join(contacts_done, "contacts_7.0.npz"))
+    e5 = ContactEvents.load(os.path.join(contacts_done, "contacts_5.0.npz"))
+    assert e5.meta.cutoff == 5.0 and e7.meta.cutoff == 7.0
+    assert 0 < sum(len(e5.times_for_residue(r))
+                   for r in np.unique(e5.sel1_resids)) \
+        <= sum(len(e7.times_for_residue(r))
+               for r in np.unique(e7.sel1_resids))
+    with pytest.raises(SystemExit, match="map cutoff"):
+        main(["contacts", "--top", "top.gro", "--traj", "traj.xtc",
+              "--sel1", "protein", "--sel2", "resname CHOL",
+              "--cutoff", "12.0"])
 
 
 def test_cli_pipeline(contacts_done, monkeypatch):
