@@ -175,6 +175,13 @@ def _cmd_cluster(args):
     if args.all_clusters:
         pp.plot_taus_all()
         print("wrote figs/tau_clusters.png")
+    if args.diagnostics:
+        path, flagged = pp.write_diagnostics()
+        print(f"wrote {path}")
+        if flagged:
+            print(f"convergence warning ({len(flagged)} residues with "
+                  "split-R-hat > 1.05 or bulk ESS < 100 — rerun with more "
+                  "chains/sweeps): " + " ".join(flagged), file=sys.stderr)
     if args.structure:
         path = pp.b_color_structure(args.structure)
         print(f"wrote {path}")
@@ -301,6 +308,10 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--all-clusters", action="store_true",
                     help="also write tau + CI for every non-noise cluster "
                          "(tausout_all.npy) and the stacked tau figure")
+    cl.add_argument("--diagnostics", action="store_true",
+                    help="write per-residue split-R-hat / bulk-ESS "
+                         "convergence table (diagnostics.npz) and flag "
+                         "unconverged residues")
     cl.set_defaults(fn=_cmd_cluster)
 
     k = sub.add_parser("kinetics", help="write component trajectories and "

@@ -346,6 +346,44 @@ class ProcessProtein:
                 continue
         return out
 
+    def diagnostics_table(self):
+        """(labels, (R, 2) rows [max_rhat, min_ess]) over every residue
+        with results: split-R̂ / bulk-ESS convergence screening across the
+        whole protein (the reference runs one unchecked chain per residue,
+        gibbs.py:191; SURVEY section 5 'no convergence checks')."""
+        if not self.residues:
+            self.collect_results()
+        labels, rows = [], []
+        for label, path in self.residues.items():
+            if path is None:
+                continue
+            try:
+                g = Gibbs.load(path)
+                g.root = self.root
+                d = g.diagnostics()
+            except (KeyError, ValueError):
+                continue
+            labels.append(label)
+            rows.append([d["max_rhat"], d["min_ess"]])
+        return labels, np.asarray(rows, np.float64).reshape(-1, 2)
+
+    def write_diagnostics(self, fname: str = "diagnostics",
+                          rhat_warn: float = 1.05,
+                          ess_warn: float = 100.0):
+        """Persist the convergence table and return
+        (path, flagged labels). A residue is flagged when its worst
+        split-R̂ exceeds ``rhat_warn`` or its smallest bulk ESS falls
+        below ``ess_warn`` — rerun those with more chains/sweeps before
+        trusting their tau."""
+        labels, rows = self.diagnostics_table()
+        path = os.path.join(self.root, f"{fname}.npz")
+        np.savez(path, labels=np.asarray(labels),
+                 max_rhat=rows[:, 0], min_ess=rows[:, 1],
+                 rhat_warn=rhat_warn, ess_warn=ess_warn)
+        flagged = [lab for lab, (r, e) in zip(labels, rows)
+                   if r > rhat_warn or e < ess_warn]
+        return path, flagged
+
     def write_data(self, fname: str = "tausout",
                    all_clusters: bool = False) -> str:
         """[resid, tau, CI_lo, CI_hi] table as .npy

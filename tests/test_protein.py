@@ -172,3 +172,25 @@ def test_tau_all_clusters_table_and_plot(protein_run):
     assert os.path.exists(os.path.join(root, "figs", "tau_clusters.png"))
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_protein_diagnostics_table(protein_run):
+    """cluster --diagnostics surface: per-residue split-R-hat/ESS table,
+    persisted with flagging thresholds."""
+    root, cfg, _ = protein_run
+    pp = ProcessProtein(cfg=cfg, cutoff=7.0, root=root)
+    labels, rows = pp.diagnostics_table()
+    assert labels == ["X10", "X11"]
+    assert rows.shape == (2, 2)
+    assert np.all(rows[:, 0] >= 1.0)      # R-hat >= 1 by construction
+    assert np.all(rows[:, 1] > 0)         # ESS positive
+    path, flagged = pp.write_diagnostics()
+    z = np.load(path)
+    assert list(z["labels"]) == labels
+    assert np.allclose(z["max_rhat"], rows[:, 0])
+    assert np.allclose(z["min_ess"], rows[:, 1])
+    # absurd thresholds flag everything / nothing
+    _, all_flagged = pp.write_diagnostics(rhat_warn=0.0)
+    assert sorted(all_flagged) == sorted(labels)
+    _, none_flagged = pp.write_diagnostics(rhat_warn=1e9, ess_warn=0.0)
+    assert none_flagged == []
