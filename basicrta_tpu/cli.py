@@ -69,6 +69,9 @@ def _cmd_contacts(args):
         out = f"contacts_{cutoff}.npz"
         events.save(out)
         print(f'Saved contacts to "{out}"')
+    if ckpt_dir is not None:
+        # only now that every artifact is durably on disk
+        MapContacts.remove_checkpoint(ckpt_dir)
 
 
 def _cmd_gibbs(args):

@@ -115,11 +115,18 @@ class _Checkpointer:
     frame 0 (the reference restarts contact extraction from scratch — its
     worker shards are per-run temporaries, reference contacts.py:86-98).
     The state carries a fingerprint of the selections/config; resuming
-    with different inputs is refused. A completed run removes the
-    directory.
+    with different inputs is refused. The directory is removed by the
+    caller (``MapContacts.remove_checkpoint``) once the records artifact
+    is durably saved.
     """
 
     STATE = "state.json"
+
+    # rows pending in RAM between flushes are capped independently of the
+    # frame interval, so dense systems don't re-create the host-memory
+    # problem _ColumnStore's valve solves (an early flush just writes a
+    # smaller shard; the state stays consistent)
+    PENDING_ROW_BUDGET = 4_000_000
 
     def __init__(self, ckpt_dir: str, fingerprint: str, every: int):
         self.dir = ckpt_dir
@@ -127,6 +134,7 @@ class _Checkpointer:
         self.every = max(int(every), 1)
         self.pending = {k: [] for k, _ in _COLUMN_SPEC}
         self.pending_diffs: list = []
+        self.pending_rows = 0
         self.n_shards = 0
         self.next_frame = 0
         self.last_time = None
@@ -144,8 +152,9 @@ class _Checkpointer:
         if state["fingerprint"] != self.fp:
             raise ValueError(
                 f"checkpoint {self.dir} was written by a run with "
-                "different selections/cutoff/trajectory; remove it or "
-                "point --checkpoint elsewhere")
+                "different selections/cutoff/trajectory/--dt; remove "
+                f"that directory (or pass a different checkpoint_dir) "
+                "to start the scan over")
         cols = {k: [] for k, _ in _COLUMN_SPEC}
         diffs = []
         for i in range(state["shards"]):
@@ -166,10 +175,12 @@ class _Checkpointer:
     def add(self, rows, new_diffs, next_frame: int, last_time):
         for (k, dt), col in zip(_COLUMN_SPEC, rows):
             self.pending[k].append(np.asarray(col, dt))
+        self.pending_rows += len(rows[0])
         self.pending_diffs.extend(np.atleast_1d(d) for d in new_diffs)
         self.next_frame = int(next_frame)
         self.last_time = last_time
-        if self.next_frame - self._last_ckpt_frame >= self.every:
+        if (self.next_frame - self._last_ckpt_frame >= self.every
+                or self.pending_rows >= self.PENDING_ROW_BUDGET):
             self.flush()
 
     def flush(self):
@@ -190,6 +201,7 @@ class _Checkpointer:
         for v in self.pending.values():
             v.clear()
         self.pending_diffs.clear()
+        self.pending_rows = 0
         self._write_state()
         self._last_ckpt_frame = self.next_frame
 
@@ -201,9 +213,6 @@ class _Checkpointer:
                        "next_frame": self.next_frame,
                        "last_time": self.last_time}, fh)
         os.replace(tmp, path)
-
-    def cleanup(self):
-        shutil.rmtree(self.dir, ignore_errors=True)
 
 
 @dataclasses.dataclass
@@ -260,7 +269,8 @@ class MapContacts:
                     self.uniq_resids1, self.uniq_resids2):
             h.update(np.ascontiguousarray(arr).tobytes())
         h.update(repr((self.cfg.map_cutoff, self.cfg.use_pbc,
-                       self.meta.top, self.meta.traj)).encode())
+                       self.meta.top, self.meta.traj,
+                       self.meta.ts)).encode())
         return h.hexdigest()
 
     def _prefilter_active(self) -> bool:
@@ -285,8 +295,9 @@ class MapContacts:
         ``checkpoint_every`` frames: a preempted scan rerun with the same
         arguments resumes from the last checkpoint and produces the
         identical ContactRecords (the trajectory iterable must yield the
-        same frames in the same monotonic order). The directory is
-        removed when the scan completes.
+        same frames in the same monotonic order). The directory survives
+        the run — remove it with :meth:`remove_checkpoint` once the
+        records are durably saved.
         """
         cols = _ColumnStore(self.cfg.host_row_budget, spill_dir)
         last_time = None
@@ -444,13 +455,13 @@ class MapContacts:
                 peak = int(n_pl.max()) if len(n_pl) else 0
                 cap_state["peak"] = max(cap_state["peak"], peak)
                 if peak > cidx.shape[1]:
-                    need = _pow2ceil(peak)
-                    if need > cap_max:
+                    if peak > cap_max:
                         # past the cap ceiling: redo the batch densely
                         # (exactness guard; the prefilter only ever drops
                         # pairs that are provably beyond the cutoff)
                         kind, pack = dense_pack(*prepare(batch))
                     else:
+                        need = min(_pow2ceil(peak), cap_max)
                         # the adaptive cap undershot this batch: redo at
                         # the exact fit (n_pl is the true count, so one
                         # retry always holds every frame)
@@ -540,10 +551,19 @@ class MapContacts:
                     "an explicit ContactMeta(ts=...) for this trajectory.")
             meta.ts = ts
         cat = cols.finalize()
-        if ckpt is not None:
-            ckpt.cleanup()   # complete: the records ARE the artifact now
+        # the checkpoint directory is intentionally NOT removed here: the
+        # records only exist in memory until the caller persists them, and
+        # deleting the checkpoint first would lose the scan to a failed
+        # save. Call remove_checkpoint(checkpoint_dir) once the artifact
+        # is durably written (a rerun before that resumes idempotently).
         return ContactRecords(cat["frames"], cat["s1"], cat["s2"],
                               cat["dist"], cat["times"], meta)
+
+    @staticmethod
+    def remove_checkpoint(checkpoint_dir: str) -> None:
+        """Discard a scan checkpoint — call after the records artifact is
+        durably saved."""
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
 
 class ProcessContacts:

@@ -404,16 +404,20 @@ class BufferedDCDWriter:
     """Chunk-append facade over the one-shot DCD codec.
 
     DCD puts the frame count in its header, so chunks accumulate in RAM
-    and flush once on :meth:`close`. The format has no per-frame times;
-    the header interval (delta, AKMA units — what ``Universe`` reads
-    back, io/universe.py ``timestep_ns``) is taken from the first two
-    frame times handed to :meth:`write` (1 ns when unknowable).
+    and flush once on :meth:`close`. The format has no per-frame times —
+    only the header interval (delta, AKMA units; what ``Universe`` reads
+    back, io/universe.py ``timestep_ns``). Pass the source trajectory's
+    ``dt_ns`` explicitly when the written frames are non-contiguous
+    (top-N / per-component selections): the fallback inference from the
+    first two frame times is only meaningful for consecutive frames
+    (1 ns when unknowable).
     """
 
     _AKMA_PS = 0.04888821  # CHARMM AKMA time unit in ps
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, dt_ns: Optional[float] = None):
         self.path = path
+        self.dt_ns = dt_ns
         self._coords: list = []
         self._boxes: list = []
         self._t0 = None
@@ -446,9 +450,12 @@ class BufferedDCDWriter:
         self._closed = True
         if not self._coords:
             return
-        dt_ns = (abs(self._t1 - self._t0)
-                 if self._t0 is not None and self._t1 is not None
-                 and self._t1 != self._t0 else 1.0)
+        if self.dt_ns is not None:
+            dt_ns = float(self.dt_ns)
+        else:
+            dt_ns = (abs(self._t1 - self._t0)
+                     if self._t0 is not None and self._t1 is not None
+                     and self._t1 != self._t0 else 1.0)
         delta = dt_ns * 1000.0 / self._AKMA_PS
         DCDWriter(self.path, delta=delta, nsavc=1).write(
             np.concatenate(self._coords), np.concatenate(self._boxes))
@@ -466,14 +473,15 @@ class BufferedDCDWriter:
 TRAJ_WRITE_FORMATS = ("xtc", "trr", "dcd")
 
 
-def trajectory_writer(path: str):
+def trajectory_writer(path: str, dt_ns: Optional[float] = None):
     """Writer for ``path`` picked by extension (.xtc/.trr/.dcd).
 
     All three share the chunk-append interface
     ``write(coords, times, box, steps=None)`` (Angstrom/ns) and flush on
     ``close()``/context exit — the reference gets this dispatch from
     ``mda.Writer`` (reference kinetics.py:106-125 writes whatever
-    extension the name carries).
+    extension the name carries). ``dt_ns`` seeds the DCD header interval
+    (XTC/TRR carry true per-frame times and ignore it).
     """
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     if ext == "xtc":
@@ -481,6 +489,6 @@ def trajectory_writer(path: str):
     if ext == "trr":
         return TRRWriter(path)
     if ext == "dcd":
-        return BufferedDCDWriter(path)
+        return BufferedDCDWriter(path, dt_ns=dt_ns)
     raise ValueError(f"no trajectory writer for '.{ext}' "
                      f"(supported: {', '.join(TRAJ_WRITE_FORMATS)})")

@@ -224,7 +224,10 @@ class MapKinetics:
         ts = self.meta.ts or self.gibbs.ts
         box = (np.tile(u.topology.box, (1, 1))
                if u.topology.box is not None else np.full((1, 3), 1000.0))
-        with trajectory_writer(out) as writer:
+        # dt_ns seeds the DCD header interval: the frames written here are
+        # non-contiguous (event/top-N selections), so inferring it from
+        # their gaps would fabricate a wrong time axis
+        with trajectory_writer(out, dt_ns=ts) as writer:
             for lo in range(0, len(frames), chunk):
                 fr = frames[lo:lo + chunk]
                 lp = lipids[lo:lo + chunk]

@@ -380,8 +380,10 @@ class ProcessProtein:
         np.savez(path, labels=np.asarray(labels),
                  max_rhat=rows[:, 0], min_ess=rows[:, 1],
                  rhat_warn=rhat_warn, ess_warn=ess_warn)
+        # NaN diagnostics (degenerate/too-short chains) must flag, not
+        # pass: express the healthy condition and negate it
         flagged = [lab for lab, (r, e) in zip(labels, rows)
-                   if r > rhat_warn or e < ess_warn]
+                   if not (r <= rhat_warn and e >= ess_warn)]
         return path, flagged
 
     def write_data(self, fname: str = "tausout",

@@ -752,7 +752,14 @@ class TestCheckpointResume:
         resumed = self._mapper().run(batches, checkpoint_dir=ck,
                                      checkpoint_every=5)
         self._assert_same(resumed, full)
-        assert not os.path.exists(ck)   # completed run cleans up
+        # the directory survives run() — records are only in memory until
+        # the caller saves them; a rerun before removal is idempotent
+        assert os.path.exists(os.path.join(ck, "state.json"))
+        again = self._mapper().run(batches, checkpoint_dir=ck,
+                                   checkpoint_every=5)
+        self._assert_same(again, full)
+        MapContacts.remove_checkpoint(ck)
+        assert not os.path.exists(ck)
 
     def test_resume_with_different_batching_straddles(self, tmp_path):
         """Checkpoints align to the interrupted run's batch ends; a resume
@@ -784,4 +791,21 @@ class TestCheckpointResume:
         ckd = self._mapper().run(batches, checkpoint_dir=ck,
                                  checkpoint_every=6)
         self._assert_same(ckd, full)
+        MapContacts.remove_checkpoint(ck)
         assert not os.path.exists(ck)
+
+    def test_different_dt_is_refused(self, tmp_path):
+        """--dt participates in the fingerprint: resuming a time-less-
+        format scan with a different frame interval would mix times."""
+        ck = str(tmp_path / "scan.ckpt")
+
+        def mapper(dt):
+            m = self._mapper()
+            m.meta = ContactMeta(sel1="p", sel2="l", ts=dt)
+            return m
+
+        with pytest.raises(RuntimeError):
+            mapper(0.1).run(self._interrupt_after(self._batches(), 3),
+                            checkpoint_dir=ck, checkpoint_every=1)
+        with pytest.raises(ValueError, match="remove"):
+            mapper(0.2).run(self._batches(), checkpoint_dir=ck)

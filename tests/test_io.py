@@ -1056,6 +1056,19 @@ class TestTrajectoryWriterFacade:
             assert np.allclose(t, times, atol=1e-6)
         assert r.nframes == len(coords)
 
+    def test_dcd_explicit_dt_overrides_inference(self, tmp_path, traj_data):
+        """Non-contiguous frame selections must not fabricate the DCD
+        header interval from their gaps — dt_ns pins it."""
+        from basicrta_tpu.io.native import trajectory_writer
+        coords, _, box = traj_data
+        times = np.array([0.0, 1.7, 8.2, 8.3, 40.0])   # arbitrary gaps
+        path = str(tmp_path / "dt.dcd")
+        with trajectory_writer(path, dt_ns=0.5) as w:
+            w.write(coords, times, box)
+        r = DCDReader(path)
+        assert r.delta * r.nsavc * 0.04888821 == pytest.approx(
+            500.0, rel=1e-5)   # 0.5 ns in ps
+
     def test_dcd_single_frame_default_interval(self, tmp_path, traj_data):
         from basicrta_tpu.io.native import trajectory_writer
         coords, times, box = traj_data
