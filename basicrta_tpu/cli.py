@@ -109,6 +109,19 @@ def _cmd_gibbs(args):
         run_resids = [int(lab[1:]) for lab in missing]
         print(f"rerunning {len(run_resids)} residues: "
               f"{' '.join(missing)}", file=sys.stderr)
+    if args.rerun_flagged:
+        # convergence-recovery sweep: rerun the residues cluster
+        # --diagnostics flagged; combine with --nchains/--niter/--seed,
+        # else the deterministic sampler reproduces the same chains
+        import numpy as np
+        z = np.load(args.rerun_flagged)
+        flagged = [str(lab) for lab in z["flagged"]]
+        if not flagged:
+            print("no flagged residues; nothing to rerun")
+            return
+        run_resids = [int(lab[1:]) for lab in flagged]
+        print(f"rerunning {len(run_resids)} flagged residues: "
+              f"{' '.join(flagged)}", file=sys.stderr)
     if args.multihost:
         # pod mapping: same command on every host; each host samples its
         # own residue subset with its local chips (the reference's Slurm
@@ -293,6 +306,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--rerun-missing", action="store_true",
                    help="run only residues without results (failure-"
                         "detection sweep)")
+    g.add_argument("--rerun-flagged", type=str, default=None,
+                   metavar="DIAGNOSTICS_NPZ",
+                   help="rerun only the residues a cluster --diagnostics "
+                        "pass flagged as unconverged; combine with "
+                        "--nchains/--niter/--seed to actually change the "
+                        "chains")
     g.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR")
     g.set_defaults(fn=_cmd_gibbs)

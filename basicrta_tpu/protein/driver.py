@@ -376,14 +376,15 @@ class ProcessProtein:
         below ``ess_warn`` — rerun those with more chains/sweeps before
         trusting their tau."""
         labels, rows = self.diagnostics_table()
-        path = os.path.join(self.root, f"{fname}.npz")
-        np.savez(path, labels=np.asarray(labels),
-                 max_rhat=rows[:, 0], min_ess=rows[:, 1],
-                 rhat_warn=rhat_warn, ess_warn=ess_warn)
         # NaN diagnostics (degenerate/too-short chains) must flag, not
         # pass: express the healthy condition and negate it
         flagged = [lab for lab, (r, e) in zip(labels, rows)
                    if not (r <= rhat_warn and e >= ess_warn)]
+        path = os.path.join(self.root, f"{fname}.npz")
+        np.savez(path, labels=np.asarray(labels),
+                 max_rhat=rows[:, 0], min_ess=rows[:, 1],
+                 rhat_warn=rhat_warn, ess_warn=ess_warn,
+                 flagged=np.asarray(flagged))
         return path, flagged
 
     def write_data(self, fname: str = "tausout",

@@ -94,6 +94,19 @@ def test_cli_pipeline(contacts_done, monkeypatch):
     assert any(f.startswith("wcomp") and f.endswith(".dx")
                for f in os.listdir("basicrta-7.0/W7"))
 
+    # convergence screening + targeted rerun of the flagged residues
+    main(["cluster", "--cutoff", "7.0", "--niter", "600",
+          "--diagnostics"])
+    z = np.load("diagnostics.npz")
+    assert list(z["labels"]) == ["W7"]
+    before = os.path.getmtime("basicrta-7.0/W7/gibbs_600.npz")
+    if len(z["flagged"]):   # a 600-sweep chain is usually flagged
+        main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter",
+              "600", "--ncomp", "3", "--seed", "9",
+              "--rerun-flagged", "diagnostics.npz"])
+        assert os.path.getmtime("basicrta-7.0/W7/gibbs_600.npz") > before
+        assert os.path.exists("basicrta-7.0/W7/gibbs_600.npz.bak")
+
 
 def test_cli_gibbs_specific_resid(contacts_done, monkeypatch):
     monkeypatch.chdir(contacts_done)
