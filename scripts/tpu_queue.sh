@@ -18,6 +18,9 @@ timeout 5400 python scripts/abench.py \
 
 timeout 3600 python scripts/device_prng.py 2>&1 | tee /tmp/q_prng.log
 
+# contacts A/B: adaptive prefilter cap vs pinned static vs dense
+timeout 1800 python scripts/cbench.py 2>&1 | tee /tmp/q_cbench.log
+
 # safety capture: a headline number with the CURRENT default, so a
 # brief unattended tunnel window still records a bench even before any
 # default flip
