@@ -9,6 +9,7 @@ users routinely pass through ``--sel1/--sel2``::
     name CA CB H* ... | resname CHOL POPC ... | segid PROA ...
     resid 313 | resid 100-200 | index 0 5 10-20
     around 5.0 TERM | byres TERM | sphzone 8.0 TERM | point x y z R
+    sphlayer R1 R2 TERM | cyzone R zmax zmin TERM | cylayer R1 R2 zmax zmin TERM
     prop mass > 1.1 | prop charge < 0 | prop abs z <= 15
     not EXPR | EXPR and EXPR | EXPR or EXPR | ( EXPR )
 
@@ -219,7 +220,7 @@ class _SelectionParser:
         # geometric/prop keywords stop value lists so a missing 'and' is
         # a loud parse error instead of silently matching them as names
         stop = {"and", "or", "not", "(", ")", "around", "byres", "prop",
-                "point", "sphzone"}
+                "point", "sphzone", "sphlayer", "cyzone", "cylayer"}
         while self._peek() is not None and self._peek() not in stop:
             vals.append(self._next())
         if not vals:
@@ -356,29 +357,89 @@ class _SelectionParser:
         if tok == "sphzone":
             # sphzone R SEL: atoms within R of SEL's center of geometry
             # (the zone INCLUDES the reference group, unlike 'around')
-            cut = self._next()
-            try:
-                radius = float(cut)
-            except (TypeError, ValueError):
-                raise ValueError(f"'sphzone' needs a numeric radius, "
-                                 f"got {cut!r}") from None
+            radius, = self._floats(1, "sphzone", "a numeric radius")
             inner = self._term()
 
             def fn(t, radius=radius, inner=inner):
-                if t.positions is None:
-                    raise ValueError(
-                        "'sphzone' selections need atom coordinates in "
-                        "the topology")
-                ref = inner(t)
-                if not ref.any():
+                d = self._cog_delta(t, inner, "sphzone")
+                if d is None:
                     return np.zeros(t.natoms, bool)
-                cog = np.asarray(t.positions, np.float32)[ref].mean(
-                    axis=0, keepdims=True)
-                return self._within(t, cog, radius)
+                return np.sqrt((d * d).sum(-1)) <= radius
+            return fn
+        if tok == "sphlayer":
+            # sphlayer R1 R2 SEL: spherical shell R1 <= r <= R2 around
+            # SEL's center of geometry (MDAnalysis keyword)
+            rmin, rmax = self._floats(2, "sphlayer",
+                                      "inner and outer radii")
+            inner = self._term()
+
+            def fn(t, rmin=rmin, rmax=rmax, inner=inner):
+                d = self._cog_delta(t, inner, "sphlayer")
+                if d is None:
+                    return np.zeros(t.natoms, bool)
+                r = np.sqrt((d * d).sum(-1))
+                return (r >= rmin) & (r <= rmax)
+            return fn
+        if tok == "cyzone":
+            # cyzone R zmax zmin SEL: z-axis-aligned cylinder of radius R
+            # around SEL's center of geometry, zmin <= dz <= zmax
+            # (MDAnalysis operand order: externalRadius zMax zMin)
+            rmax, zmax, zmin = self._floats(
+                3, "cyzone", "externalRadius zMax zMin")
+            inner = self._term()
+
+            def fn(t, rmax=rmax, zmax=zmax, zmin=zmin, inner=inner):
+                d = self._cog_delta(t, inner, "cyzone")
+                if d is None:
+                    return np.zeros(t.natoms, bool)
+                r = np.sqrt((d[:, :2] ** 2).sum(-1))
+                return (r <= rmax) & (d[:, 2] >= zmin) & (d[:, 2] <= zmax)
+            return fn
+        if tok == "cylayer":
+            # cylayer R1 R2 zmax zmin SEL: cylindrical shell
+            # R1 <= radial distance <= R2, zmin <= dz <= zmax
+            rmin, rmax, zmax, zmin = self._floats(
+                4, "cylayer", "innerRadius externalRadius zMax zMin")
+            inner = self._term()
+
+            def fn(t, rmin=rmin, rmax=rmax, zmax=zmax, zmin=zmin,
+                   inner=inner):
+                d = self._cog_delta(t, inner, "cylayer")
+                if d is None:
+                    return np.zeros(t.natoms, bool)
+                r = np.sqrt((d[:, :2] ** 2).sum(-1))
+                return ((r >= rmin) & (r <= rmax)
+                        & (d[:, 2] >= zmin) & (d[:, 2] <= zmax))
             return fn
         if tok == "prop":
             return self._prop()
         raise ValueError(f"unknown selection keyword {tok!r}")
+
+    def _floats(self, n: int, kw: str, what: str) -> List[float]:
+        vals = [self._next() for _ in range(n)]
+        try:
+            return [float(v) for v in vals]
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"'{kw}' needs {what}, got {vals!r}") from None
+
+    @staticmethod
+    def _cog_delta(t, inner, kw: str) -> Optional[np.ndarray]:
+        """Minimum-image displacement (A, 3) of every atom from the
+        center of geometry of the atoms ``inner`` selects, or None when
+        the inner selection is empty."""
+        if t.positions is None:
+            raise ValueError(
+                f"'{kw}' selections need atom coordinates in the topology")
+        ref = inner(t)
+        if not ref.any():
+            return None
+        pos = np.asarray(t.positions, np.float32)
+        d = pos - pos[ref].mean(axis=0)
+        if t.box is not None:
+            box = np.asarray(t.box, np.float32)
+            d -= box * np.round(d / box)
+        return d
 
     @staticmethod
     def _within(t, centers: np.ndarray, radius: float) -> np.ndarray:

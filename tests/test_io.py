@@ -1001,12 +1001,58 @@ class TestGeometricSelections:
         # around would exclude the group; sphzone keeps it
         assert 2 in top.select("sphzone 0.5 name C")
 
+    def test_sphlayer(self):
+        pos = np.zeros((5, 3), np.float32)
+        pos[:, 0] = np.arange(5) * 4.0
+        top = Topology(np.array(["A", "B", "C", "D", "E"]),
+                       np.arange(5, dtype=np.int32) + 1,
+                       np.array(["RES"] * 5), pos,
+                       np.array([1000.0] * 3, np.float32))
+        # shell 2..6 A around cog of B,D (x=8): B (4) and D (4) in,
+        # C (0) out, A/E (8) out
+        assert list(top.select("sphlayer 2 6 (name B or name D)")) == [1, 3]
+        # widen the outer radius: A and E enter
+        assert list(top.select("sphlayer 2 8.5 (name B or name D)")) == \
+            [0, 1, 3, 4]
+
+    def test_cyzone_cylayer(self):
+        # 3 atoms on the z-axis at z = 0, 5, 12 and one off-axis at
+        # (6, 0, 0); cylinder centered on atom A's cog (origin)
+        pos = np.array([[0, 0, 0], [0, 0, 5], [0, 0, 12], [6, 0, 0]],
+                       np.float32)
+        top = Topology(np.array(["A", "B", "C", "D"]),
+                       np.arange(4, dtype=np.int32) + 1,
+                       np.array(["RES"] * 4), pos,
+                       np.array([1000.0] * 3, np.float32))
+        # radius 3, -1 <= z <= 8: A and B inside; C fails z, D radius
+        assert list(top.select("cyzone 3 8 -1 name A")) == [0, 1]
+        # radius 7 admits D; z window up to 12 admits C
+        assert list(top.select("cyzone 7 12 -1 name A")) == [0, 1, 2, 3]
+        # cylindrical shell: radial distance in [2, 7] keeps only D
+        assert list(top.select("cylayer 2 7 8 -8 name A")) == [3]
+        # on-axis atoms have radial distance 0 -> excluded by rmin
+        assert list(top.select("cylayer 0 7 8 -8 name A")) == [0, 1, 3]
+
+    def test_cyzone_pbc(self):
+        # with a 10 A box along z, an atom at z=9 images to -1 of the
+        # cog at the origin
+        pos = np.array([[0, 0, 0], [0, 0, 9]], np.float32)
+        top = Topology(np.array(["A", "B"]),
+                       np.arange(2, dtype=np.int32) + 1,
+                       np.array(["RES"] * 2), pos,
+                       np.array([1000.0, 1000.0, 10.0], np.float32))
+        assert list(top.select("cyzone 3 0.5 -2 name A")) == [0, 1]
+
     def test_geometric_errors(self):
         top = _make_topology()
         with pytest.raises(ValueError, match="x y z radius"):
             top.select("point 1 2 3 huge")
         with pytest.raises(ValueError, match="numeric radius"):
             top.select("sphzone big name CA")
+        with pytest.raises(ValueError, match="zMax zMin"):
+            top.select("cyzone 3 tall -1 name CA")
+        with pytest.raises(ValueError, match="innerRadius"):
+            top.select("cylayer 1 name CA")
         nopos = Topology(top.names, top.resids, top.resnames)
         with pytest.raises(ValueError, match="coordinates"):
             nopos.select("point 0 0 0 5")
