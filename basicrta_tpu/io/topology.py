@@ -7,8 +7,9 @@ users routinely pass through ``--sel1/--sel2``::
 
     protein | backbone | all
     name CA CB H* ... | resname CHOL POPC ... | segid PROA ...
-    resid 313 | resid 100-200 | index 0 5 10-20
+    resid 313 | resid 100-200 | index 0 5 10-20 | bynum 1 6 11-21
     around 5.0 TERM | byres TERM | sphzone 8.0 TERM | point x y z R
+    same {residue|resid|resname|name|segid|mass|charge} as TERM
     sphlayer R1 R2 TERM | cyzone R zmax zmin TERM | cylayer R1 R2 zmax zmin TERM
     prop mass > 1.1 | prop charge < 0 | prop abs z <= 15
     not EXPR | EXPR and EXPR | EXPR or EXPR | ( EXPR )
@@ -220,7 +221,7 @@ class _SelectionParser:
         # geometric/prop keywords stop value lists so a missing 'and' is
         # a loud parse error instead of silently matching them as names
         stop = {"and", "or", "not", "(", ")", "around", "byres", "prop",
-                "point", "sphzone", "sphlayer", "cyzone", "cylayer"}
+                "point", "sphzone", "sphlayer", "cyzone", "cylayer", "same"}
         while self._peek() is not None and self._peek() not in stop:
             vals.append(self._next())
         if not vals:
@@ -304,6 +305,19 @@ class _SelectionParser:
                     m |= (idx >= lo) & (idx <= hi)
                 return m
             return fn
+        if tok == "bynum":
+            # 1-based atom numbers (MDAnalysis 'bynum'; 'index' is 0-based)
+            ids, ranges = self._int_spec(self._values())
+
+            def fn(t, ids=ids, ranges=ranges):
+                num = np.arange(1, t.natoms + 1)
+                m = np.isin(num, ids)
+                for lo, hi in ranges:
+                    m |= (num >= lo) & (num <= hi)
+                return m
+            return fn
+        if tok == "same":
+            return self._same()
         if tok == "around":
             cut = self._next()
             try:
@@ -414,6 +428,45 @@ class _SelectionParser:
         if tok == "prop":
             return self._prop()
         raise ValueError(f"unknown selection keyword {tok!r}")
+
+    _SAME_FIELDS = ("residue", "resid", "resname", "name", "segid",
+                    "mass", "charge")
+
+    def _same(self):
+        """``same FIELD as SEL``: every atom sharing FIELD's value with
+        some atom of SEL (MDAnalysis group-propagation keyword; ``byres``
+        is the ``same residue as`` shorthand)."""
+        field = self._next()
+        if field not in self._SAME_FIELDS:
+            raise ValueError(
+                f"'same' supports {'/'.join(self._SAME_FIELDS)}, "
+                f"got {field!r}")
+        if self._next() != "as":
+            raise ValueError(f"'same {field} ...' is missing 'as'")
+        inner = self._term()
+
+        def fn(t, field=field, inner=inner):
+            m = inner(t)
+            if not m.any():
+                return m
+            if field in ("residue", "resid"):
+                col = t.resids
+            elif field == "resname":
+                col = np.char.upper(t.resnames.astype(str))
+            elif field == "name":
+                col = np.char.upper(t.names.astype(str))
+            elif field == "segid":
+                col = np.char.upper(t.segids_or_default.astype(str))
+            elif field == "mass":
+                col = t.masses_or_guess
+            else:  # charge
+                if t.charges is None:
+                    raise ValueError(
+                        "'same charge as' needs a topology with charges "
+                        "(PSF or PRMTOP)")
+                col = t.charges
+            return np.isin(col, np.unique(col[m]))
+        return fn
 
     def _floats(self, n: int, kw: str, what: str) -> List[float]:
         vals = [self._next() for _ in range(n)]

@@ -1043,6 +1043,51 @@ class TestGeometricSelections:
                        np.array([1000.0, 1000.0, 10.0], np.float32))
         assert list(top.select("cyzone 3 0.5 -2 name A")) == [0, 1]
 
+    def test_bynum(self):
+        top = _make_topology()
+        # bynum is 1-based: bynum 1 == index 0
+        assert list(top.select("bynum 1")) == [0]
+        assert list(top.select("bynum 2-4 8")) == [1, 2, 3, 7]
+        assert list(top.select("bynum 1 6 9")) == \
+            list(top.select("index 0 5 8"))
+
+    def test_same_as(self):
+        top = _make_topology()
+        # same resname as one CHOL atom -> all 4 CHOL atoms
+        assert list(top.select("same resname as index 5")) == [5, 6, 7, 8]
+        # same residue as == byres
+        assert list(top.select("same residue as name CA")) == \
+            list(top.select("byres name CA"))
+        # same name as atom 0 (N) -> both N atoms
+        assert list(top.select("same name as index 0")) == [0, 3]
+        # same mass as: N atoms share the guessed nitrogen mass
+        assert list(top.select("same mass as index 0")) == [0, 3]
+        # empty inner selection stays empty
+        assert list(top.select("same resname as resid 999")) == []
+        # composes with boolean ops
+        assert list(top.select(
+            "same resname as index 5 and not resid 100")) == [7, 8]
+
+    def test_same_charge(self):
+        top = _make_topology()
+        top.charges = np.array(
+            [-0.3, 0.1, 0.5, -0.3, 0.1, 0.0, 0.0, 0.0, 0.0], np.float32)
+        assert list(top.select("same charge as index 0")) == [0, 3]
+        nocharge = _make_topology()
+        with pytest.raises(ValueError, match="charges"):
+            nocharge.select("same charge as index 0")
+
+    def test_same_errors(self):
+        top = _make_topology()
+        with pytest.raises(ValueError, match="'same' supports"):
+            top.select("same fragment as index 0")
+        with pytest.raises(ValueError, match="missing 'as'"):
+            top.select("same resname index 0")
+        # 'same' terminates a value list: missing 'and' is a parse
+        # error, not a silent name match
+        with pytest.raises(ValueError, match="at least one value"):
+            top.select("name same resname as index 5")
+
     def test_geometric_errors(self):
         top = _make_topology()
         with pytest.raises(ValueError, match="x y z radius"):
