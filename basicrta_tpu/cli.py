@@ -349,9 +349,10 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--comp-trajs", action="store_true",
                    help="also write per-component assigned-event "
                         "trajectories (comp{k}_traj.xtc)")
-    k.add_argument("--traj-format", choices=("xtc", "trr", "dcd"),
+    k.add_argument("--traj-format", choices=("xtc", "trr", "dcd", "nc"),
                    default="xtc", dest="traj_format",
-                   help="format of the reduced trajectories")
+                   help="format of the reduced trajectories (nc = Amber "
+                        "NetCDF)")
     k.add_argument("--grid-dim", type=float, default=40.0, dest="grid_dim",
                    help="density grid edge length [A] centered on the "
                         "residue (reference kinetics.py:167)")

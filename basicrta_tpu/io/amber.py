@@ -196,6 +196,124 @@ class NCDFReader:
         return self.nframes
 
 
+def _box_to_cell(box: np.ndarray):
+    """(F, 3) diagonal lengths or (F, 3, 3) triclinic row matrix ->
+    (lengths (F, 3), angles (F, 3) degrees)."""
+    box = np.asarray(box, np.float64)
+    if box.ndim == 2:
+        return box, np.full_like(box, 90.0)
+    lengths = np.linalg.norm(box, axis=-1)                  # row norms
+    a, b, c = box[:, 0], box[:, 1], box[:, 2]
+
+    def angle(u, v, lu, lv):
+        cosv = (u * v).sum(-1) / np.maximum(lu * lv, 1e-12)
+        return np.degrees(np.arccos(np.clip(cosv, -1.0, 1.0)))
+    alpha = angle(b, c, lengths[:, 1], lengths[:, 2])
+    beta = angle(a, c, lengths[:, 0], lengths[:, 2])
+    gamma = angle(a, b, lengths[:, 0], lengths[:, 1])
+    return lengths, np.stack([alpha, beta, gamma], axis=1)
+
+
+class NCDFWriter:
+    """Amber NetCDF trajectory writer (AMBER convention 1.0, NetCDF-3
+    64-bit offset via scipy — the symmetric counterpart of
+    :class:`NCDFReader`, so Amber users get reduced kinetics
+    trajectories back in their native format; the reference gets this
+    from ``mda.Writer``, reference kinetics.py:106-125).
+
+    Chunk-append interface shared with XTC/TRR/DCD writers:
+    ``write(coords, times, box, steps=None)`` with coords/box in
+    Angstrom and times in ns (stored as picoseconds per the
+    convention); flush on ``close()``/context exit. The first chunk
+    decides whether the file carries cell variables; later chunks must
+    agree (the convention has no per-frame presence flag).
+    """
+
+    def __init__(self, path: str, title: str = "basicrta_tpu"):
+        self.path = path
+        self.title = title
+        self._coords: list = []
+        self._times: list = []
+        self._lengths: list = []
+        self._angles: list = []
+        self._has_box: Optional[bool] = None
+        self._closed = False
+
+    def write(self, coords: np.ndarray, times: np.ndarray,
+              box: Optional[np.ndarray], steps=None):
+        coords = np.asarray(coords, np.float32)
+        if self._has_box is None:
+            self._has_box = box is not None
+        elif self._has_box != (box is not None):
+            raise ValueError(
+                "NCDFWriter: all chunks must agree on having a box "
+                "(the AMBER convention has no per-frame cell flag)")
+        self._coords.append(coords)
+        self._times.append(np.broadcast_to(
+            np.asarray(times, np.float64), (len(coords),)).copy())
+        if box is not None:
+            lengths, angles = _box_to_cell(box)
+            self._lengths.append(np.broadcast_to(
+                lengths, (len(coords), 3)).astype(np.float64))
+            self._angles.append(np.broadcast_to(
+                angles, (len(coords), 3)).astype(np.float64))
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        from scipy.io import netcdf_file
+        coords = (np.concatenate(self._coords) if self._coords
+                  else np.zeros((0, 0, 3), np.float32))
+        F, A = coords.shape[:2]
+        nc = netcdf_file(self.path, "w", version=2)   # 64-bit offset
+        try:
+            nc.Conventions = "AMBER"
+            nc.ConventionVersion = "1.0"
+            nc.program = "basicrta_tpu"
+            nc.programVersion = "0"
+            nc.title = self.title
+            nc.createDimension("frame", None)         # unlimited
+            nc.createDimension("spatial", 3)
+            nc.createDimension("atom", A)
+            sp = nc.createVariable("spatial", "c", ("spatial",))
+            sp[:] = list(b"xyz")
+            t = nc.createVariable("time", "f", ("frame",))
+            t.units = "picosecond"
+            c = nc.createVariable("coordinates", "f",
+                                  ("frame", "atom", "spatial"))
+            c.units = "angstrom"
+            if F:
+                t[0:F] = (np.concatenate(self._times) * 1000.0).astype(
+                    np.float32)
+                c[0:F] = coords
+            if self._has_box:
+                nc.createDimension("cell_spatial", 3)
+                nc.createDimension("cell_angular", 3)
+                cs = nc.createVariable("cell_spatial", "c",
+                                       ("cell_spatial",))
+                cs[:] = list(b"abc")
+                cl = nc.createVariable("cell_lengths", "d",
+                                       ("frame", "cell_spatial"))
+                cl.units = "angstrom"
+                ca = nc.createVariable("cell_angles", "d",
+                                       ("frame", "cell_angular"))
+                ca.units = "degree"
+                if F:
+                    cl[0:F] = np.concatenate(self._lengths)
+                    ca[0:F] = np.concatenate(self._angles)
+        finally:
+            nc.close()
+        self._coords = self._times = self._lengths = self._angles = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 # ---------------------------- ASCII mdcrd --------------------------------- #
 
 class MDCRDReader(_InMemoryFrames):

@@ -470,18 +470,18 @@ class BufferedDCDWriter:
         return False
 
 
-TRAJ_WRITE_FORMATS = ("xtc", "trr", "dcd")
+TRAJ_WRITE_FORMATS = ("xtc", "trr", "dcd", "nc", "ncdf")
 
 
 def trajectory_writer(path: str, dt_ns: Optional[float] = None):
-    """Writer for ``path`` picked by extension (.xtc/.trr/.dcd).
+    """Writer for ``path`` picked by extension (.xtc/.trr/.dcd/.nc).
 
-    All three share the chunk-append interface
+    All share the chunk-append interface
     ``write(coords, times, box, steps=None)`` (Angstrom/ns) and flush on
     ``close()``/context exit — the reference gets this dispatch from
     ``mda.Writer`` (reference kinetics.py:106-125 writes whatever
     extension the name carries). ``dt_ns`` seeds the DCD header interval
-    (XTC/TRR carry true per-frame times and ignore it).
+    (XTC/TRR/NetCDF carry true per-frame times and ignore it).
     """
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     if ext == "xtc":
@@ -490,5 +490,8 @@ def trajectory_writer(path: str, dt_ns: Optional[float] = None):
         return TRRWriter(path)
     if ext == "dcd":
         return BufferedDCDWriter(path, dt_ns=dt_ns)
+    if ext in ("nc", "ncdf"):
+        from basicrta_tpu.io.amber import NCDFWriter
+        return NCDFWriter(path)
     raise ValueError(f"no trajectory writer for '.{ext}' "
                      f"(supported: {', '.join(TRAJ_WRITE_FORMATS)})")

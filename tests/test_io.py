@@ -1118,10 +1118,13 @@ class TestTrajectoryWriterFacade:
                           TRRWriter)
         assert isinstance(trajectory_writer(str(tmp_path / "a.DCD")),
                           BufferedDCDWriter)
+        from basicrta_tpu.io.amber import NCDFWriter
+        assert isinstance(trajectory_writer(str(tmp_path / "a.nc")),
+                          NCDFWriter)
         with pytest.raises(ValueError, match="no trajectory writer"):
             trajectory_writer(str(tmp_path / "a.pdb"))
 
-    @pytest.mark.parametrize("ext", ["xtc", "trr", "dcd"])
+    @pytest.mark.parametrize("ext", ["xtc", "trr", "dcd", "nc"])
     def test_chunked_writes_roundtrip(self, tmp_path, traj_data, ext):
         from basicrta_tpu.io.native import TRRReader, trajectory_writer
         coords, times, box = traj_data
@@ -1139,6 +1142,14 @@ class TestTrajectoryWriterFacade:
             # header interval inferred from the first two frame times
             assert r.delta * r.nsavc * 0.04888821 == pytest.approx(
                 100.0, rel=1e-5)          # 0.1 ns in ps
+        elif ext == "nc":
+            from basicrta_tpu.io.amber import NCDFReader
+            r = NCDFReader(path)
+            c, t, b = r.read()
+            assert np.allclose(c, coords, atol=1e-4)
+            assert np.allclose(t, times, atol=1e-6)   # ps -> ns round trip
+            assert b.shape == (len(coords), 3) and np.allclose(b, 50.0)
+            r.close()
         else:
             r = XTCReader(path) if ext == "xtc" else TRRReader(path)
             c, t, b, _ = r.read()
@@ -1146,6 +1157,58 @@ class TestTrajectoryWriterFacade:
             assert np.abs(c - coords).max() < tol
             assert np.allclose(t, times, atol=1e-6)
         assert r.nframes == len(coords)
+
+    def test_ncdf_triclinic_roundtrip(self, tmp_path, traj_data):
+        """A triclinic row matrix survives the lengths+angles encoding
+        (the AMBER convention stores cells that way)."""
+        from basicrta_tpu.io.amber import NCDFReader
+        from basicrta_tpu.io.native import trajectory_writer
+        from basicrta_tpu.io.topology import box_from_cosines
+        coords, times, _ = traj_data
+        F = len(coords)
+        full = box_from_cosines(
+            np.full(F, 60.0), np.full(F, 55.0), np.full(F, 48.0),
+            np.full(F, np.cos(np.radians(80.0))),
+            np.full(F, np.cos(np.radians(95.0))),
+            np.full(F, np.cos(np.radians(101.0))))
+        path = str(tmp_path / "tri.nc")
+        with trajectory_writer(path) as w:
+            w.write(coords, times, full)
+        r = NCDFReader(path)
+        _, _, b = r.read()
+        # the canonical lower-triangular construction is reproduced
+        assert b.shape == (F, 3, 3)
+        assert np.allclose(b, full, atol=1e-3)
+        r.close()
+
+    def test_ncdf_box_consistency(self, tmp_path, traj_data):
+        from basicrta_tpu.io.native import trajectory_writer
+        coords, times, box = traj_data
+        w = trajectory_writer(str(tmp_path / "c.nc"))
+        w.write(coords[:2], times[:2], box[:2])
+        with pytest.raises(ValueError, match="agree on having a box"):
+            w.write(coords[2:], times[2:], None)
+
+    def test_ncdf_universe_read(self, tmp_path, traj_data):
+        """A written .nc file reads back through the Universe facade
+        (extension dispatch + normalized (coords, times, box))."""
+        from basicrta_tpu.io.native import trajectory_writer
+        from basicrta_tpu.io.universe import Universe
+        coords, times, box = traj_data
+        A = coords.shape[1]
+        top = Topology(np.array([f"C{i}" for i in range(A)]),
+                       np.ones(A, np.int32), np.array(["LIG"] * A),
+                       positions=coords[0],
+                       box=np.array([50.0] * 3, np.float32))
+        gro = write_gro(str(tmp_path / "u.gro"), top)
+        nc = str(tmp_path / "u.nc")
+        with trajectory_writer(nc) as w:
+            w.write(coords, times, box)
+        u = Universe(gro, nc)
+        assert u.n_frames == len(coords)
+        batch = next(iter(u.iter_batches(batch_size=16)))
+        assert np.allclose(batch.positions, coords, atol=1e-4)
+        assert np.allclose(batch.times, times, atol=1e-6)
 
     def test_dcd_explicit_dt_overrides_inference(self, tmp_path, traj_data):
         """Non-contiguous frame selections must not fabricate the DCD

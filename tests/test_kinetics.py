@@ -331,27 +331,29 @@ class TestMapKinetics:
         for o in outs:
             os.remove(o)
 
-    def test_traj_format_trr_dcd(self, system):
-        """create_traj honors traj_format: TRR/DCD reduced trajectories
-        carry the same coordinates as the XTC default."""
+    def test_traj_format_trr_dcd_nc(self, system):
+        """create_traj honors traj_format: TRR/DCD/NetCDF reduced
+        trajectories carry the same coordinates as the XTC default."""
+        from basicrta_tpu.io.amber import NCDFReader
         from basicrta_tpu.io.native import DCDReader, TRRReader, XTCReader
         from basicrta_tpu.kinetics.mapper import MapKinetics
         root, g, ev, _ = system
         with pytest.raises(ValueError, match="traj_format"):
             MapKinetics(g, ev, traj_format="pdb")
         outs = {}
-        for fmt in ("xtc", "trr", "dcd"):
+        for fmt in ("xtc", "trr", "dcd", "nc"):
             mk = MapKinetics(g, ev, traj_format=fmt)
             written = mk.create_traj(top_n=4)
             assert all(w.endswith("." + fmt) for w in written)
             outs[fmt] = written
-        readers = {"xtc": XTCReader, "trr": TRRReader, "dcd": DCDReader}
-        for fmt in ("trr", "dcd"):
+        readers = {"xtc": XTCReader, "trr": TRRReader, "dcd": DCDReader,
+                   "nc": NCDFReader}
+        for fmt in ("trr", "dcd", "nc"):
             for ref, w in zip(outs["xtc"], outs[fmt]):
                 c_ref = readers["xtc"](ref).read()[0]
                 c = readers[fmt](w).read()[0]
                 assert c.shape == c_ref.shape
-                # XTC is quantized at 0.001 nm; TRR/DCD are exact f32
+                # XTC is quantized at 0.001 nm; the others are exact f32
                 assert np.abs(c - c_ref).max() < 0.012
 
     def test_weighted_densities(self, system):
