@@ -102,6 +102,12 @@ class ContactConfig:
     # pruned). 'auto' enables it when the dense kernel's per-frame atom-
     # pair count crosses prefilter_auto_pairs; True/False force it.
     prefilter: object = "auto"
+    # dense-vs-prefilter crossover (atom pairs/frame). The dense kernel
+    # already bounds transients by chunking R1, so this is a pure speed
+    # heuristic: the 2026-08-19 interleaved A/B (scripts/cbench.py, 48M
+    # pairs/frame membrane workload) measured dense 54.9 f/s vs pruned
+    # 44.1-52.4 f/s — the gather/compaction overhead only pays off well
+    # past that scale (e.g. a 100k-atom membrane is ~480M pairs/frame).
     # per-frame packing capacity for plausible residue pairs. The exact
     # atom sweep and the device->host transfer scale with the cap, so the
     # mapper ADAPTS it: batches run at the smallest power-of-two cap that
@@ -112,7 +118,7 @@ class ContactConfig:
     # prefilter_cap_min == prefilter_cap to pin a static cap (benchmarks).
     prefilter_cap: int = 4096
     prefilter_cap_min: int = 256
-    prefilter_auto_pairs: int = 1_000_000
+    prefilter_auto_pairs: int = 128_000_000
     # host-memory valve: accumulated contact rows spill to an on-disk
     # memmap past this budget (the reference's nslices memory valve,
     # contacts.py:45-48, at device speed); 0 disables spilling

@@ -65,7 +65,7 @@ def read_prmtop(path: str) -> Topology:
     inpcrd-derived PDB.
     """
     names = resnames_r = pointers = None
-    charges = masses = None
+    charges = masses = types = None
     with open(path) as f:
         if not f.readline().startswith("%VERSION"):
             raise ValueError(f"{path} is not a PRMTOP file (missing "
@@ -85,6 +85,9 @@ def read_prmtop(path: str) -> Topology:
                        / 18.2223)
         elif flag == "MASS":
             masses = np.asarray(" ".join(data).split(), np.float64)
+        elif flag == "AMBER_ATOM_TYPE":
+            types = [s.strip() for s in _fixed_fields(data, width or 4)
+                     if s.strip()]
     if names is None or resnames_r is None or pointers is None:
         raise ValueError(f"{path}: missing ATOM_NAME / RESIDUE_LABEL / "
                          "RESIDUE_POINTER sections")
@@ -101,7 +104,8 @@ def read_prmtop(path: str) -> Topology:
                     masses=(None if masses is None
                             else masses.astype(np.float32)),
                     charges=(None if charges is None
-                             else charges.astype(np.float32)))
+                             else charges.astype(np.float32)),
+                    types=(None if types is None else np.asarray(types)))
 
 
 # --------------------------- NetCDF trajectory ---------------------------- #

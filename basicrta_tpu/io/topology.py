@@ -5,9 +5,9 @@ atom selection and PDB b-factor export (reference contacts.py:246-249,
 cluster.py:157-175). The selection grammar covers the expressions reference
 users routinely pass through ``--sel1/--sel2``::
 
-    protein | backbone | all
-    name CA CB H* ... | resname CHOL POPC ... | segid PROA ...
-    resid 313 | resid 100-200 | index 0 5 10-20 | bynum 1 6 11-21
+    protein | backbone | water | nucleic | all
+    name CA CB H* ... | resname CHOL POPC ... | segid PROA ... | type OT ...
+    resid 313 | resid 100-200 | resnum ... | index 0 5 10-20 | bynum 1 6 11-21
     around 5.0 TERM | byres TERM | sphzone 8.0 TERM | point x y z R
     same {residue|resid|resname|name|segid|mass|charge} as TERM
     sphlayer R1 R2 TERM | cyzone R zmax zmin TERM | cylayer R1 R2 zmax zmin TERM
@@ -69,6 +69,17 @@ PROTEIN_RESNAMES = {
     "LYN",
 }
 BACKBONE_NAMES = {"N", "CA", "C", "O", "BB"}
+WATER_RESNAMES = {
+    "SOL", "WAT", "HOH", "H2O", "OH2", "TIP", "TIP2", "TIP3", "TIP4",
+    "TIP5", "T3P", "T4P", "T5P", "SPC", "SPCE", "TP3", "TP4", "TP5",
+}
+NUCLEIC_RESNAMES = {
+    "ADE", "GUA", "CYT", "THY", "URA",
+    "DA", "DG", "DC", "DT", "DU", "A", "G", "C", "T", "U",
+    "RA", "RG", "RC", "RU", "DA5", "DG5", "DC5", "DT5",
+    "DA3", "DG3", "DC3", "DT3", "A5", "G5", "C5", "U5",
+    "A3", "G3", "C3", "U3",
+}
 
 AA_3TO1 = {
     "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C", "GLN": "Q",
@@ -125,6 +136,7 @@ class Topology:
     segids: Optional[np.ndarray] = None     # (A,) str (PSF/PDB segments)
     masses: Optional[np.ndarray] = None     # (A,) float32 [amu] (PSF/PRMTOP)
     charges: Optional[np.ndarray] = None    # (A,) float32 [e] (PSF/PRMTOP)
+    types: Optional[np.ndarray] = None      # (A,) str force-field atom types
 
     @property
     def natoms(self) -> int:
@@ -277,6 +289,17 @@ class _SelectionParser:
                 t.resnames.astype(str)), list(PROTEIN_RESNAMES))
             return lambda t: prot(t) & np.isin(
                 np.char.upper(t.names.astype(str)), list(BACKBONE_NAMES))
+        if tok == "water":
+            return lambda t: np.isin(np.char.upper(
+                t.resnames.astype(str)), list(WATER_RESNAMES))
+        if tok == "nucleic":
+            return lambda t: np.isin(np.char.upper(
+                t.resnames.astype(str)), list(NUCLEIC_RESNAMES))
+        if tok == "type":
+            # force-field atom types (PSF/PRMTOP); other formats fall
+            # back to atom names, MDAnalysis's guessed-type behavior
+            match = self._str_matcher([v.upper() for v in self._values()])
+            return lambda t: match(t.names if t.types is None else t.types)
         if tok == "name":
             match = self._str_matcher([v.upper() for v in self._values()])
             return lambda t: match(t.names)
@@ -286,7 +309,9 @@ class _SelectionParser:
         if tok == "segid":
             match = self._str_matcher([v.upper() for v in self._values()])
             return lambda t: match(t.segids_or_default)
-        if tok == "resid":
+        if tok in ("resid", "resnum"):
+            # resnum: without author-assigned numbering, MDAnalysis
+            # defaults resnums to resids — the only case that exists here
             ids, ranges = self._int_spec(self._values())
 
             def fn(t, ids=ids, ranges=ranges):
@@ -606,7 +631,7 @@ def read_psf(path: str) -> Topology:
     reads; PSF is the CHARMM/NAMD standard).
     """
     names, resids, resnames, segids = [], [], [], []
-    charges, masses = [], []
+    charges, masses, types = [], [], []
     with open(path) as f:
         first = f.readline()
         if not first.startswith("PSF"):
@@ -630,13 +655,15 @@ def read_psf(path: str) -> Topology:
                           if re.match(r"-?\d+", rid) else 0)
             resnames.append(parts[3])
             names.append(parts[4])
+            types.append(parts[5])
             charges.append(float(parts[6]))
             masses.append(float(parts[7]))
     return Topology(np.asarray(names), np.asarray(resids, np.int32),
                     np.asarray(resnames), positions=None, box=None,
                     segids=np.asarray(segids),
                     masses=np.asarray(masses, np.float32),
-                    charges=np.asarray(charges, np.float32))
+                    charges=np.asarray(charges, np.float32),
+                    types=np.asarray(types))
 
 
 # ------------------------------ PDB format ------------------------------- #

@@ -33,7 +33,7 @@ from basicrta_tpu.sampler.batch import bucket_residues  # noqa: E402
 from basicrta_tpu.sampler.kernels import init_mixture_params, MixtureState  # noqa: E402
 
 VARIANTS = {
-    # production default: inversion straight-line, BTRS early-exit
+    # pre-2026-08-19 default: inversion straight-line, BTRS early-exit
     "base": dict(early_exit=(False, True, True)),
     # BTRS unrolled straight-line too
     "btrs_sl": dict(early_exit=(False, False, True)),

@@ -26,10 +26,11 @@ from basicrta_tpu.contacts.mapper import MapContacts  # noqa: E402
 from basicrta_tpu.contacts.records import ContactMeta  # noqa: E402
 
 VARIANTS = {
-    # production default: cap starts at prefilter_cap_min and adapts
-    "adaptive": ContactConfig(),
+    # forced prefilter, adaptive cap (auto keeps the dense kernel below
+    # prefilter_auto_pairs since the 2026-08-19 A/B — pin it on here)
+    "adaptive": ContactConfig(prefilter=True),
     # round-3 measured configuration: every batch at the full 4096 cap
-    "static4096": ContactConfig(prefilter_cap_min=4096),
+    "static4096": ContactConfig(prefilter=True, prefilter_cap_min=4096),
     # the unpruned kernel (round-2 baseline path)
     "dense": ContactConfig(prefilter=False),
 }

@@ -327,6 +327,8 @@ class TestPSF:
         assert len(top.select("protein")) == 5
         assert len(top.select("segid PROA")) == 5
         assert len(top.select("segid MEMB and name C1")) == 2
+        assert list(top.types[:3]) == ["NH1", "CT1", "C"]
+        assert len(top.select("type CTL?")) == 4
 
     def test_psf_trr_contacts(self, tmp_path, rng):
         """Contacts run from PSF topology + TRR trajectory fixtures
@@ -377,6 +379,24 @@ class TestSelectionExtensions:
         assert len(top.select("name HB?")) == 2
         assert len(top.select("name C* or name N")) == 4
         assert len(top.select("resname CH*")) == 4
+
+    def test_water_nucleic_type(self):
+        top = _make_topology()
+        top.resnames = np.array(["ALA", "ALA", "TIP3", "TIP3", "SOL",
+                                 "DA", "GUA", "CHOL", "CHOL"])
+        assert list(top.select("water")) == [2, 3, 4]
+        assert list(top.select("nucleic")) == [5, 6]
+        assert len(top.select("not water and not nucleic")) == 4
+        # type falls back to names without force-field types...
+        assert np.array_equal(top.select("type CA"), top.select("name CA"))
+        # ...and uses them (with globs) when the topology carries them
+        top.types = np.array(["NH1", "CT1", "CT2", "HA", "HB", "OT",
+                              "HT", "HT", "CEL1"])
+        assert len(top.select("type CT*")) == 2
+        assert len(top.select("type HT")) == 2
+        # resnum aliases resid (no author-assigned numbering exists here)
+        assert np.array_equal(top.select("resnum 1-2"),
+                              top.select("resid 1-2"))
 
     def test_segid_and_index(self):
         top = _make_topology()
@@ -436,6 +456,8 @@ PRMTOP_TEXT = (
     "TRP ALA CHOLCHOL\n"
     "%FLAG RESIDUE_POINTER\n%FORMAT(10I8)\n"
     "       1       4       6       8\n"
+    "%FLAG AMBER_ATOM_TYPE\n%FORMAT(20a4)\n"
+    "N   CX  C   N   CX  CT  CT  CT  CT\n"
 )
 
 
@@ -497,6 +519,8 @@ class TestAmber:
         assert list(np.unique(top.resnames)) == ["ALA", "CHOL", "TRP"]
         assert len(top.select("protein")) == 5
         assert len(top.select("resname CHOL")) == 4
+        assert list(top.types[:3]) == ["N", "CX", "C"]
+        assert len(top.select("type CT")) == 4
 
     def test_prmtop_rejects_non_prmtop(self, tmp_path):
         p = tmp_path / "x.prmtop"
