@@ -97,31 +97,45 @@ def _cmd_gibbs(args):
         initialize()
     driver = ParallelGibbs(args.contacts, cfg=cfg)
     run_resids = args.resid
+    rerun: set = set()
     if args.rerun_missing:
         # failure-detection sweep: run only residues without results
         # (reference scripts/get_rerun_residues.py + create_jobs.sh --rerun)
         from basicrta_tpu.protein.driver import ProcessProtein
         pp = ProcessProtein(cfg=cfg, cutoff=driver.cutoff)
         missing = pp.missing_residues()
-        if not missing:
-            print("no missing residues; nothing to rerun")
-            return
-        run_resids = [int(lab[1:]) for lab in missing]
-        print(f"rerunning {len(run_resids)} residues: "
-              f"{' '.join(missing)}", file=sys.stderr)
+        rerun |= set(missing)
+        print(f"{len(missing)} missing residues"
+              + (f": {' '.join(missing)}" if missing else ""),
+              file=sys.stderr)
     if args.rerun_flagged:
         # convergence-recovery sweep: rerun the residues cluster
         # --diagnostics flagged; combine with --nchains/--niter/--seed,
-        # else the deterministic sampler reproduces the same chains
+        # else the deterministic sampler reproduces the same chains.
+        # Unions with --rerun-missing when both are given.
         import numpy as np
         z = np.load(args.rerun_flagged)
-        flagged = [str(lab) for lab in z["flagged"]]
-        if not flagged:
-            print("no flagged residues; nothing to rerun")
+        if "flagged" in getattr(z, "files", ()):
+            flagged = [str(lab) for lab in z["flagged"]]
+        else:
+            # diagnostics.npz from before the 'flagged' key: recompute
+            # from the per-residue stats it does carry
+            flagged = [str(lab) for lab, r, e in zip(
+                z["labels"], z["max_rhat"], z["min_ess"])
+                if not (r <= float(z["rhat_warn"])
+                        and e >= float(z["ess_warn"]))]   # NaN flags
+        rerun |= set(flagged)
+        print(f"{len(flagged)} flagged residues"
+              + (f": {' '.join(flagged)}" if flagged else ""),
+              file=sys.stderr)
+    if args.rerun_missing or args.rerun_flagged:
+        if not rerun:
+            print("nothing to rerun")
             return
-        run_resids = [int(lab[1:]) for lab in flagged]
-        print(f"rerunning {len(run_resids)} flagged residues: "
-              f"{' '.join(flagged)}", file=sys.stderr)
+        labels = sorted(rerun, key=lambda s: int(s[1:]))
+        run_resids = [int(lab[1:]) for lab in labels]
+        print(f"rerunning {len(labels)} residues: {' '.join(labels)}",
+              file=sys.stderr)
     if args.multihost:
         # pod mapping: same command on every host; each host samples its
         # own residue subset with its local chips (the reference's Slurm

@@ -245,6 +245,8 @@ class NCDFWriter:
 
     def write(self, coords: np.ndarray, times: np.ndarray,
               box: Optional[np.ndarray], steps=None):
+        if self._closed:
+            raise ValueError("NCDFWriter: write() after close()")
         coords = np.asarray(coords, np.float32)
         if self._has_box is None:
             self._has_box = box is not None
@@ -281,7 +283,9 @@ class NCDFWriter:
             nc.createDimension("spatial", 3)
             nc.createDimension("atom", A)
             sp = nc.createVariable("spatial", "c", ("spatial",))
-            sp[:] = list(b"xyz")
+            # 'c' variables hold S1 chars; assigning ints would stringify
+            # (120 -> b'1'), so hand scipy byte chars
+            sp[:] = np.frombuffer(b"xyz", dtype="S1")
             t = nc.createVariable("time", "f", ("frame",))
             t.units = "picosecond"
             c = nc.createVariable("coordinates", "f",
@@ -294,9 +298,14 @@ class NCDFWriter:
             if self._has_box:
                 nc.createDimension("cell_spatial", 3)
                 nc.createDimension("cell_angular", 3)
+                nc.createDimension("label", 5)
                 cs = nc.createVariable("cell_spatial", "c",
                                        ("cell_spatial",))
-                cs[:] = list(b"abc")
+                cs[:] = np.frombuffer(b"abc", dtype="S1")
+                cg = nc.createVariable("cell_angular", "c",
+                                       ("cell_angular", "label"))
+                cg[:] = np.frombuffer(b"alphabeta gamma",
+                                      dtype="S1").reshape(3, 5)
                 cl = nc.createVariable("cell_lengths", "d",
                                        ("frame", "cell_spatial"))
                 cl.units = "angstrom"
@@ -308,7 +317,8 @@ class NCDFWriter:
                     ca[0:F] = np.concatenate(self._angles)
         finally:
             nc.close()
-        self._coords = self._times = self._lengths = self._angles = []
+        self._coords, self._times = [], []
+        self._lengths, self._angles = [], []
 
     def __enter__(self):
         return self

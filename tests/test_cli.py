@@ -108,6 +108,32 @@ def test_cli_pipeline(contacts_done, monkeypatch):
         assert os.path.exists("basicrta-7.0/W7/gibbs_600.npz.bak")
 
 
+def test_cli_rerun_flagged_legacy_npz_and_union(contacts_done,
+                                                monkeypatch):
+    """--rerun-flagged recomputes flags from diagnostics.npz files
+    written before the 'flagged' key, and unions with --rerun-missing
+    instead of one flag silently winning (or early-returning when no
+    residues are missing)."""
+    monkeypatch.chdir(contacts_done)
+    main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "600",
+          "--ncomp", "3", "--nchains", "2"])
+    main(["cluster", "--cutoff", "7.0", "--niter", "600",
+          "--diagnostics"])
+    z = np.load("diagnostics.npz")
+    if not len(z["flagged"]):
+        pytest.skip("600-sweep chain happened to pass diagnostics")
+    legacy = {k: z[k] for k in z.files if k != "flagged"}
+    np.savez("diagnostics_legacy.npz", **legacy)
+    before = os.path.getmtime("basicrta-7.0/W7/gibbs_600.npz")
+    # nothing is missing, so the old code's --rerun-missing branch
+    # early-returned and the flagged rerun never happened
+    main(["gibbs", "--contacts", "contacts_7.0.npz", "--niter", "600",
+          "--ncomp", "3", "--nchains", "2", "--seed", "5",
+          "--rerun-missing", "--rerun-flagged",
+          "diagnostics_legacy.npz"])
+    assert os.path.getmtime("basicrta-7.0/W7/gibbs_600.npz") > before
+
+
 def test_cli_gibbs_specific_resid(contacts_done, monkeypatch):
     monkeypatch.chdir(contacts_done)
     # rerunning one residue only (reference gibbs.py --resid)

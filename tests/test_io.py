@@ -1213,6 +1213,32 @@ class TestTrajectoryWriterFacade:
         with pytest.raises(ValueError, match="agree on having a box"):
             w.write(coords[2:], times[2:], None)
 
+    def test_ncdf_convention_labels(self, tmp_path, traj_data):
+        """AMBER convention 1.0 axis-label variables round-trip as real
+        chars ('c' variables hold S1; int assignment stringifies, so a
+        naive write reads back b'1' b'1' b'1')."""
+        from scipy.io import netcdf_file
+        from basicrta_tpu.io.native import trajectory_writer
+        coords, times, box = traj_data
+        path = str(tmp_path / "lbl.nc")
+        with trajectory_writer(path) as w:
+            w.write(coords, times, box)
+        nc = netcdf_file(path, "r", mmap=False)
+        assert nc.variables["spatial"][:].tobytes() == b"xyz"
+        assert nc.variables["cell_spatial"][:].tobytes() == b"abc"
+        assert nc.variables["cell_angular"][:].tobytes() == \
+            b"alphabeta gamma"
+        nc.close()
+
+    def test_ncdf_write_after_close_raises(self, tmp_path, traj_data):
+        from basicrta_tpu.io.native import trajectory_writer
+        coords, times, box = traj_data
+        w = trajectory_writer(str(tmp_path / "x.nc"))
+        w.write(coords, times, box)
+        w.close()
+        with pytest.raises(ValueError, match="after close"):
+            w.write(coords, times, box)
+
     def test_ncdf_universe_read(self, tmp_path, traj_data):
         """A written .nc file reads back through the Universe facade
         (extension dispatch + normalized (coords, times, box))."""
