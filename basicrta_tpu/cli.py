@@ -114,23 +114,30 @@ def _cmd_gibbs(args):
         # else the deterministic sampler reproduces the same chains.
         # Unions with --rerun-missing when both are given.
         import numpy as np
-        z = np.load(args.rerun_flagged)
-        if "flagged" in getattr(z, "files", ()):
-            flagged = [str(lab) for lab in z["flagged"]]
-        else:
-            # diagnostics.npz from before the 'flagged' key: recompute
-            # from the per-residue stats it does carry
-            flagged = [str(lab) for lab, r, e in zip(
-                z["labels"], z["max_rhat"], z["min_ess"])
-                if not (r <= float(z["rhat_warn"])
-                        and e >= float(z["ess_warn"]))]   # NaN flags
+        try:
+            with np.load(args.rerun_flagged) as z:
+                if "flagged" in getattr(z, "files", ()):
+                    flagged = [str(lab) for lab in z["flagged"]]
+                else:
+                    # diagnostics.npz from before the 'flagged' key:
+                    # recompute from the per-residue stats it does carry
+                    flagged = [str(lab) for lab, r, e in zip(
+                        z["labels"], z["max_rhat"], z["min_ess"])
+                        if not (r <= float(z["rhat_warn"])
+                                and e >= float(z["ess_warn"]))]  # NaN flags
+        except (KeyError, AttributeError, IndexError) as e:
+            raise SystemExit(
+                f"{args.rerun_flagged} is not a diagnostics archive: "
+                f"expected a diagnostics.npz from `cluster --diagnostics` "
+                f"with keys flagged (or labels/max_rhat/min_ess/"
+                f"rhat_warn/ess_warn); got {type(e).__name__}: {e}")
         rerun |= set(flagged)
         print(f"{len(flagged)} flagged residues"
               + (f": {' '.join(flagged)}" if flagged else ""),
               file=sys.stderr)
     if args.rerun_missing or args.rerun_flagged:
         if not rerun:
-            print("nothing to rerun")
+            print("nothing to rerun", file=sys.stderr)
             return
         labels = sorted(rerun, key=lambda s: int(s[1:]))
         run_resids = [int(lab[1:]) for lab in labels]

@@ -428,6 +428,8 @@ class BufferedDCDWriter:
               box: np.ndarray, steps: Optional[np.ndarray] = None):
         """Same signature as XTCWriter/TRRWriter (steps are meaningless in
         DCD and ignored); coords/box in Angstrom, times in ns."""
+        if self._closed:
+            raise ValueError(f"write() after close() on {self.path}")
         coords = np.asarray(coords, np.float32)
         box = np.asarray(box, np.float64)
         if box.ndim == 3:                     # full matrix -> diagonal
