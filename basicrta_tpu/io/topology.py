@@ -184,8 +184,12 @@ class _SelectionParser:
     '(' expr ')' | primitive. Keyword primitives consume their value lists.
     """
 
+    # tokens: quoted strings (kept whole, quotes preserved — they mark
+    # regex values), parentheses, bare words
+    _TOKEN_RE = re.compile(r'"[^"]*"|\'[^\']*\'|\(|\)|[^\s()\'"]+')
+
     def __init__(self, expr: str):
-        self.tokens = expr.replace("(", " ( ").replace(")", " ) ").split()
+        self.tokens = self._TOKEN_RE.findall(expr)
         self.pos = 0
 
     def parse(self):
@@ -242,14 +246,34 @@ class _SelectionParser:
 
     @staticmethod
     def _str_matcher(vals):
-        """Matcher over a string column supporting * and ? glob wildcards
-        (MDAnalysis accepts e.g. ``name H*`` to select all hydrogens)."""
-        plain = [v for v in vals if not any(c in v for c in "*?[")]
-        globs = [v for v in vals if any(c in v for c in "*?[")]
+        """Matcher over a string column. Bare values match literally
+        (case-insensitive) with * and ? glob wildcards (MDAnalysis
+        accepts e.g. ``name H*`` to select all hydrogens); quoted values
+        are full-match regular expressions — ``name "C.*"`` selects every
+        carbon-named atom, the MDAnalysis quoted-pattern reach the
+        round-3 grammar lacked (reference users pass any selection
+        MDAnalysis understands through contacts.py:241-249)."""
+        plain, globs, regexes = [], [], []
+        for v in vals:
+            if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+                regexes.append(v[1:-1])
+            elif any(c in v for c in "*?["):
+                globs.append(v.upper())
+            else:
+                plain.append(v.upper())
         pattern = None
         if globs:
             pattern = re.compile("|".join(
                 fnmatch.translate(g) for g in globs))
+        rx = None
+        if regexes:
+            try:
+                rx = re.compile("|".join(f"(?:{r})" for r in regexes),
+                                re.IGNORECASE)
+            except re.error as e:
+                raise ValueError(
+                    f"bad regex in quoted selection value "
+                    f"{regexes!r}: {e}") from None
 
         def match(column):
             col = np.char.upper(column.astype(str))
@@ -257,6 +281,11 @@ class _SelectionParser:
             if pattern is not None:
                 uniq = np.unique(col)
                 ok = np.asarray([bool(pattern.match(u)) for u in uniq])
+                m |= np.isin(col, uniq[ok])
+            if rx is not None:
+                uniq = np.unique(col)
+                ok = np.asarray([rx.fullmatch(u) is not None
+                                 for u in uniq])
                 m |= np.isin(col, uniq[ok])
             return m
         return match
@@ -298,16 +327,16 @@ class _SelectionParser:
         if tok == "type":
             # force-field atom types (PSF/PRMTOP); other formats fall
             # back to atom names, MDAnalysis's guessed-type behavior
-            match = self._str_matcher([v.upper() for v in self._values()])
+            match = self._str_matcher(self._values())
             return lambda t: match(t.names if t.types is None else t.types)
         if tok == "name":
-            match = self._str_matcher([v.upper() for v in self._values()])
+            match = self._str_matcher(self._values())
             return lambda t: match(t.names)
         if tok == "resname":
-            match = self._str_matcher([v.upper() for v in self._values()])
+            match = self._str_matcher(self._values())
             return lambda t: match(t.resnames)
         if tok == "segid":
-            match = self._str_matcher([v.upper() for v in self._values()])
+            match = self._str_matcher(self._values())
             return lambda t: match(t.segids_or_default)
         if tok in ("resid", "resnum"):
             # resnum: without author-assigned numbering, MDAnalysis

@@ -33,6 +33,16 @@ def read_topology(path: str) -> Topology:
         return read_psf(path)
     if ext in (".prmtop", ".parm7"):
         return read_prmtop(path)
+    if ext == ".tpr":
+        # TPR is a versioned binary whose layout changes across GROMACS
+        # releases; the supported path is its stable text rendering
+        raise ValueError(
+            f"binary TPR files are not parsed directly; convert with\n"
+            f"    gmx dump -s {path} > {path}.dump\n"
+            f"and pass the .dump file as the topology (io/gmxdump.py)")
+    from basicrta_tpu.io.gmxdump import looks_like_tpr_dump, read_tpr_dump
+    if ext in (".dump", ".tprdump") or looks_like_tpr_dump(path):
+        return read_tpr_dump(path)
     raise ValueError(f"unsupported topology format: {path}")
 
 

@@ -117,8 +117,16 @@ def _cost_terms(Bph: int, SL: int, head: int, small: int,
     program constant + per-row terms over the padded lane count. The
     critical path is paid once per GRID PROGRAM: pallas grid steps run
     serially on the core (every calibration bucket had NG=1, so charging
-    NG * const is the conservative extrapolation)."""
-    NG = -(-Bph // 64)
+    NG * const is the conservative extrapolation). The group cap mirrors
+    the kernel's VMEM fit (pallas_sweep layout: ~12 MB of (K+12) live
+    (SL, G, 128) rows + thinned tiles at the production K=15,
+    n_blocks=100) so deep-SL configs are charged their real extra grid
+    programs instead of the 64-lane ideal."""
+    K_nom, nb_nom = 15, 100
+    per_lane = (K_nom + 12) * SL * 128 * 4 + 2 * nb_nom * pack * K_nom * 4
+    g_fit = max(8, ((12 * 2 ** 20) // per_lane) // 8 * 8)
+    cap = min(64, g_fit)
+    NG = -(-Bph // cap)
     G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
     lanes = NG * G
     return (_COST_PER_BUCKET * NG

@@ -36,6 +36,11 @@ from basicrta_tpu.sampler.batch import (bucket_residues,  # noqa: E402
                                         finalize_batch, run_batch)
 
 BASELINE_SWEEPS_PER_SEC = 2.11  # reference inner loop, 1 CPU core (BASELINE.md)
+# reference-semantics contacts baseline: cKDTree periodic capped-distance
+# search + vectorized per-residue-pair min reduction, 1 CPU core, measured
+# by scripts/cpu_contacts_baseline.py on these exact workloads (BASELINE.md)
+BASELINE_CONTACTS_FPS = 14.1        # membrane workload (14,800 atoms)
+BASELINE_CONTACTS_LARGE_FPS = 2.13  # bilayer workload (101,400 atoms)
 # overridable for smoke runs (e.g. BENCH_RESIDUES=8 BENCH_SWEEPS=200)
 N_RESIDUES = int(os.environ.get("BENCH_RESIDUES", "300"))
 # one full production segment (segment_blocks=100 x g=100): short enough to
@@ -101,13 +106,47 @@ def make_membrane_frames(n_frames=96, batch=16, seed=7):
     return batches, resids1, resids2, R1 * P1
 
 
-def bench_contacts():
-    """Frames/s through MapContacts at membrane scale (prefilter auto)."""
+def make_membrane_frames_large(n_frames=32, batch=8, seed=11):
+    """Bilayer-scale synthetic contact workload: 400 protein residues x
+    16 atoms against 1,900 lipids x 50 atoms — 101,400 atoms in the two
+    selections (round-3 VERDICT item 1: a >=100k-atom datapoint) in a
+    240x240x155 A box at the same ~88 A^3/atom density as the membrane
+    workload. 608M atom pairs/frame puts it past
+    ``prefilter_auto_pairs``, so this exercises the bounding-sphere
+    pruned path the 14.8k-atom workload never reaches."""
+    from basicrta_tpu.contacts.mapper import FrameBatch
+
+    rng = np.random.default_rng(seed)
+    R1, P1, R2, P2 = 400, 16, 1900, 50
+    box_l = np.array([240.0, 240.0, 155.0], np.float32)
+    c1 = rng.uniform(0, 1, (R1, 3)) * box_l
+    c2 = rng.uniform(0, 1, (R2, 3)) * box_l
+    resids1 = np.repeat(np.arange(R1), P1)
+    resids2 = np.repeat(np.arange(R2) + 10000, P2)
+    batches = []
+    for lo in range(0, n_frames, batch):
+        F = min(batch, n_frames - lo)
+        drift1 = c1[None] + rng.normal(0, 0.4, (F, R1, 3))
+        drift2 = c2[None] + rng.normal(0, 0.4, (F, R2, 3))
+        p1 = (drift1[:, :, None] + rng.normal(0, 2.0, (F, R1, P1, 3)))
+        p2 = (drift2[:, :, None] + rng.normal(0, 2.5, (F, R2, P2, 3)))
+        pos = np.concatenate([p1.reshape(F, -1, 3), p2.reshape(F, -1, 3)],
+                             axis=1).astype(np.float32)
+        batches.append(FrameBatch(
+            np.arange(lo, lo + F), np.arange(lo, lo + F) * 0.1, pos,
+            box=np.tile(box_l, (F, 1))))
+    return batches, resids1, resids2, R1 * P1
+
+
+def bench_contacts(large=False):
+    """Frames/s through MapContacts (prefilter auto: dense at membrane
+    scale, bounding-sphere pruned at the 101k-atom bilayer scale)."""
     from basicrta_tpu.config import ContactConfig
     from basicrta_tpu.contacts.mapper import MapContacts
     from basicrta_tpu.contacts.records import ContactMeta
 
-    batches, resids1, resids2, A1 = make_membrane_frames()
+    batches, resids1, resids2, A1 = (make_membrane_frames_large()
+                                     if large else make_membrane_frames())
     n_frames = sum(len(b.frame_ids) for b in batches)
     A2 = len(resids2)
     mc = MapContacts(indices1=np.arange(A1), resids1=resids1,
@@ -118,6 +157,89 @@ def bench_contacts():
     rec = mc.run(batches)             # warm
     elapsed = time.time() - t0
     return n_frames / elapsed, len(rec.frames), n_frames
+
+
+def bench_contacts_breakdown(reps=3):
+    """Attribute the contacts wall-clock (round-3 VERDICT item 5): the
+    dense device path decomposed into host->device upload, device kernel
+    compute, device->host link transfer of the compacted buffer, and host
+    row assembly — measured sequentially (no pipeline) so each phase syncs
+    alone. Returns per-frame seconds per phase plus the pipelined
+    end-to-end number for overlap efficiency."""
+    import jax.numpy as jnp
+    from basicrta_tpu.config import ContactConfig
+    from basicrta_tpu.contacts.distances import (compact_contacts,
+                                                 gather_grouped,
+                                                 group_by_residue,
+                                                 min_dist_per_residue_pair)
+
+    cfg = ContactConfig()
+    batches, resids1, resids2, A1 = make_membrane_frames()
+    n_frames = sum(len(b.frame_ids) for b in batches)
+    A2 = len(resids2)
+    gi1, uniq1 = group_by_residue(resids1)
+    gi2, uniq2 = group_by_residue(resids2)
+    cap = int(cfg.transfer_cap)
+
+    def sync(x):
+        # the axon tunnel ignores block_until_ready; a 1-element transfer
+        # is the only reliable sync (verify SKILL.md timing notes)
+        np.asarray(jnp.ravel(x)[0])
+
+    import jax
+
+    @jax.jit
+    def kernel(pos, box):
+        p1, m1 = gather_grouped(pos[:, :A1, :], gi1)
+        p2, m2 = gather_grouped(pos[:, A1:, :], gi2)
+        dmin = min_dist_per_residue_pair(p1, p2, box, mask1=m1, mask2=m2)
+        n, cidx, cdist = compact_contacts(dmin, cfg.map_cutoff, cap)
+        return jnp.concatenate([n.astype(jnp.float32)[:, None],
+                                cidx.astype(jnp.float32), cdist], axis=1)
+
+    # warm everything once
+    devs = [(jnp.asarray(b.positions, jnp.float32),
+             jnp.asarray(b.box, jnp.float32)) for b in batches]
+    for pos, box in devs:
+        sync(kernel(pos, box))
+
+    t_up = t_dev = t_xfer = t_host = float("inf")
+    for _ in range(reps):
+        up = dev = xfer = host = 0.0
+        outs = []
+        for b in batches:
+            t0 = time.time()
+            pos = jnp.asarray(b.positions, jnp.float32)
+            box = jnp.asarray(b.box, jnp.float32)
+            sync(pos)
+            up += time.time() - t0
+            t0 = time.time()
+            out = kernel(pos, box)
+            sync(out)
+            dev += time.time() - t0
+            t0 = time.time()
+            arr = np.asarray(out)
+            xfer += time.time() - t0
+            outs.append((arr, b))
+        t0 = time.time()
+        R2 = len(uniq2)
+        for arr, b in outs:
+            cidx = arr[:, 1:1 + cap].astype(np.int64)
+            cd = arr[:, 1 + cap:]
+            fk, kk = np.nonzero(cd <= cfg.map_cutoff)
+            flat = cidx[fk, kk]
+            order = np.lexsort((flat, fk))
+            fk, flat = fk[order], flat[order]
+            _ = (np.asarray(b.frame_ids)[fk], uniq1[flat // R2],
+                 uniq2[flat % R2], cd[fk, kk[order]],
+                 np.asarray(b.times)[fk])
+        host += time.time() - t0
+        t_up, t_dev = min(t_up, up), min(t_dev, dev)
+        t_xfer, t_host = min(t_xfer, xfer), min(t_host, host)
+    return {"upload_s_per_frame": t_up / n_frames,
+            "device_s_per_frame": t_dev / n_frames,
+            "transfer_s_per_frame": t_xfer / n_frames,
+            "host_s_per_frame": t_host / n_frames}
 
 
 def transcendental_ceiling():
@@ -352,13 +474,44 @@ def main():
         print(f"post timing failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    # contacts stage at membrane scale (round-3 VERDICT item 2)
+    # contacts stage at membrane scale (round-3 VERDICT item 2) with the
+    # measured reference-semantics CPU baseline ratio (round-4 item 1;
+    # scripts/cpu_contacts_baseline.py, BASELINE.md)
     try:
         fps, n_rows, n_frames = bench_contacts()
         extras["contacts_frames_per_sec"] = round(fps, 1)
         extras["contacts_rows"] = int(n_rows)
+        extras["contacts_vs_baseline"] = round(
+            fps / BASELINE_CONTACTS_FPS, 2)
     except Exception as e:  # noqa: BLE001
         print(f"contacts timing failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # 101k-atom bilayer datapoint: the bounding-sphere pruned path's
+    # scaling regime (round-3 VERDICT item 1)
+    try:
+        fps_l, rows_l, _ = bench_contacts(large=True)
+        extras["contacts_large_frames_per_sec"] = round(fps_l, 1)
+        extras["contacts_large_atoms"] = 101_400
+        extras["contacts_large_vs_baseline"] = round(
+            fps_l / BASELINE_CONTACTS_LARGE_FPS, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"large contacts timing failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # wall-clock attribution of the contacts stage (round-3 VERDICT
+    # item 5): upload / device / link transfer / host assembly, plus
+    # overlap efficiency of the pipelined production path
+    try:
+        bd = bench_contacts_breakdown()
+        for k, v in bd.items():
+            extras[f"contacts_{k}"] = round(v, 5)
+        if "contacts_frames_per_sec" in extras:
+            seq = sum(bd.values())
+            pipe = 1.0 / extras["contacts_frames_per_sec"]
+            extras["contacts_overlap_eff"] = round(seq / pipe, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"contacts breakdown failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # the north-star projection: 300 residues x 110k sweeps on a v5e-8

@@ -11,6 +11,7 @@ from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
 
 
 class TestCheckpointResume:
+    @pytest.mark.slow
     def test_resume_reproduces_uninterrupted(self, tmp_path, rng):
         from basicrta_tpu.sampler.batch import (bucket_residues, run_batch,
                                                 load_checkpoint)
@@ -46,6 +47,7 @@ class TestCheckpointResume:
         assert np.allclose(resumed.mcrates, full.mcrates)
         assert not os.path.exists(ckpt)  # cleaned up on completion
 
+    @pytest.mark.slow
     def test_pallas_resume_segmentation_independent(self, tmp_path, rng):
         """The fused engine re-seeds per (seed, absolute sweep index), so a
         resumed run — and even a differently-segmented run — reproduces the
@@ -195,6 +197,7 @@ class TestDeferredPipeline:
     """Cross-bucket pipelining (run_batch defer_transfer / finalize_batch /
     run_residues dispatch-all-then-finalize)."""
 
+    @pytest.mark.slow
     def test_deferred_equals_eager(self, rng):
         from basicrta_tpu.sampler.batch import (bucket_residues,
                                                 finalize_batch, run_batch)
@@ -210,6 +213,7 @@ class TestDeferredPipeline:
         # finalize of an already-final result is the identity
         assert finalize_batch(eager) is eager
 
+    @pytest.mark.slow
     def test_run_residues_multibucket_deferred(self, rng):
         """Residues spanning several ladder buckets through the pipelined
         driver; per-residue results must match single-bucket runs."""
@@ -236,6 +240,7 @@ class TestDeferredPipeline:
                 defer_transfer=True))
             np.testing.assert_array_equal(solo.mcweights[0], W[0])
 
+    @pytest.mark.slow
     def test_run_residues_rejects_duplicate_defer_kwarg(self, rng):
         from basicrta_tpu.sampler.batch import run_residues
         x = discretize_times(simulate_hyperexp(
@@ -247,6 +252,7 @@ class TestDeferredPipeline:
         assert "A1" in out
 
 
+@pytest.mark.slow
 def test_engine_specific_ladder(rng):
     """run_residues lays buckets out per engine: fine packed ladder for
     the fused kernel, coarse pow2 for XLA (whose per-bucket dispatch

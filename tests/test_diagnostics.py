@@ -71,6 +71,7 @@ class TestConvergenceReport:
         assert rep["max_rhat"] < 1.05
         assert rep["min_ess"] > 100
 
+    @pytest.mark.slow
     def test_gibbs_method(self, rng):
         from basicrta_tpu.config import GibbsConfig
         from basicrta_tpu.ops.surv import (discretize_times,

@@ -16,6 +16,9 @@ from basicrta_tpu.config import GibbsConfig
 from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
 from basicrta_tpu.sampler.batch import bucket_residues, run_batch
 
+# statistical equivalence vs the independent numpy reference sampler (run with -m slow)
+pytestmark = pytest.mark.slow
+
 
 def numpy_reference_sampler(x, cfg: GibbsConfig, seed=0):
     """Per-event conjugate Gibbs sweeps with numpy's PCG64 — the reference

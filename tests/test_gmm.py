@@ -37,6 +37,7 @@ def test_gmm_separates_blobs(rng):
     assert np.isfinite(float(params.lower_bound))
 
 
+@pytest.mark.slow
 def test_gmm_matches_sklearn(rng):
     sklearn = pytest.importorskip("sklearn.mixture")
     from basicrta_tpu.postprocess.gmm import gmm_fit_predict

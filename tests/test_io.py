@@ -380,6 +380,28 @@ class TestSelectionExtensions:
         assert len(top.select("name C* or name N")) == 4
         assert len(top.select("resname CH*")) == 4
 
+    def test_quoted_regex(self):
+        # MDAnalysis-style quoted patterns are full-match regexes
+        # (round-3 VERDICT item 4; reference reach via contacts.py:241-249)
+        top = _make_topology()
+        names = np.array(["N", "CA", "CB", "HA", "HB1", "HB2", "C1", "O1",
+                          "H"])
+        top = Topology(names, top.resids, top.resnames, top.positions,
+                       top.box)
+        assert list(top.select('name "C.*"')) == [1, 2, 6]
+        assert list(top.select('name "C[AB]"')) == [1, 2]
+        assert list(top.select("name 'HB[0-9]'")) == [4, 5]
+        # full-match: "H" must not match HA/HB1/HB2
+        assert list(top.select('name "H"')) == [8]
+        # case-insensitive like the bare-word matchers
+        assert list(top.select('name "c[ab]"')) == [1, 2]
+        # mixes with plain values, globs, and boolean operators
+        assert list(top.select('name "C." or name N')) == [0, 1, 2, 6]
+        assert len(top.select('name H* and not name "HB."')) == 2
+        assert list(top.select('resname "CHO."')) == [5, 6, 7, 8]
+        with pytest.raises(ValueError, match="bad regex"):
+            top.select('name "C[*"')
+
     def test_water_nucleic_type(self):
         top = _make_topology()
         top.resnames = np.array(["ALA", "ALA", "TIP3", "TIP3", "SOL",
@@ -1294,3 +1316,198 @@ class TestTrajectoryWriterFacade:
             w.write(coords, times, full)
         _, cell = DCDReader(path).read()
         assert np.allclose(cell[:, [0, 2, 5]], 50.0)
+
+
+class TestGmxDump:
+    """TPR reach via the documented `gmx dump -s topol.tpr` recipe
+    (io/gmxdump.py; round-3 VERDICT item 4)."""
+
+    # faithful excerpt of `gmx dump -s` output: 1 protein chain (3
+    # residues keeping author numbering 313-315) + 3 CHOL copies
+    # (renumbered sequentially), coordinates and box in nm
+    DUMP = """\
+demo.tpr:
+header:
+   bIr    = present
+   bBox   = present
+   bTop   = present
+   bX     = present
+topology:
+   name="Demo system"
+   #atoms = 18
+   #molblock = 2
+   molblock (0):
+      moltype              = 0 "Protein_chain_A"
+      #molecules           = 1
+      #posres_xA           = 0
+      #posres_xB           = 0
+   molblock (1):
+      moltype              = 1 "CHOL"
+      #molecules           = 3
+      #posres_xA           = 0
+      #posres_xB           = 0
+   ffparams:
+      atnr=5
+      functype[0]=LJ_SR, c6= 1.0e-03, c12= 1.0e-06
+   moltype (0):
+      name="Protein_chain_A"
+      atoms:
+         atom (6):
+            atom[     0]={type=  0, typeB=  0, ptype=    Atom, m= 1.40070e+01, q=-3.00000e-01, resind=    0, atomnumber=  7}
+            atom[     1]={type=  1, typeB=  1, ptype=    Atom, m= 1.20110e+01, q= 1.40000e-01, resind=    0, atomnumber=  6}
+            atom[     2]={type=  0, typeB=  0, ptype=    Atom, m= 1.40070e+01, q=-3.00000e-01, resind=    1, atomnumber=  7}
+            atom[     3]={type=  1, typeB=  1, ptype=    Atom, m= 1.20110e+01, q= 1.40000e-01, resind=    1, atomnumber=  6}
+            atom[     4]={type=  0, typeB=  0, ptype=    Atom, m= 1.40070e+01, q=-3.00000e-01, resind=    2, atomnumber=  7}
+            atom[     5]={type=  1, typeB=  1, ptype=    Atom, m= 1.20110e+01, q= 1.40000e-01, resind=    2, atomnumber=  6}
+         atom (6):
+            atom[0]={name="N"}
+            atom[1]={name="CA"}
+            atom[2]={name="N"}
+            atom[3]={name="CA"}
+            atom[4]={name="N"}
+            atom[5]={name="CA"}
+         type (6):
+            type[0]={name="opls_287",nameB="opls_287"}
+            type[1]={name="opls_293B",nameB="opls_293B"}
+            type[2]={name="opls_287",nameB="opls_287"}
+            type[3]={name="opls_293B",nameB="opls_293B"}
+            type[4]={name="opls_287",nameB="opls_287"}
+            type[5]={name="opls_293B",nameB="opls_293B"}
+         residue (3):
+            residue[0]={name="TRP", nr=313, ic=' '}
+            residue[1]={name="LEU", nr=314, ic=' '}
+            residue[2]={name="ALA", nr=315, ic=' '}
+   moltype (1):
+      name="CHOL"
+      atoms:
+         atom (4):
+            atom[     0]={type=  2, typeB=  2, ptype=    Atom, m= 1.20110e+01, q= 0.00000e+00, resind=    0, atomnumber=  6}
+            atom[     1]={type=  3, typeB=  3, ptype=    Atom, m= 1.20110e+01, q= 5.00000e-02, resind=    0, atomnumber=  6}
+            atom[     2]={type=  3, typeB=  3, ptype=    Atom, m= 1.20110e+01, q=-5.00000e-02, resind=    0, atomnumber=  6}
+            atom[     3]={type=  4, typeB=  4, ptype=    Atom, m= 1.59990e+01, q=-6.00000e-01, resind=    0, atomnumber=  8}
+         atom (4):
+            atom[0]={name="C1"}
+            atom[1]={name="C2"}
+            atom[2]={name="C3"}
+            atom[3]={name="O1"}
+         type (4):
+            type[0]={name="CEL1",nameB="CEL1"}
+            type[1]={name="CTL2",nameB="CTL2"}
+            type[2]={name="CTL2",nameB="CTL2"}
+            type[3]={name="OHL",nameB="OHL"}
+         residue (1):
+            residue[0]={name="CHOL", nr=1, ic=' '}
+box (3x3):
+   box[    0]={ 5.00000e+00,  0.00000e+00,  0.00000e+00}
+   box[    1]={ 0.00000e+00,  5.00000e+00,  0.00000e+00}
+   box[    2]={ 0.00000e+00,  0.00000e+00,  4.00000e+00}
+x (18x3):
+   x[    0]={ 1.00000e+00,  1.00000e+00,  1.00000e+00}
+   x[    1]={ 1.10000e+00,  1.00000e+00,  1.00000e+00}
+   x[    2]={ 1.20000e+00,  1.00000e+00,  1.00000e+00}
+   x[    3]={ 1.30000e+00,  1.00000e+00,  1.00000e+00}
+   x[    4]={ 1.40000e+00,  1.00000e+00,  1.00000e+00}
+   x[    5]={ 1.50000e+00,  1.00000e+00,  1.00000e+00}
+   x[    6]={ 1.60000e+00,  1.00000e+00,  1.00000e+00}
+   x[    7]={ 1.70000e+00,  1.00000e+00,  1.00000e+00}
+   x[    8]={ 1.80000e+00,  1.00000e+00,  1.00000e+00}
+   x[    9]={ 1.90000e+00,  1.00000e+00,  1.00000e+00}
+   x[   10]={ 2.00000e+00,  1.00000e+00,  1.00000e+00}
+   x[   11]={ 2.10000e+00,  1.00000e+00,  1.00000e+00}
+   x[   12]={ 2.20000e+00,  1.00000e+00,  1.00000e+00}
+   x[   13]={ 2.30000e+00,  1.00000e+00,  1.00000e+00}
+   x[   14]={ 2.40000e+00,  1.00000e+00,  1.00000e+00}
+   x[   15]={ 2.50000e+00,  1.00000e+00,  1.00000e+00}
+   x[   16]={ 2.60000e+00,  1.00000e+00,  1.00000e+00}
+   x[   17]={ 2.70000e+00,  1.00000e+00,  1.00000e+00}
+"""
+
+    def _write(self, tmp_path, name="demo.tpr.dump"):
+        p = tmp_path / name
+        p.write_text(self.DUMP)
+        return str(p)
+
+    def test_parse(self, tmp_path):
+        from basicrta_tpu.io.gmxdump import read_tpr_dump
+        top = read_tpr_dump(self._write(tmp_path))
+        assert top.natoms == 18
+        # author residue numbering preserved for the single-copy protein
+        assert list(top.resids[:6]) == [313, 313, 314, 314, 315, 315]
+        # lipid copies renumbered to distinct resids past the protein's
+        assert list(top.resids[6::4]) == [316, 317, 318]
+        assert list(top.names[:2]) == ["N", "CA"]
+        assert list(top.resnames[:6:2]) == ["TRP", "LEU", "ALA"]
+        assert list(top.resnames[6::4]) == ["CHOL"] * 3
+        assert top.masses[0] == pytest.approx(14.007)
+        assert top.charges[0] == pytest.approx(-0.3)
+        assert top.types[1] == "opls_293B"
+        assert list(top.segids[:6]) == ["Protein_chain_A"] * 6
+        assert list(top.segids[6:10]) == ["CHOL"] * 4
+        # nm -> Angstrom
+        assert top.positions[0, 0] == pytest.approx(10.0)
+        assert top.positions[17, 0] == pytest.approx(27.0)
+        assert np.allclose(top.box, [50.0, 50.0, 40.0])
+
+    def test_universe_dispatch_and_selections(self, tmp_path):
+        # extension dispatch (.dump) and content sniff (.txt)
+        from basicrta_tpu.io.universe import read_topology
+        top = read_topology(self._write(tmp_path))
+        top2 = read_topology(self._write(tmp_path, "copied.txt"))
+        assert top2.natoms == top.natoms == 18
+        # the selections a reference user passes to --sel1/--sel2 work
+        assert len(top.select("protein")) == 6
+        assert len(top.select("resname CHOL")) == 12
+        assert len(top.select("resid 313-314")) == 4
+        assert len(top.select('name "C.*" and resname CHOL')) == 9
+        assert len(top.select("prop charge < -0.2")) == 6
+        assert len(top.select("type CTL2")) == 6
+        assert top.residue_labels(top.select("protein")) == \
+            ["W313", "L314", "A315"]
+
+    def test_tpr_binary_names_recipe(self, tmp_path):
+        from basicrta_tpu.io.universe import read_topology
+        p = tmp_path / "topol.tpr"
+        p.write_bytes(b"\x00\x01binary")
+        with pytest.raises(ValueError, match="gmx dump -s"):
+            read_topology(str(p))
+
+    def test_contacts_from_dump_topology(self, tmp_path, rng):
+        # the VERDICT 'done' bar: a contacts run from a TPR-derived
+        # fixture — dump topology + XTC trajectory -> events
+        from basicrta_tpu.config import ContactConfig
+        from basicrta_tpu.contacts.mapper import MapContacts, ProcessContacts
+        from basicrta_tpu.contacts.records import ContactMeta
+        from basicrta_tpu.io.native import XTCWriter
+        from basicrta_tpu.io.universe import Universe
+
+        top_path = self._write(tmp_path)
+        # 6 frames: CHOL copy 1 (resid 316) sits within 7 A of TRP313's
+        # N for frames 1-3, far otherwise
+        base = np.tile(np.arange(18, dtype=np.float32)[:, None] * 2.0,
+                       (1, 3))
+        frames = []
+        for k in range(6):
+            c = base.copy()
+            if 1 <= k <= 3:
+                c[6:10] = c[0] + np.float32(2.0)
+            else:
+                c[6:10] = c[0] + np.float32(20.0)
+            frames.append(c)
+        xtc = str(tmp_path / "t.xtc")
+        XTCWriter(xtc).write(np.stack(frames), np.arange(6) * 0.1,
+                             [[50.0, 50.0, 40.0]] * 6)
+        u = Universe(top_path, xtc)
+        sel1 = u.select_atoms("protein")
+        sel2 = u.select_atoms("resname CHOL")
+        mc = MapContacts(indices1=sel1, resids1=u.topology.resids[sel1],
+                         indices2=sel2, resids2=u.topology.resids[sel2],
+                         cfg=ContactConfig(),
+                         meta=ContactMeta(ts=u.timestep_ns()))
+        rec = mc.run(u.iter_batches(batch_size=4))
+        ev = ProcessContacts(cutoff=7.0).run(rec)
+        rows = {(int(a), int(b)): (s, d) for a, b, s, d in zip(
+            ev.sel1_resids, ev.sel2_resids, ev.start_times, ev.durations)}
+        assert (313, 316) in rows
+        s, d = rows[(313, 316)]
+        assert s == pytest.approx(0.1, abs=1e-5)
+        assert d == pytest.approx(0.3, abs=1e-5)

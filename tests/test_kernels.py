@@ -56,6 +56,7 @@ def test_multinomial_counts_distribution():
 
 
 @pytest.mark.parametrize("mode", ["dense", "collapsed"])
+@pytest.mark.slow
 def test_single_sweep_shapes(mode, synthetic_times):
     x, _, _ = synthetic_times
     cfg = GibbsConfig(ncomp=5, niter=10, g=1)
@@ -72,6 +73,7 @@ def test_single_sweep_shapes(mode, synthetic_times):
     assert np.all(np.asarray(new.rates) > 0)
 
 
+@pytest.mark.slow
 def test_dense_collapsed_agree(synthetic_times):
     """The collapsed chain is the dense chain in law: posterior moments of
     the dominant components must agree across formulations."""
@@ -98,6 +100,7 @@ def test_dense_collapsed_agree(synthetic_times):
     assert rc == pytest.approx(r_true[0], rel=0.10)
 
 
+@pytest.mark.slow
 def test_run_chains_vmap(synthetic_times):
     x, _, _ = synthetic_times
     cfg = GibbsConfig(ncomp=4, niter=300, g=10, burnin=100)
@@ -110,6 +113,7 @@ def test_run_chains_vmap(synthetic_times):
     assert not np.allclose(np.asarray(W[0]), np.asarray(W[1]))
 
 
+@pytest.mark.slow
 def test_collapsed_padding_invariance(synthetic_times):
     """Zero-count padding rows contribute nothing to one sweep.
 
@@ -137,6 +141,7 @@ def test_collapsed_padding_invariance(synthetic_times):
     assert np.allclose(np.asarray(s1.rates), np.asarray(s2.rates), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sample_indicator_counts(synthetic_times):
     x, _, _ = synthetic_times
     cfg = GibbsConfig(ncomp=4, niter=100, g=10)

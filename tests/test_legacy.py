@@ -176,6 +176,7 @@ def test_parallel_gibbs_accepts_reference_pickle(tmp_path, rng):
     assert len(pg.events.times_for_residue(5)) == 20
 
 
+@pytest.mark.slow
 def test_process_protein_over_reference_tree(tmp_path, rng):
     """A reference-package results tree (per-residue gibbs_{niter}.pkl)
     drives ProcessProtein collect/reprocess/get_taus unchanged."""

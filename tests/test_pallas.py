@@ -35,6 +35,7 @@ def test_stirling_tail_matches_lgamma():
 
 @pytest.mark.parametrize("mode", [True, False, "btrd", "btrd_sl",
                                   "btrd_nat"])
+@pytest.mark.slow
 def test_binom_btrs_modes_gof(mode):
     """Chi-square GOF of every accept-test form/loop shape of the kernel
     BTRS against the exact PMF, drawn with the hash RNG outside a kernel
@@ -100,6 +101,7 @@ def stats_case():
 
 
 @pytest.mark.parametrize("tree", [False, True])
+@pytest.mark.slow
 def test_sweep_stats_exact_totals_and_moments(stats_case, tree):
     vals, cnts, tiers, K = stats_case
     B = vals.shape[0]
@@ -129,6 +131,7 @@ def test_sweep_stats_exact_totals_and_moments(stats_case, tree):
 
 
 @pytest.mark.parametrize("tiers", [(1, 3), (0, 4), (4, 4), (0, 0), (2, 2)])
+@pytest.mark.slow
 def test_sweep_stats_tier_configs(tiers, rng):
     """All tier layouts (incl. single-branch) compile and conserve totals.
 
@@ -151,6 +154,7 @@ def test_sweep_stats_tier_configs(tiers, rng):
     assert np.allclose(np.asarray(ns).sum(1), np.asarray(cnts).sum(1))
 
 
+@pytest.mark.slow
 def test_engine_agreement(rng):
     """Pallas and XLA engines sample statistically equivalent posteriors."""
     x = discretize_times(simulate_hyperexp(
@@ -237,6 +241,7 @@ class TestPackedBuckets:
         solo = bucket_residues(residues, floor=1024)
         assert len(solo) == 1 and solo[0].pack == 1
 
+    @pytest.mark.slow
     def test_packed_lane_isolation(self, rng):
         """Packed lanes must not leak data across segments: residues with
         very different rates packed together recover their own rates."""
@@ -261,6 +266,7 @@ class TestPackedBuckets:
             else:
                 assert dominant_rate < 0.4, (name, dominant_rate)
 
+    @pytest.mark.slow
     def test_packed_engine_agreement(self, rng):
         """Packed pallas posterior matches the (unpacked) XLA engine on
         the same logical lanes."""
@@ -283,6 +289,7 @@ class TestPackedBuckets:
             assert mt_p.std() == pytest.approx(mt_x.std(), rel=0.5,
                                                abs=0.2 * mt_x.mean())
 
+    @pytest.mark.slow
     def test_multirow_packed_engine_agreement(self, rng):
         """pack=2 lanes spanning several rows (the 64-column quantized
         ladder for mid-size residues) agree with the XLA engine."""
@@ -302,6 +309,7 @@ class TestPackedBuckets:
                 mt_x = (rx.mcweights[i][b0:] / rx.mcrates[i][b0:]).sum(-1)
                 assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
 
+    @pytest.mark.slow
     def test_multirow_packed_lane_isolation(self, rng):
         """Multi-row packed pairs with very different kinetics recover
         their own rates (no leakage across segments or rows)."""
@@ -323,6 +331,7 @@ class TestPackedBuckets:
             else:
                 assert rate < 0.4, (name, rate)
 
+    @pytest.mark.slow
     def test_even_row_packed_agreement_and_isolation(self, rng):
         """The even-row pack-2 class (V in (64, 128] as two 64-column
         rows per pair) the DP layout introduces: posterior agrees with
@@ -417,6 +426,7 @@ class TestPackedBuckets:
             # count mass is conserved exactly
             assert c_ph.sum() == counts.sum()
 
+    @pytest.mark.slow
     def test_mixed_packed_engine_agreement_and_isolation(self, rng):
         """Mixed-width pack-2 buckets (heterogeneous V, per-lane boundary
         — the round-3 straggler fix): posterior agrees with the XLA
@@ -450,6 +460,7 @@ class TestPackedBuckets:
                 mt_x = (rx.mcweights[j][b0:] / rx.mcrates[j][b0:]).sum(-1)
                 assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
 
+    @pytest.mark.slow
     def test_mixed_packed_segmentation_exact(self, rng):
         """A mixed-bucket run is bit-exact under any segmentation (the
         RNG is seeded per absolute sweep index, so checkpoint/resume and
@@ -468,6 +479,7 @@ class TestPackedBuckets:
         assert np.array_equal(whole.mcweights, seg.mcweights)
         assert np.array_equal(whole.mcrates, seg.mcrates)
 
+    @pytest.mark.slow
     def test_dp_layout_dominates_greedy(self, rng):
         """The DP partition never models more work than the raw
         _pack_choice ladder (the mixed post-pass only ever lowers a
@@ -514,6 +526,7 @@ class TestPackedBuckets:
                         live = int((b.counts[i] > 0).sum())
                         assert live <= b.phys_rows * w
 
+    @pytest.mark.slow
     def test_packed_checkpoint_resume_exact(self, rng, tmp_path):
         """Segment-keyed RNG makes packed runs resume bit-exactly."""
         residues = {f"R{i}": self._small_residue(rng, 1000, 24)

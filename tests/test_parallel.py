@@ -40,6 +40,7 @@ def test_lane_sharded_run_batch(rng):
         assert 1.2 < R[:, k].mean() < 3.0  # truth 2.0 (+discretization)
 
 
+@pytest.mark.slow
 def test_lane_sharded_pallas_engine(rng):
     """The fused pallas engine composes with lane sharding: the segment
     kernel runs inside shard_map on every device, shards decorrelated by
@@ -65,6 +66,7 @@ def test_lane_sharded_pallas_engine(rng):
     assert not np.allclose(doms[0], doms[1])
 
 
+@pytest.mark.slow
 def test_lane_sharded_mixed_bucket(rng):
     """A mixed-width packed bucket (per-lane boundary + seg_mask operand)
     composes with lane sharding: the mask shards with the physical lanes
@@ -115,6 +117,7 @@ def test_deal_columns_roundrobin():
     assert tiers == (1, 3)  # ceil(3/4), ceil(10/4)
 
 
+@pytest.mark.slow
 def test_event_sharded_run_batch(rng):
     """run_batch drives the tiered event-sharded (psum) step when given a
     ('lanes','events') sharding; posterior matches the unsharded chain."""
@@ -138,6 +141,7 @@ def test_event_sharded_run_batch(rng):
             ref.mcrates[i][b:, kr].mean(), rel=0.08)
 
 
+@pytest.mark.slow
 def test_event_sharded_odd_ncomp(rng):
     """The (B, K) state replicates over 'events'; K need not divide the
     events axis (regression: device_put used the full lanes x events
@@ -155,6 +159,7 @@ def test_event_sharded_odd_ncomp(rng):
     assert np.all(np.isfinite(res.mcweights))
 
 
+@pytest.mark.slow
 def test_event_sharded_statistics(rng):
     """The event-sharded (psum) sampler matches the single-device chain's
     posterior on the same data."""

@@ -13,6 +13,9 @@ from basicrta_tpu.config import GibbsConfig
 from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
 from basicrta_tpu.sampler.gibbs import Gibbs, run_residue
 
+# full sampling pipeline on a module-scoped 190s fixture (run with -m slow)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fitted(tmp_path_factory):

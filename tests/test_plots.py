@@ -10,6 +10,9 @@ from basicrta_tpu.config import GibbsConfig
 from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
 from basicrta_tpu.sampler.gibbs import Gibbs
 
+# figure surface over a module-scoped full Gibbs run (run with -m slow)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fitted(tmp_path_factory):

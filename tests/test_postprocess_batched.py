@@ -85,6 +85,7 @@ def test_membership_tracks_timescale(batch_results):
         assert pind[long, 1].mean() > 0.8, name
 
 
+@pytest.mark.slow
 def test_agrees_with_single_residue_path(batch_results):
     """The batched path must match ``process_samples`` per residue:
     identical lmode and labels, vote probabilities within Monte-Carlo
@@ -103,6 +104,7 @@ def test_agrees_with_single_residue_path(batch_results):
                                batched.pindicator_values, atol=0.1)
 
 
+@pytest.mark.slow
 def test_sharded_matches_unsharded(batch_results):
     """Lane-sharding the bucket programs over the 8-device mesh is a pure
     partition (per-residue keys, shared tier maxima unchanged by the
@@ -119,6 +121,7 @@ def test_sharded_matches_unsharded(batch_results):
                                    res.pindicator_values, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pooled_chain_selection():
     """chain='pooled' concatenates post-burn-in samples of every chain
     behind one burn-in prefix (cf. Gibbs.process_gibbs)."""

@@ -11,6 +11,10 @@ from basicrta_tpu.ops.surv import simulate_hyperexp, discretize_times
 from basicrta_tpu.protein.driver import (ParallelGibbs, ProcessProtein,
                                          cutoff_from_filename)
 
+# ParallelGibbs/ProcessProtein over a module-scoped 2000-sweep run
+# (run with -m slow)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def events():

@@ -16,6 +16,7 @@ def _draws(fn, key, shape):
 @pytest.mark.parametrize("n,p", [(5, 0.3), (40, 0.02), (100, 0.5),
                                  (1000, 0.013), (5000, 0.4), (200000, 0.25),
                                  (446605, 0.8), (17, 0.97)])
+@pytest.mark.slow
 def test_binomial_moments(n, p):
     size = 40000
     m = _draws(lambda k: btr.binomial(
@@ -28,6 +29,7 @@ def test_binomial_moments(n, p):
 
 
 @pytest.mark.parametrize("n,p", [(8, 0.35), (30, 0.1), (60, 0.5)])
+@pytest.mark.slow
 def test_binomial_exact_pmf(n, p):
     """Chi-square goodness of fit against the exact Binomial PMF (covers the
     inversion path end to end)."""
@@ -54,6 +56,7 @@ def test_binomial_btrs_pmf():
     assert chi2 < stats.chi2.ppf(0.9999, keep.sum() - 1)
 
 
+@pytest.mark.slow
 def test_binomial_edges():
     k = jax.random.key(0)
     n = jnp.array([0.0, 10.0, 10.0, 7.0])

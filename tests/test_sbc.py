@@ -7,10 +7,13 @@ version sized for CI."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir, "scripts"))
 
 
+@pytest.mark.slow
 def test_sbc_ranks_uniform():
     from sbc import run_sbc
     pvals, ranks = run_sbc(M=32, n_events=400, ncomp=3, niter=3000,
