@@ -35,8 +35,16 @@ def _cmd_contacts(args):
     u = Universe(args.top, traj, dt_ns=args.dt)
     idx1 = u.select_atoms(args.sel1)
     idx2 = u.select_atoms(args.sel2)
+    upload = args.upload
+    if upload == "auto":
+        # XTC natively stores a 0.01 A fixed-point grid, so the u16 wire
+        # format (<= ~0.002 A grid at typical boxes) adds nothing to an
+        # XTC trajectory's error budget while halving the upload bytes;
+        # any other format gets the exact f32 path (config.upload_dtype)
+        upload = ("u16" if all(str(t).lower().endswith(".xtc")
+                               for t in args.traj) else "f32")
     cfg = ContactConfig(map_cutoff=args.map_cutoff, cutoff=cutoffs[0],
-                        frames_per_batch=args.batch)
+                        frames_per_batch=args.batch, upload_dtype=upload)
     # ts=None unless --dt was given: MapContacts then infers the frame
     # interval from the FULL frame-time vector with a regularity check
     # (mapper.py); seeding it from u.timestep_ns() (frames 0-1 only)
@@ -294,6 +302,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--ndevices", type=int, default=None,
                    help="shard frame batches over this many devices "
                         "(0: all visible; default: unsharded)")
+    c.add_argument("--upload", choices=["auto", "f32", "u16"],
+                   default="auto",
+                   help="coordinate wire format for the device upload: "
+                        "u16 halves bytes at a <=0.002 A grid error "
+                        "(auto: u16 for XTC inputs — coarser than their "
+                        "native 0.01 A storage grid — else exact f32)")
     c.add_argument("--checkpoint-every", type=int, default=0,
                    dest="checkpoint_every", metavar="FRAMES",
                    help="checkpoint the scan every FRAMES frames into "

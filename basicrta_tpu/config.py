@@ -111,14 +111,26 @@ class ContactConfig:
     # per-frame packing capacity for plausible residue pairs. The exact
     # atom sweep and the device->host transfer scale with the cap, so the
     # mapper ADAPTS it: batches run at the smallest power-of-two cap that
-    # held every frame so far (x2 margin, floor prefilter_cap_min), a
+    # held every frame so far (x1.25 margin, floor prefilter_cap_min), a
     # frame overflowing the current cap is redone at the exact fit, and
     # prefilter_cap is the ceiling past which the batch falls back to the
-    # dense kernel (exactness is guarded at every step). Set
-    # prefilter_cap_min == prefilter_cap to pin a static cap (benchmarks).
-    prefilter_cap: int = 4096
+    # dense kernel (exactness is guarded at every step; the ceiling is
+    # sized so a 100k-atom bilayer's ~5k plausible pairs/frame never hit
+    # the dense fallback). Set prefilter_cap_min == prefilter_cap to pin
+    # a static cap (benchmarks).
+    prefilter_cap: int = 32768
     prefilter_cap_min: int = 256
     prefilter_auto_pairs: int = 128_000_000
+    # coordinate wire format for the host->device upload: 'f32' (exact)
+    # or 'u16' — per-frame affine quantization onto the 16-bit grid
+    # spanning each axis's coordinate extent, HALVING upload bytes for a
+    # coordinate error <= extent/65535/2 (~0.002 A at a 240 A box; XTC
+    # trajectories natively store a 0.01 A grid, so u16 adds nothing to
+    # their error budget). The affine offset preserves residue locality
+    # (no wrap into [0, box)), so the pruned kernel sees the same
+    # bounding spheres; works with any box geometry or none. The CLI
+    # picks 'u16' automatically for XTC-only inputs.
+    upload_dtype: str = "f32"
     # host-memory valve: accumulated contact rows spill to an on-disk
     # memmap past this budget (the reference's nslices memory valve,
     # contacts.py:45-48, at device speed); 0 disables spilling

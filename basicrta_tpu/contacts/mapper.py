@@ -27,7 +27,6 @@ import numpy as np
 from basicrta_tpu.config import ContactConfig
 from basicrta_tpu.contacts.distances import (compact_contacts,
                                              contacts_from_batch,
-                                             gather_grouped,
                                              group_by_residue,
                                              min_dist_per_residue_pair,
                                              min_dist_pruned)
@@ -248,6 +247,29 @@ class MapContacts:
             np.asarray(resids1))
         self.group_idx2, self.uniq_resids2 = group_by_residue(
             np.asarray(resids2))
+        # host-side residue-padded upload layout: the host lays each frame
+        # out as (R1*P1 + R2*P2, 3) with atoms grouped by residue, so the
+        # device pass is a pure reshape — a device gather over ~1e5
+        # scattered atom rows measures ~100x the whole distance kernel on
+        # TPU (scattered HBM reads don't vectorize), and an eager gather
+        # additionally re-uploads its index constants every batch on
+        # tunnel/PCIe-attached hosts. Pad slots replicate the group's
+        # first atom and are masked out of every distance min.
+        gi1, gi2 = self.group_idx1, self.group_idx2
+        lay1 = self.indices1[np.where(gi1 < 0, 0, gi1)].ravel()
+        lay2 = self.indices2[np.where(gi2 < 0, 0, gi2)].ravel()
+        self._host_layout = np.concatenate([lay1, lay2])
+        self._mask1 = jnp.asarray(gi1 >= 0)
+        self._mask2 = jnp.asarray(gi2 >= 0)
+        self._R1, self._P1 = gi1.shape
+        self._R2, self._P2 = gi2.shape
+        # skip the host gather when the trajectory already IS the layout
+        self._layout_is_identity = (
+            len(self._host_layout) == len(self.indices1) + len(self.indices2)
+            and np.array_equal(self._host_layout,
+                               np.arange(len(self._host_layout))))
+        n_pairs_total = self._R1 * self._R2
+        self._fuse_transfer = n_pairs_total < 2 ** 24
         # frame-axis data parallelism over chips: the TPU equivalent of the
         # reference's trajectory-slice pool fan-out (contacts.py:60-75;
         # SURVEY.md section 2 parallelism item 1). Each device computes the
@@ -259,6 +281,62 @@ class MapContacts:
             n = n_devices if n_devices > 0 else len(devs)
             mesh = Mesh(np.asarray(devs[:n]), ("frames",))
             self._sharding = NamedSharding(mesh, PartitionSpec("frames"))
+        self._jit_pass = jax.jit(
+            self._device_pass,
+            static_argnames=("mode", "cap", "use_pbc", "triclinic",
+                             "quantized"))
+
+    def _device_pass(self, pos, box, scale, *, mode: str, cap: int,
+                     use_pbc: bool, triclinic: bool, quantized: bool):
+        """The whole per-batch device computation as ONE compiled program:
+        optional u16 dequantization, reshape into residue groups, distance
+        kernel (pruned or dense), device-side compaction, and fusion of the
+        (n, idx, dist) outputs into one transfer buffer. Selection
+        masks/shapes are compile-time constants — nothing but coordinates
+        crosses the host link per batch."""
+        if quantized:
+            pos = (pos.astype(jnp.float32) * scale[:, :1, :]
+                   + scale[:, 1:, :])
+        F = pos.shape[0]
+        A1 = self._R1 * self._P1
+        p1 = pos[:, :A1].reshape(F, self._R1, self._P1, 3)
+        p2 = pos[:, A1:].reshape(F, self._R2, self._P2, 3)
+        if mode == "pruned":
+            n, cidx, cdist = min_dist_pruned(
+                p1, p2, self.cfg.map_cutoff, box, cap_pairs=cap,
+                use_pbc=use_pbc, mask1=self._mask1, mask2=self._mask2,
+                triclinic=triclinic)
+            return self._fuse(n, cidx, cdist)
+        dmin = min_dist_per_residue_pair(
+            p1, p2, box, use_pbc=use_pbc, mask1=self._mask1,
+            mask2=self._mask2, triclinic=triclinic)
+        if mode == "dense_raw":
+            # small system: the packed idx+dist buffers would be LARGER
+            # than the dense matrix — transfer dmin itself
+            return dmin
+        n, cidx, cdist = compact_contacts(dmin, self.cfg.map_cutoff, cap)
+        return dmin, self._fuse(n, cidx, cdist)
+
+    def _fuse(self, n, cidx, cdist):
+        # pack (n, idx, dist) into ONE buffer when the pair indices are
+        # f32-exact: each host sync is a full link round-trip on
+        # tunnel/PCIe-attached hosts, so one transfer instead of three is
+        # a direct throughput win for the streaming loop
+        if not self._fuse_transfer:
+            return (n, cidx, cdist)
+        return jnp.concatenate([n.astype(jnp.float32)[:, None],
+                                cidx.astype(jnp.float32), cdist], axis=1)
+
+    def _unfuse(self, packed, F_real):
+        if not self._fuse_transfer:
+            n, cidx, cdist = packed
+            return (np.asarray(n)[:F_real], np.asarray(cidx)[:F_real],
+                    np.asarray(cdist)[:F_real])
+        arr = np.asarray(packed)[:F_real]
+        cap = (arr.shape[1] - 1) // 2
+        return (arr[:, 0].astype(np.int64),
+                arr[:, 1:1 + cap].astype(np.int64),
+                arr[:, 1 + cap:])
 
     def _fingerprint(self) -> str:
         """Identity of this scan for checkpoint validation: the selections
@@ -269,6 +347,7 @@ class MapContacts:
                     self.uniq_resids1, self.uniq_resids2):
             h.update(np.ascontiguousarray(arr).tobytes())
         h.update(repr((self.cfg.map_cutoff, self.cfg.use_pbc,
+                       self.cfg.upload_dtype,
                        self.meta.top, self.meta.traj,
                        self.meta.ts)).encode())
         return h.hexdigest()
@@ -320,7 +399,13 @@ class MapContacts:
                 if ldiffs.size:
                     frame_diffs.append(ldiffs)
 
+        n_pairs_total = len(self.uniq_resids1) * len(self.uniq_resids2)
+
         def prepare(batch):
+            """Host-side batch preparation: residue-padded layout, frame
+            padding, optional u16 quantization, and the device upload.
+            Runs on the prefetch thread so the upload of batch i+1
+            overlaps the device compute of batch i."""
             nonlocal nominal
             F_real = len(batch.frame_ids)
             # pad the trailing partial batch to the first batch's size so
@@ -328,8 +413,10 @@ class MapContacts:
             # expensive; the padded frames' rows are sliced off below)
             if nominal is None:
                 nominal = F_real
-            positions = batch.positions
+            positions = np.asarray(batch.positions)
             boxarr = batch.box
+            if not self._layout_is_identity:
+                positions = positions[:, self._host_layout, :]
             if F_real < nominal:
                 pad = nominal - F_real
                 positions = np.concatenate(
@@ -349,50 +436,52 @@ class MapContacts:
                     if boxarr is not None:
                         boxarr = np.concatenate(
                             [boxarr, np.repeat(boxarr[-1:], fpad, axis=0)])
-            pos = jnp.asarray(positions, jnp.float32)
-            box = None
             use_pbc = self.cfg.use_pbc and boxarr is not None
-            if use_pbc:
-                box = jnp.asarray(boxarr, jnp.float32)
+            triclinic = use_pbc and boxarr.ndim == 3
+            # u16 wire format: per-frame affine quantization onto the
+            # 16-bit grid spanning each axis's coordinate extent — HALF
+            # the upload bytes for a coordinate error <= extent/65535/2
+            # (~0.002 A for a 240 A box; XTC itself stores a 0.01 A grid,
+            # reference trajectories carry no finer information). The
+            # affine offset preserves atom locality — wrapping into
+            # [0, box) instead would split boundary-straddling residues
+            # and blow their bounding spheres up to box scale, silently
+            # defeating the pruned kernel. Geometry-independent: works
+            # with orthorhombic, triclinic, or no box.
+            quantized = self.cfg.upload_dtype == "u16"
+            scale = None
+            if quantized:
+                lo = positions.min(axis=1, keepdims=True)      # (F, 1, 3)
+                ext = positions.max(axis=1, keepdims=True) - lo
+                step = np.maximum(ext / 65535.0,
+                                  1e-12).astype(np.float32)
+                q = np.clip(np.rint((positions - lo) * (1.0 / step)),
+                            0, 65535).astype(np.uint16)
+                pos = jnp.asarray(q)
+                # one (F, 2, 3) buffer: row 0 the grid step, row 1 the
+                # offset — the device dequant is pos * step + lo
+                scale = jnp.asarray(
+                    np.concatenate([step, lo.astype(np.float32)], axis=1))
+            else:
+                pos = jnp.asarray(positions, jnp.float32)
+            box = jnp.asarray(boxarr, jnp.float32) if use_pbc else None
             if self._sharding is not None:
                 pos = jax.device_put(pos, self._sharding)
                 if box is not None:
                     box = jax.device_put(box, self._sharding)
-            p1, m1 = gather_grouped(pos[:, self.indices1, :], self.group_idx1)
-            p2, m2 = gather_grouped(pos[:, self.indices2, :], self.group_idx2)
-            triclinic = use_pbc and boxarr is not None and boxarr.ndim == 3
-            return p1, m1, p2, m2, box, use_pbc, triclinic
+                if scale is not None:
+                    scale = jax.device_put(scale, self._sharding)
+            return pos, box, scale, use_pbc, triclinic, quantized
 
-        # pack (n, idx, dist) into ONE device buffer when the pair indices
-        # are f32-exact: each host sync is a full link round-trip on
-        # tunnel/PCIe-attached hosts, so one transfer instead of three is
-        # a direct throughput win for the streaming loop
-        n_pairs_total = len(self.uniq_resids1) * len(self.uniq_resids2)
-        fuse_transfer = n_pairs_total < 2 ** 24
+        def exec_pass(prep, mode, cap):
+            pos, box, scale, use_pbc, triclinic, quantized = prep
+            return self._jit_pass(pos, box, scale, mode=mode, cap=cap,
+                                  use_pbc=use_pbc, triclinic=triclinic,
+                                  quantized=quantized)
 
-        def fuse(n, cidx, cdist):
-            if not fuse_transfer:
-                return (n, cidx, cdist)
-            import jax.numpy as _jnp
-            return _jnp.concatenate(
-                [n.astype(_jnp.float32)[:, None],
-                 cidx.astype(_jnp.float32), cdist], axis=1)
+        unfuse = self._unfuse
 
-        def unfuse(packed, F_real):
-            if not fuse_transfer:
-                n, cidx, cdist = packed
-                return (np.asarray(n)[:F_real], np.asarray(cidx)[:F_real],
-                        np.asarray(cdist)[:F_real])
-            arr = np.asarray(packed)[:F_real]
-            cap = (arr.shape[1] - 1) // 2
-            return (arr[:, 0].astype(np.int64),
-                    arr[:, 1:1 + cap].astype(np.int64),
-                    arr[:, 1 + cap:])
-
-        def dense_pack(p1, m1, p2, m2, box, use_pbc, triclinic):
-            dmin = min_dist_per_residue_pair(
-                p1, p2, box, use_pbc=use_pbc, mask1=m1, mask2=m2,
-                triclinic=triclinic)
+        def dense_pack(prep):
             # compact on device: only sub-cutoff entries cross the host
             # link (the dense (F, R1, R2) transfer, not the kernel, bounds
             # throughput on tunnel/PCIe-attached hosts). dmin stays on
@@ -401,14 +490,12 @@ class MapContacts:
             # idx+dist buffers would be LARGER than the dense matrix.
             cap = int(self.cfg.transfer_cap)
             if n_pairs_total <= cap:
-                return "dense", (dmin, None)
-            nhit, cidx, cdist = compact_contacts(dmin, self.cfg.map_cutoff,
-                                                 cap)
-            return "dense", (dmin, fuse(nhit, cidx, cdist))
+                return "dense", (exec_pass(prep, "dense_raw", 0), None)
+            return "dense", exec_pass(prep, "dense", cap)
 
         # adaptive prefilter cap: the exact atom sweep and the host
         # transfer both scale with cap_pairs, so batches run at the
-        # smallest power-of-two cap that held every frame so far (x2
+        # smallest power-of-two cap that held every frame so far (1.25x
         # margin). Undershoots are redone at the exact fit (n_pl is the
         # true per-frame count, independent of the cap), so adaptation
         # never changes the rows — only the work. The pow2 ladder bounds
@@ -420,17 +507,11 @@ class MapContacts:
         def _pow2ceil(x: int) -> int:
             return 1 << (max(int(x), 1) - 1).bit_length()
 
-        def dispatch(batch):
-            prep = prepare(batch)
+        def dispatch(prep):
             if prefilter:
-                p1, m1, p2, m2, box, use_pbc, triclinic = prep
-                n_pl, cidx, cdist = min_dist_pruned(
-                    p1, p2, self.cfg.map_cutoff, box,
-                    cap_pairs=cap_state["cap"],
-                    use_pbc=use_pbc, mask1=m1, mask2=m2,
-                    triclinic=triclinic)
-                return "pruned", fuse(n_pl, cidx, cdist)
-            return dense_pack(*prep)
+                return "pruned", exec_pass(prep, "pruned",
+                                           cap_state["cap"])
+            return dense_pack(prep)
 
         def decode_compact(cidx, cd, batch, F_real, R2):
             fk, kk = np.nonzero(cd <= self.cfg.map_cutoff)
@@ -447,7 +528,7 @@ class MapContacts:
             t = np.asarray(batch.times, np.float64)[fk]
             return f, s1, s2, dist, t
 
-        def collect(kind, pack, F_real, batch):
+        def collect(kind, pack, F_real, batch, prep):
             nonlocal last_time
             R2 = len(self.uniq_resids2)
             if kind == "pruned":
@@ -459,25 +540,21 @@ class MapContacts:
                         # past the cap ceiling: redo the batch densely
                         # (exactness guard; the prefilter only ever drops
                         # pairs that are provably beyond the cutoff)
-                        kind, pack = dense_pack(*prepare(batch))
+                        kind, pack = dense_pack(prep)
                     else:
                         need = min(_pow2ceil(peak), cap_max)
                         # the adaptive cap undershot this batch: redo at
                         # the exact fit (n_pl is the true count, so one
                         # retry always holds every frame)
-                        p1, m1, p2, m2, box, use_pbc, triclinic = \
-                            prepare(batch)
-                        ret = min_dist_pruned(
-                            p1, p2, self.cfg.map_cutoff, box,
-                            cap_pairs=need, use_pbc=use_pbc, mask1=m1,
-                            mask2=m2, triclinic=triclinic)
-                        n_pl, cidx, cdist = unfuse(fuse(*ret), F_real)
+                        ret = exec_pass(prep, "pruned", need)
+                        n_pl, cidx, cdist = unfuse(ret, F_real)
                         rows = decode_compact(cidx, cdist, batch,
                                               F_real, R2)
                 else:
                     rows = decode_compact(cidx, cdist, batch, F_real, R2)
                 cap_state["cap"] = min(
-                    max(_pow2ceil(2 * cap_state["peak"]), cap0), cap_max)
+                    max(_pow2ceil((5 * cap_state["peak"]) // 4), cap0),
+                    cap_max)
             if kind == "dense":
                 dmin_dev, fused = pack
                 if fused is not None:
@@ -515,21 +592,37 @@ class MapContacts:
             if progress_cb is not None:
                 progress_cb(int(batch.frame_ids[-1]) + 1)
 
-        # one-batch pipeline: while the device works on batch i, the host
-        # decodes batch i+1 from the trajectory (dispatch is async; the
-        # sync happens in collect)
-        for batch in trajectory:
-            if start_frame and int(batch.frame_ids[-1]) < start_frame:
-                # checkpoint already covers this whole batch: no device work
-                if progress_cb is not None:
-                    progress_cb(int(batch.frame_ids[-1]) + 1)
-                continue
-            kind, pack = dispatch(batch)
+        # two-stage pipeline: a prefetch thread prepares + uploads batch
+        # i+1 (host layout, quantization, the host->device copy — the
+        # dominant per-batch cost on tunnel/PCIe-attached hosts) while the
+        # device computes batch i and the main thread decodes batch i-1's
+        # results; kernel dispatch is async, the sync happens in collect
+        from concurrent.futures import ThreadPoolExecutor
+
+        def batches():
+            for batch in trajectory:
+                if start_frame and int(batch.frame_ids[-1]) < start_frame:
+                    # checkpoint already covers this whole batch
+                    if progress_cb is not None:
+                        progress_cb(int(batch.frame_ids[-1]) + 1)
+                    continue
+                yield batch
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            it = batches()
+            nxt = next(it, None)
+            fut = ex.submit(prepare, nxt) if nxt is not None else None
+            while nxt is not None:
+                batch, prep = nxt, fut.result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    fut = ex.submit(prepare, nxt)
+                kind, pack = dispatch(prep)
+                if pending is not None:
+                    collect(*pending)
+                pending = (kind, pack, len(batch.frame_ids), batch, prep)
             if pending is not None:
                 collect(*pending)
-            pending = (kind, pack, len(batch.frame_ids), batch)
-        if pending is not None:
-            collect(*pending)
 
         meta = dataclasses.replace(self.meta, cutoff=self.cfg.map_cutoff)
         if meta.ts is None and frame_diffs:

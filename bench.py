@@ -39,8 +39,8 @@ BASELINE_SWEEPS_PER_SEC = 2.11  # reference inner loop, 1 CPU core (BASELINE.md)
 # reference-semantics contacts baseline: cKDTree periodic capped-distance
 # search + vectorized per-residue-pair min reduction, 1 CPU core, measured
 # by scripts/cpu_contacts_baseline.py on these exact workloads (BASELINE.md)
-BASELINE_CONTACTS_FPS = 14.1        # membrane workload (14,800 atoms)
-BASELINE_CONTACTS_LARGE_FPS = 2.13  # bilayer workload (101,400 atoms)
+BASELINE_CONTACTS_FPS = 26.1        # membrane workload (14,800 atoms)
+BASELINE_CONTACTS_LARGE_FPS = 7.57  # bilayer workload (101,400 atoms)
 # overridable for smoke runs (e.g. BENCH_RESIDUES=8 BENCH_SWEEPS=200)
 N_RESIDUES = int(os.environ.get("BENCH_RESIDUES", "300"))
 # one full production segment (segment_blocks=100 x g=100): short enough to
@@ -69,11 +69,13 @@ def make_workload(n_residues=N_RESIDUES, seed=0):
 # regression floors: pallas raised after the round-3 calibrated DP
 # layout (measured 987-994k over interleaved reps); xla/flagship are
 # round-2 floors (measured 626-650k/179k/32k); warn loudly on regression.
-# contacts floor raised after the 2026-08-19 A/B flipped the default to
-# the dense kernel at this scale (measured 44.8-65.5 f/s interleaved;
-# the prefiltered path floor was 25).
+# contacts floor raised after the 2026-08-20 host-layout + jitted-pass
+# redesign (measured 78-138 f/s across sessions; the tunnel's share of
+# the wall-clock swings ~2x with ambient load — see the breakdown's
+# upload_s_per_frame — so the floor sits at ~0.6x the low end rather
+# than 0.8x the mean).
 _GUARDS = {"pallas": 800_000.0, "xla": 140_000.0, "flagship": 25_000.0,
-           "contacts": 35.0}
+           "contacts": 45.0}
 
 
 def make_membrane_frames(n_frames=96, batch=16, seed=7):
@@ -106,7 +108,7 @@ def make_membrane_frames(n_frames=96, batch=16, seed=7):
     return batches, resids1, resids2, R1 * P1
 
 
-def make_membrane_frames_large(n_frames=32, batch=8, seed=11):
+def make_membrane_frames_large(n_frames=48, batch=16, seed=11):
     """Bilayer-scale synthetic contact workload: 400 protein residues x
     16 atoms against 1,900 lipids x 50 atoms — 101,400 atoms in the two
     selections (round-3 VERDICT item 1: a >=100k-atom datapoint) in a
@@ -138,9 +140,11 @@ def make_membrane_frames_large(n_frames=32, batch=8, seed=11):
     return batches, resids1, resids2, R1 * P1
 
 
-def bench_contacts(large=False):
+def bench_contacts(large=False, upload="f32"):
     """Frames/s through MapContacts (prefilter auto: dense at membrane
-    scale, bounding-sphere pruned at the 101k-atom bilayer scale)."""
+    scale, bounding-sphere pruned at the 101k-atom bilayer scale).
+    ``upload='u16'`` measures the quantized wire format an XTC user gets
+    (CLI --upload auto; halves the host->device bytes)."""
     from basicrta_tpu.config import ContactConfig
     from basicrta_tpu.contacts.mapper import MapContacts
     from basicrta_tpu.contacts.records import ContactMeta
@@ -151,7 +155,8 @@ def bench_contacts(large=False):
     A2 = len(resids2)
     mc = MapContacts(indices1=np.arange(A1), resids1=resids1,
                      indices2=np.arange(A1, A1 + A2), resids2=resids2,
-                     cfg=ContactConfig(), meta=ContactMeta(ts=0.1))
+                     cfg=ContactConfig(upload_dtype=upload),
+                     meta=ContactMeta(ts=0.1))
     rec = mc.run(batches)             # cold (compiles)
     t0 = time.time()
     rec = mc.run(batches)             # warm
@@ -159,62 +164,80 @@ def bench_contacts(large=False):
     return n_frames / elapsed, len(rec.frames), n_frames
 
 
-def bench_contacts_breakdown(reps=3):
+def bench_contacts_breakdown(reps=3, large=False, upload="f32"):
     """Attribute the contacts wall-clock (round-3 VERDICT item 5): the
-    dense device path decomposed into host->device upload, device kernel
-    compute, device->host link transfer of the compacted buffer, and host
-    row assembly — measured sequentially (no pipeline) so each phase syncs
-    alone. Returns per-frame seconds per phase plus the pipelined
-    end-to-end number for overlap efficiency."""
+    production device pass (MapContacts._device_pass — dense+compact at
+    membrane scale, bounding-sphere pruned at bilayer scale) decomposed
+    into host layout/quantize, host->device upload, device kernel compute,
+    device->host link transfer of the fused buffer, and host row assembly
+    — measured sequentially (no pipeline) so each phase syncs alone.
+    Compare the phase sum against the pipelined bench_contacts number for
+    overlap efficiency, and (device + host) alone for the local-attach
+    projection (PCIe moves these buffers in ~0.1 ms/frame; the tunnel is
+    a dev-environment artifact)."""
     import jax.numpy as jnp
     from basicrta_tpu.config import ContactConfig
-    from basicrta_tpu.contacts.distances import (compact_contacts,
-                                                 gather_grouped,
-                                                 group_by_residue,
-                                                 min_dist_per_residue_pair)
+    from basicrta_tpu.contacts.mapper import MapContacts
+    from basicrta_tpu.contacts.records import ContactMeta
 
-    cfg = ContactConfig()
-    batches, resids1, resids2, A1 = make_membrane_frames()
+    cfg = ContactConfig(upload_dtype=upload)
+    batches, resids1, resids2, A1 = (make_membrane_frames_large()
+                                     if large else make_membrane_frames())
     n_frames = sum(len(b.frame_ids) for b in batches)
     A2 = len(resids2)
-    gi1, uniq1 = group_by_residue(resids1)
-    gi2, uniq2 = group_by_residue(resids2)
-    cap = int(cfg.transfer_cap)
+    mc = MapContacts(indices1=np.arange(A1), resids1=resids1,
+                     indices2=np.arange(A1, A1 + A2), resids2=resids2,
+                     cfg=cfg, meta=ContactMeta(ts=0.1))
+    R1, R2 = len(mc.uniq_resids1), len(mc.uniq_resids2)
+    prefilter = mc._prefilter_active()
+    cap = int(cfg.prefilter_cap if prefilter else cfg.transfer_cap)
+    mode = "pruned" if prefilter else "dense"
+    if prefilter:
+        # size the cap as the adaptive production loop would: the exact
+        # fit's pow2 with the 1.25x margin
+        rec = mc.run(batches)    # also warms the compile cache
+        peak = 0
+        for b in batches:
+            pos, box, scale, use_pbc, tric, q = _bd_prepare(b, cfg)
+            out = mc._jit_pass(pos, box, scale, mode="pruned",
+                               cap=int(cfg.prefilter_cap), use_pbc=use_pbc,
+                               triclinic=tric, quantized=q)
+            n_pl = np.asarray(out)[:, 0].astype(np.int64)
+            peak = max(peak, int(n_pl.max()))
+        cap = 1 << (max((5 * peak) // 4, 16) - 1).bit_length()
 
     def sync(x):
         # the axon tunnel ignores block_until_ready; a 1-element transfer
         # is the only reliable sync (verify SKILL.md timing notes)
         np.asarray(jnp.ravel(x)[0])
 
-    import jax
-
-    @jax.jit
-    def kernel(pos, box):
-        p1, m1 = gather_grouped(pos[:, :A1, :], gi1)
-        p2, m2 = gather_grouped(pos[:, A1:, :], gi2)
-        dmin = min_dist_per_residue_pair(p1, p2, box, mask1=m1, mask2=m2)
-        n, cidx, cdist = compact_contacts(dmin, cfg.map_cutoff, cap)
-        return jnp.concatenate([n.astype(jnp.float32)[:, None],
-                                cidx.astype(jnp.float32), cdist], axis=1)
+    def run_pass(pos, box, scale, use_pbc, tric, q):
+        out = mc._jit_pass(pos, box, scale, mode=mode, cap=cap,
+                           use_pbc=use_pbc, triclinic=tric, quantized=q)
+        return out[1] if mode == "dense" else out
 
     # warm everything once
-    devs = [(jnp.asarray(b.positions, jnp.float32),
-             jnp.asarray(b.box, jnp.float32)) for b in batches]
-    for pos, box in devs:
-        sync(kernel(pos, box))
+    for b in batches:
+        sync(run_pass(*_bd_prepare(b, cfg)))
 
-    t_up = t_dev = t_xfer = t_host = float("inf")
+    t_prep = t_up = t_dev = t_xfer = t_host = float("inf")
     for _ in range(reps):
-        up = dev = xfer = host = 0.0
+        prep_s = up = dev = xfer = host = 0.0
         outs = []
         for b in batches:
             t0 = time.time()
-            pos = jnp.asarray(b.positions, jnp.float32)
-            box = jnp.asarray(b.box, jnp.float32)
+            hostargs = _bd_prepare(b, cfg, host_only=True)
+            prep_s += time.time() - t0
+            t0 = time.time()
+            pos = jnp.asarray(hostargs[0])
+            box = (jnp.asarray(hostargs[1]) if hostargs[1] is not None
+                   else None)
+            scale = (jnp.asarray(hostargs[2]) if hostargs[2] is not None
+                     else None)
             sync(pos)
             up += time.time() - t0
             t0 = time.time()
-            out = kernel(pos, box)
+            out = run_pass(pos, box, scale, *hostargs[3:])
             sync(out)
             dev += time.time() - t0
             t0 = time.time()
@@ -222,24 +245,51 @@ def bench_contacts_breakdown(reps=3):
             xfer += time.time() - t0
             outs.append((arr, b))
         t0 = time.time()
-        R2 = len(uniq2)
         for arr, b in outs:
-            cidx = arr[:, 1:1 + cap].astype(np.int64)
-            cd = arr[:, 1 + cap:]
+            c = (arr.shape[1] - 1) // 2
+            cidx = arr[:, 1:1 + c].astype(np.int64)
+            cd = arr[:, 1 + c:]
             fk, kk = np.nonzero(cd <= cfg.map_cutoff)
             flat = cidx[fk, kk]
             order = np.lexsort((flat, fk))
             fk, flat = fk[order], flat[order]
-            _ = (np.asarray(b.frame_ids)[fk], uniq1[flat // R2],
-                 uniq2[flat % R2], cd[fk, kk[order]],
+            _ = (np.asarray(b.frame_ids)[fk], mc.uniq_resids1[flat // R2],
+                 mc.uniq_resids2[flat % R2], cd[fk, kk[order]],
                  np.asarray(b.times)[fk])
         host += time.time() - t0
-        t_up, t_dev = min(t_up, up), min(t_dev, dev)
+        t_prep, t_up = min(t_prep, prep_s), min(t_up, up)
+        t_dev = min(t_dev, dev)
         t_xfer, t_host = min(t_xfer, xfer), min(t_host, host)
-    return {"upload_s_per_frame": t_up / n_frames,
+    return {"prep_s_per_frame": t_prep / n_frames,
+            "upload_s_per_frame": t_up / n_frames,
             "device_s_per_frame": t_dev / n_frames,
             "transfer_s_per_frame": t_xfer / n_frames,
             "host_s_per_frame": t_host / n_frames}
+
+
+def _bd_prepare(b, cfg, host_only=False):
+    """Host-side batch prep mirroring MapContacts.run's prepare (identity
+    layout — the bench workloads' atoms are already residue-ordered)."""
+    import jax.numpy as jnp
+    positions = np.asarray(b.positions)
+    boxarr = np.asarray(b.box)
+    quantized = cfg.upload_dtype == "u16"
+    scale = None
+    if quantized:
+        lo = positions.min(axis=1, keepdims=True)
+        step = np.maximum((positions.max(axis=1, keepdims=True) - lo)
+                          / 65535.0, 1e-12).astype(np.float32)
+        positions = np.clip(np.rint((positions - lo) * (1.0 / step)),
+                            0, 65535).astype(np.uint16)
+        scale = np.concatenate([step, lo.astype(np.float32)], axis=1)
+    else:
+        positions = positions.astype(np.float32)
+    boxarr = boxarr.astype(np.float32)
+    if host_only:
+        return positions, boxarr, scale, True, False, quantized
+    return (jnp.asarray(positions), jnp.asarray(boxarr),
+            None if scale is None else jnp.asarray(scale),
+            True, False, quantized)
 
 
 def transcendental_ceiling():
@@ -488,20 +538,31 @@ def main():
               file=sys.stderr)
 
     # 101k-atom bilayer datapoint: the bounding-sphere pruned path's
-    # scaling regime (round-3 VERDICT item 1)
+    # scaling regime (round-3 VERDICT item 1), in both wire formats —
+    # f32 (library default, exact) and u16 (what the CLI picks for XTC
+    # inputs; halves the upload bytes, which bound throughput on this
+    # tunnel-attached host)
     try:
         fps_l, rows_l, _ = bench_contacts(large=True)
         extras["contacts_large_frames_per_sec"] = round(fps_l, 1)
         extras["contacts_large_atoms"] = 101_400
         extras["contacts_large_vs_baseline"] = round(
             fps_l / BASELINE_CONTACTS_LARGE_FPS, 2)
+        fps_lq, _, _ = bench_contacts(large=True, upload="u16")
+        extras["contacts_large_u16_frames_per_sec"] = round(fps_lq, 1)
+        extras["contacts_large_u16_vs_baseline"] = round(
+            fps_lq / BASELINE_CONTACTS_LARGE_FPS, 2)
     except Exception as e:  # noqa: BLE001
         print(f"large contacts timing failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # wall-clock attribution of the contacts stage (round-3 VERDICT
-    # item 5): upload / device / link transfer / host assembly, plus
-    # overlap efficiency of the pipelined production path
+    # item 5): host prep / upload / device / link transfer / host
+    # assembly, plus overlap efficiency of the pipelined production path
+    # and the local-attach projection (on a PCIe-attached host the upload
+    # and transfer phases shrink to ~0.1 ms/frame; the prefetch thread
+    # overlaps prep+upload with device compute, so steady-state wall is
+    # the max of the phases, not their sum)
     try:
         bd = bench_contacts_breakdown()
         for k, v in bd.items():
@@ -510,6 +571,15 @@ def main():
             seq = sum(bd.values())
             pipe = 1.0 / extras["contacts_frames_per_sec"]
             extras["contacts_overlap_eff"] = round(seq / pipe, 3)
+        extras["contacts_localattach_fps_proj"] = round(
+            1.0 / max(bd["device_s_per_frame"], bd["prep_s_per_frame"],
+                      bd["host_s_per_frame"]), 1)
+        bdl = bench_contacts_breakdown(large=True, upload="u16")
+        for k, v in bdl.items():
+            extras[f"contacts_large_{k}"] = round(v, 5)
+        extras["contacts_large_localattach_fps_proj"] = round(
+            1.0 / max(bdl["device_s_per_frame"], bdl["prep_s_per_frame"],
+                      bdl["host_s_per_frame"]), 1)
     except Exception as e:  # noqa: BLE001
         print(f"contacts breakdown failed: {type(e).__name__}: {e}",
               file=sys.stderr)

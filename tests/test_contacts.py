@@ -809,3 +809,150 @@ class TestCheckpointResume:
                             checkpoint_dir=ck, checkpoint_every=1)
         with pytest.raises(ValueError, match="remove"):
             mapper(0.2).run(self._batches(), checkpoint_dir=ck)
+
+
+class TestUploadLayout:
+    """Host-side residue-padded upload layout + u16 wire format."""
+
+    @staticmethod
+    def _scattered_system(rng, F=5):
+        """Selections scattered through a frame with bystander atoms and
+        RAGGED residues, so the host layout is non-identity and carries
+        pad slots."""
+        A = 60
+        box = np.tile(np.array([22.0, 24.0, 26.0], np.float32), (F, 1))
+        pos = (rng.uniform(0, 1, (F, A, 3)) * box[0]).astype(np.float32)
+        # group 1: three residues of 2/3/1 atoms at scattered indices
+        indices1 = np.array([3, 7, 11, 12, 20, 33])
+        resids1 = np.array([1, 1, 2, 2, 2, 5])
+        # group 2: two residues of 3/2 atoms, interleaved with bystanders
+        indices2 = np.array([40, 41, 45, 50, 58])
+        resids2 = np.array([9, 9, 9, 12, 12])
+        return pos, box, indices1, resids1, indices2, resids2
+
+    def _run(self, pos, box, i1, r1, i2, r2, **cfg_kw):
+        F = pos.shape[0]
+        mc = MapContacts(indices1=i1, resids1=r1, indices2=i2, resids2=r2,
+                         cfg=ContactConfig(map_cutoff=10.0, **cfg_kw),
+                         meta=ContactMeta(ts=0.1))
+        assert not mc._layout_is_identity
+        return mc.run([FrameBatch(np.arange(F), np.arange(F) * 0.1,
+                                  pos, box=box)])
+
+    def test_scattered_selections_match_bruteforce(self, rng=None):
+        rng = np.random.default_rng(5)
+        pos, box, i1, r1, i2, r2 = self._scattered_system(rng)
+        rec = self._run(pos, box, i1, r1, i2, r2)
+        # brute-force reference rows under the minimum image convention
+        got = {(int(f), int(a), int(b)): float(d) for f, a, b, d in
+               zip(rec.frames, rec.sel1_resids, rec.sel2_resids,
+                   rec.min_dist)}
+        n_expected = 0
+        for f in range(pos.shape[0]):
+            for ra in np.unique(r1):
+                for rb in np.unique(r2):
+                    p1 = pos[f, i1[r1 == ra]].astype(np.float64)
+                    p2 = pos[f, i2[r2 == rb]].astype(np.float64)
+                    d = p1[:, None, :] - p2[None, :, :]
+                    d -= box[f] * np.round(d / box[f])
+                    dmin = float(np.sqrt((d ** 2).sum(-1)).min())
+                    if dmin <= 10.0:
+                        n_expected += 1
+                        assert got[(f, int(ra), int(rb))] == pytest.approx(
+                            dmin, abs=1e-4)
+        assert len(got) == n_expected > 0
+
+    def test_u16_wire_format_matches_f32(self):
+        """u16 rows must agree with f32 rows whenever no pair sits within
+        the quantization tolerance of the cutoff; distances agree to the
+        grid error bound (box/65535/2 per axis)."""
+        rng = np.random.default_rng(17)
+        pos, box, i1, r1, i2, r2 = self._scattered_system(rng)
+        exact = self._run(pos, box, i1, r1, i2, r2)
+        quant = self._run(pos, box, i1, r1, i2, r2, upload_dtype="u16")
+        tol = float(np.sqrt(3) * box.max() / 65535.0)   # > worst case
+        # no boundary ambiguity in this system -> identical row sets
+        assert not np.any(np.abs(np.asarray(exact.min_dist) - 10.0) < tol)
+        np.testing.assert_array_equal(quant.frames, exact.frames)
+        np.testing.assert_array_equal(quant.sel1_resids, exact.sel1_resids)
+        np.testing.assert_array_equal(quant.sel2_resids, exact.sel2_resids)
+        np.testing.assert_allclose(quant.min_dist, exact.min_dist,
+                                   atol=tol)
+
+    def test_u16_unwrapped_coordinates(self):
+        """Coordinates outside [0, box) wrap before quantization; the
+        minimum-image distances are unchanged."""
+        rng = np.random.default_rng(23)
+        pos, box, i1, r1, i2, r2 = self._scattered_system(rng)
+        shifted = pos + np.array([44.0, -48.0, 52.0], np.float32)  # 2 boxes
+        a = self._run(pos, box, i1, r1, i2, r2, upload_dtype="u16")
+        b = self._run(shifted, box, i1, r1, i2, r2, upload_dtype="u16")
+        np.testing.assert_array_equal(a.frames, b.frames)
+        np.testing.assert_allclose(a.min_dist, b.min_dist, atol=2e-3)
+
+    def test_u16_without_box_quantizes_within_bound(self):
+        """The affine u16 grid needs no box: distances agree with f32 to
+        the per-axis extent/65535 grid error."""
+        rng = np.random.default_rng(29)
+        pos, _, i1, r1, i2, r2 = self._scattered_system(rng)
+        mc_kw = dict(indices1=i1, resids1=r1, indices2=i2, resids2=r2,
+                     meta=ContactMeta(ts=0.1))
+        F = pos.shape[0]
+        batches = lambda: [FrameBatch(np.arange(F), np.arange(F) * 0.1,  # noqa: E731
+                                      pos)]
+        a = MapContacts(cfg=ContactConfig(use_pbc=False), **mc_kw).run(
+            batches())
+        b = MapContacts(cfg=ContactConfig(use_pbc=False,
+                                          upload_dtype="u16"),
+                        **mc_kw).run(batches())
+        ext = (pos.max(axis=1) - pos.min(axis=1)).max()
+        tol = float(np.sqrt(3) * ext / 65535.0)
+        np.testing.assert_allclose(b.min_dist, a.min_dist, atol=tol)
+
+    def test_u16_preserves_pruned_path_on_straddling_residues(self):
+        """Residues straddling the periodic boundary must keep tight
+        bounding spheres under u16 — the affine offset does not wrap, so
+        the pruned kernel's per-frame plausible-pair counts match the f32
+        path exactly (a wrap-based quantizer splits such residues and
+        silently collapses pruning into the dense fallback)."""
+        rng = np.random.default_rng(31)
+        pos, box, i1, r1, i2, r2 = self._scattered_system(rng)
+        # push one residue of each group across the upper x boundary
+        pos[:, i1[r1 == 2], 0] += box[0, 0] - 1.0
+        pos[:, i2[r2 == 12], 0] += box[0, 0] - 1.0
+        f32 = self._run(pos, box, i1, r1, i2, r2, prefilter=True)
+        u16 = self._run(pos, box, i1, r1, i2, r2, prefilter=True,
+                        upload_dtype="u16")
+        tol = float(np.sqrt(3) * box.max() / 65535.0)
+        np.testing.assert_array_equal(u16.frames, f32.frames)
+        np.testing.assert_array_equal(u16.sel1_resids, f32.sel1_resids)
+        np.testing.assert_allclose(u16.min_dist, f32.min_dist, atol=tol)
+
+        # the pruned kernel itself must see the same per-frame
+        # plausible-pair counts in both wire formats (locality preserved;
+        # a wrapped quantizer inflates u16's counts toward R1*R2)
+        def peak_pairs(upload):
+            mc = MapContacts(indices1=i1, resids1=r1, indices2=i2,
+                             resids2=r2,
+                             cfg=ContactConfig(map_cutoff=10.0,
+                                               prefilter=True,
+                                               upload_dtype=upload),
+                             meta=ContactMeta(ts=0.1))
+            batch = FrameBatch(np.arange(pos.shape[0]),
+                               np.arange(pos.shape[0]) * 0.1, pos, box=box)
+            rows = []
+            orig = mc._jit_pass
+
+            def spy(*a, **kw):
+                out = orig(*a, **kw)
+                if kw.get("mode") == "pruned":
+                    rows.append(np.asarray(mc._unfuse(
+                        out, pos.shape[0])[0]))
+                return out
+
+            mc._jit_pass = spy
+            mc.run([batch])
+            return rows[-1]
+
+        np.testing.assert_array_equal(peak_pairs("u16"),
+                                      peak_pairs("f32"))
