@@ -59,11 +59,11 @@ class ResidueBatch:
     n_events: np.ndarray           # (B,) true event count per residue
     tiers: Tuple[int, int] = (0, 0)  # static tier boundaries
     pack: int = 1                  # logical lanes per physical kernel lane
-    # mixed-width packing (pack=2 only): per-PHYSICAL-lane boundary column
-    # b in [1, 128]; lane 2g owns columns [0, b) of its phys_rows rows,
-    # lane 2g+1 owns [b, 128). None = uniform 128 // pack segments.
-    # Members are in paired order (big_0, small_0, big_1, ...), set by
-    # _mixed_pairing.
+    # mixed-width k-way packing: (Bph, pack) per-slot column WIDTHS —
+    # physical lane g packs up to ``pack`` members side by side, slot s
+    # owning the next widths[g, s] columns of all phys_rows rows (0 marks
+    # an empty slot). Members are stored lane-major in slot order, set by
+    # _mixed_kpack. None = uniform 128 // pack segments.
     bounds: Optional[np.ndarray] = None
     phys_rows: int = 0             # rows per physical lane (mixed only)
 
@@ -111,14 +111,9 @@ _COST_SMALL_PREM = 0.276    # extra per small-tier row (table inversion)
 _COST_LANE_LOG = 0.061      # per logical lane (conjugate Gamma/Dirichlet)
 
 
-def _cost_terms(Bph: int, SL: int, head: int, small: int,
-                pack: int) -> float:
-    """Calibrated us/sweep from a bucket's PHYSICAL layout: per-grid-
-    program constant + per-row terms over the padded lane count. The
-    critical path is paid once per GRID PROGRAM: pallas grid steps run
-    serially on the core (every calibration bucket had NG=1, so charging
-    NG * const is the conservative extrapolation). The group cap mirrors
-    the kernel's VMEM fit (pallas_sweep layout: ~12 MB of (K+12) live
+def _phys_groups(Bph: int, SL: int, pack: int) -> Tuple[int, int]:
+    """(NG, G) grid layout of a bucket of Bph physical lanes — mirrors the
+    kernel's VMEM fit (pallas_sweep layout: ~12 MB of (K+12) live
     (SL, G, 128) rows + thinned tiles at the production K=15,
     n_blocks=100) so deep-SL configs are charged their real extra grid
     programs instead of the 64-lane ideal."""
@@ -128,6 +123,17 @@ def _cost_terms(Bph: int, SL: int, head: int, small: int,
     cap = min(64, g_fit)
     NG = -(-Bph // cap)
     G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
+    return NG, G
+
+
+def _cost_terms(Bph: int, SL: int, head: int, small: int,
+                pack: int) -> float:
+    """Calibrated us/sweep from a bucket's PHYSICAL layout: per-grid-
+    program constant + per-row terms over the padded lane count. The
+    critical path is paid once per GRID PROGRAM: pallas grid steps run
+    serially on the core (every calibration bucket had NG=1, so charging
+    NG * const is the conservative extrapolation)."""
+    NG, G = _phys_groups(Bph, SL, pack)
     lanes = NG * G
     return (_COST_PER_BUCKET * NG
             + lanes * SL * _COST_ROW
@@ -178,19 +184,23 @@ def modeled_work_waste(batches: Sequence["ResidueBatch"]) -> float:
     from basicrta_tpu.sampler.kernels import SMALL_NMAX
     padded = live = 0.0
     for b in batches:
-        Bph = -(-b.size // b.pack)
         if b.bounds is not None:
             # mixed-width layout: cost from the actual physical rows
+            Bph, SL = len(b.bounds), b.phys_rows
             cost = _mixed_cost([(None, None, c) for c in b.counts],
                                b.bounds, b.phys_rows)
         else:
+            Bph = -(-b.size // b.pack)
+            seg_w = 128 // b.pack if b.pack > 1 else 128
+            SL = max(1, b.values.shape[1] // seg_w)
             head_end = int(max((np.sum(c > SMALL_NMAX) for c in b.counts),
                                default=0))
             single_start = int(max((np.sum(c > 1) for c in b.counts),
                                    default=0))
             cost = _layout_cost(b.size, b.values.shape[1], b.pack,
                                 head_end, single_start)
-        padded += cost - _COST_PER_BUCKET * -(-Bph // 64)
+        padded += cost - _COST_PER_BUCKET * _phys_groups(Bph, SL,
+                                                         b.pack)[0]
         for c in b.counts:
             n_head = float(np.sum(c > SMALL_NMAX))
             n_multi = float(np.sum(c > 1))
@@ -202,105 +212,140 @@ def modeled_work_waste(batches: Sequence["ResidueBatch"]) -> float:
     return 1.0 - live / padded if padded > 0 else 0.0
 
 
-def _mixed_pairing(group):
-    """Mixed-width pack=2 layout of one bucket: pair members head-tail on
-    live unique count and put each physical lane's boundary column where
-    its own pair needs it, instead of the uniform 64-column split.
+def _mixed_kpack(group, kmax: int = 8):
+    """Mixed-width k-way layout of one bucket: bin-pack members into
+    128-column physical lanes, member i owning ceil(V_i / SL) columns of
+    all SL rows, up to ``kmax`` members per lane.
 
-    Head-tail pairing of a size-sorted list minimizes the maximum pair
-    sum, and the max pair's rows set the whole bucket's physical row count
-    SL — a (768, 2) uniform bucket walks 12 rows for every lane, while its
-    worst head-tail pair (V=768 with V=385) fits 128-column rows in 10.
+    For every candidate (SL, k) the members are packed best-fit in
+    decreasing width order (BFD sits within 11/9 of the optimal lane
+    count) and the calibrated cost model arbitrates across candidates:
+    deeper SL narrows every member's segment but adds rows to every lane;
+    more members per lane cuts lanes but grows the per-lane state and
+    mask blends. Supersedes the round-3 head-tail pack=2 pairing — a
+    bucket of V<=82 members packs 4-8 residues per lane where pairing
+    left half of every 128-column row as count-0 padding.
 
-    Returns (ordered_members, bounds, SL): members in paired order
-    [big_0, small_0, big_1, small_1, ..., lone?], (Bph,) boundary columns
-    (lone member: 128), and the per-lane physical row count.
+    ``kmax`` caps the O(pack) per-(G, 128)-tile mask blends in the
+    kernel's suffix pass (per sweep, not per row: negligible to ~8).
+
+    Returns (ordered_members, widths, SL): members lane-major in slot
+    order, widths (Bph, pack) per-slot column widths (0 = empty slot,
+    pack = max fill), SL physical rows per lane.
     """
-    g = sorted(group, key=lambda it: -len(it[1]))
-    n = len(g)
-    pairs = [(g[k], g[n - 1 - k]) for k in range(n // 2)]
-    lone = g[n // 2] if n % 2 else None
+    Vs = [len(v) for _, v, _ in group]
+    Vmax = max(Vs)
+    min_sl = max(1, -(-Vmax // 128))
+    cand_sl = sorted(set(list(range(min_sl, 3 * min_sl + 1))
+                         + [(min_sl * f) // 2 for f in (7, 8)]))
+    order = sorted(range(len(group)), key=lambda i: -Vs[i])
+    best = None
+    for SL in cand_sl:
+        ws = [-(-V // SL) for V in Vs]
+        if max(ws) > 128:
+            continue
+        for k in range(2, kmax + 1):
+            lanes = []                     # [free_cols, [member_idx, ...]]
+            for i in order:
+                w = ws[i]
+                fit = None
+                for L in lanes:
+                    if L[0] >= w and len(L[1]) < k and (
+                            fit is None or L[0] < fit[0]):
+                        fit = L            # best (tightest) fit
+                if fit is None:
+                    lanes.append([128 - w, [i]])
+                else:
+                    fit[0] -= w
+                    fit[1].append(i)
+            pack = max(len(L[1]) for L in lanes)
+            if pack < 2:
+                continue
+            widths = np.zeros((len(lanes), pack), np.int64)
+            members = []
+            for g, (_, idxs) in enumerate(lanes):
+                for s, i in enumerate(idxs):
+                    members.append(group[i])
+                    widths[g, s] = ws[i]
+            cost = _mixed_cost(members, widths, SL)
+            if best is None or cost < best[0]:
+                best = (cost, members, widths, SL)
+    if best is None:                       # single member or none fit
+        m = group[0]
+        return [m], np.asarray([[128]], np.int64), -(-len(m[1]) // 128)
+    return best[1], best[2], best[3]
 
-    def rows_for(Va, Vb):
-        # minimal r with ceil(Va/r) + ceil(Vb/r) <= 128 (ceil slack can
-        # push the naive ceil((Va+Vb)/128) over a row boundary)
-        r = max(1, -(-(Va + Vb) // 128))
-        while -(-Va // r) + -(-Vb // r) > 128:
-            r += 1
-        return r
 
-    SL = max([rows_for(len(a[1]), len(b[1])) for a, b in pairs]
-             + ([-(-len(lone[1]) // 128)] if lone is not None else []))
-    members, bounds = [], []
-    for a, b in pairs:
-        members.extend([a, b])
-        bounds.append(-(-len(a[1]) // SL))
-    if lone is not None:
-        members.append(lone)
-        bounds.append(128)
-    return members, np.asarray(bounds, np.int64), SL
-
-
-def _mixed_cost(members, bounds, SL: int) -> float:
-    """Calibrated modeled us/sweep of a mixed-width pack=2 bucket: same
-    row terms as _layout_cost but with the pairing's actual physical rows
+def _mixed_cost(members, widths: np.ndarray, SL: int) -> float:
+    """Calibrated modeled us/sweep of a mixed-width k-way bucket: same
+    row terms as _layout_cost but with the packing's actual physical rows
     and per-member segment widths (member i's head/multi columns occupy
     its first ceil(H_i / w_i) rows of its own segment)."""
     from basicrta_tpu.sampler.kernels import SMALL_NMAX
-    B = len(members)
-    Bph = len(bounds)
-    widths = []
-    for i in range(B):
-        b = int(bounds[i // 2])
-        widths.append(b if i % 2 == 0 else 128 - b)
+    ws = widths[widths > 0]       # row-major nonzero == member order
     head = small = 0
-    for (name, v, c), w in zip(members, widths):
+    for (name, v, c), w in zip(members, ws):
         H = int(np.sum(c > SMALL_NMAX))
         S1 = int(np.sum(c > 1))
-        head = max(head, -(-H // w))
-        small = max(small, -(-S1 // w))
+        head = max(head, -(-H // int(w)))
+        small = max(small, -(-S1 // int(w)))
     small = min(max(small, head), SL)
     head = min(head, SL)
-    return _cost_terms(Bph, SL, head, small, 2)
+    return _cost_terms(len(widths), SL, head, small, widths.shape[1])
 
 
 def _pack_mixed(values_np: np.ndarray, counts_np: np.ndarray,
-                bounds: np.ndarray, SL: int):
-    """Host-side physical packing of a mixed-width pack=2 bucket.
+                widths: np.ndarray, SL: int):
+    """Host-side physical packing of a mixed-width k-way bucket.
 
-    values/counts: (B_logical, V) in paired order; bounds: (Bph,) boundary
-    columns covering ceil(B_logical/2) physical lanes (callers pad both to
-    the final lane count first). Returns (v_ph, c_ph, seg_mask): physical
-    (Bph, SL, 128) row layouts and the (Bph, 128) f32 first-segment
-    ownership mask the kernel consumes (pallas_sweep segment_pallas).
+    values/counts: (B_true, V) TRUE members, lane-major in slot order
+    (the order _mixed_kpack returns); widths: (Bph, pack) per-slot column
+    widths, 0 marking empty slots (all-zero rows are whole padding lanes).
+    Returns (v_ph, c_ph, seg_id, slot_idx): physical (Bph, SL, 128) row
+    layouts, the (Bph, 128) f32 per-column owning-slot-index tile the
+    kernel consumes (pallas_sweep segment_pallas), and the (B_true,)
+    logical slot index g * pack + s of each member — the gather map from
+    the kernel's (Bph * pack, ...) slot-ordered outputs back to members.
     """
-    Bph = len(bounds)
+    Bph, pack = widths.shape
     B, V = values_np.shape
     v_ph = np.ones((Bph, SL, 128), np.float32)
     c_ph = np.zeros((Bph, SL, 128), np.float32)
+    seg_id = np.zeros((Bph, 128), np.float32)
+    slot_idx = []
+    i = 0
     for g in range(Bph):
-        b = int(bounds[g])
-        for off, w, i in ((0, b, 2 * g), (b, 128 - b, 2 * g + 1)):
-            if w == 0 or i >= B:
+        off = 0
+        for s in range(pack):
+            w = int(widths[g, s])
+            if w == 0:
                 continue
+            if i >= B:
+                raise ValueError("mixed-pack underflow: widths name more "
+                                 f"slots than the {B} members provided")
             cap = SL * w
             n = min(cap, V)
             if counts_np[i, cap:].any():
                 # a plain assert would vanish under python -O and the
                 # min(cap, V) copy below would then silently DROP events
                 raise ValueError(
-                    f"mixed-pack overflow: lane {i} has live columns "
+                    f"mixed-pack overflow: member {i} has live columns "
                     f"beyond its segment capacity {cap} (SL={SL}, "
-                    f"width={w}) — bounds/layout inconsistency")
+                    f"width={w}) — widths/layout inconsistency")
             va = np.ones((cap,), np.float32)
             ca = np.zeros((cap,), np.float32)
             va[:n] = values_np[i, :n]
             ca[:n] = counts_np[i, :n]
             v_ph[g, :, off:off + w] = va.reshape(SL, w)
             c_ph[g, :, off:off + w] = ca.reshape(SL, w)
-    seg_mask = (np.arange(128)[None, :] < bounds[:, None]).astype(
-        np.float32)
-    return v_ph, c_ph, seg_mask
+            seg_id[g, off:off + w] = s
+            slot_idx.append(g * pack + s)
+            off += w
+            i += 1
+    if i != B:
+        raise ValueError(f"mixed-pack underflow: {B} members but widths "
+                         f"name only {i} slots")
+    return v_ph, c_ph, seg_id, np.asarray(slot_idx, np.int64)
 
 
 def _mixed_row_tiers(c_ph: np.ndarray) -> Tuple[int, int]:
@@ -381,6 +426,49 @@ def _dp_layout(items) -> List[Tuple[Tuple[int, int], list]]:
     return groups
 
 
+def _kpack_or_uniform_cost(key, group) -> float:
+    """Modeled cost of a bucket under its best layout: the uniform
+    (width, pack) class or the k-way mixed packing, whichever is
+    cheaper (mirrors the adoption rule in bucket_residues)."""
+    c = _bucket_cost(group, key[0], key[1])
+    if len(group) > 1:
+        m, w, sl = _mixed_kpack(group)
+        c = min(c, _mixed_cost(m, w, sl))
+    return c
+
+
+def _merge_adjacent(groups):
+    """Greedy merge pass over the DP partition under the k-way cost.
+
+    The DP partitions under UNIFORM width classes (its per-bucket cost
+    upper bounds), where splitting heterogeneous ranges is often worth a
+    30 us dispatch constant; k-way mixed packing changes that calculus —
+    a V=88 member can fill a V=740 lane's slack columns — so adjacent
+    buckets whose merged k-way layout models cheaper than the pair are
+    merged until no merge improves. Cuts both grid-program constants and
+    padded rows; modeled_work_waste 0.44 -> ~0.29 on the canonical
+    300-residue workload.
+    """
+    groups = list(groups)
+    costs = [_kpack_or_uniform_cost(k, g) for k, g in groups]
+    while len(groups) > 1:
+        best = None
+        for i in range(len(groups) - 1):
+            merged = groups[i][1] + groups[i + 1][1]
+            Vm = max(len(v) for _, v, _ in merged)
+            key = (-(-Vm // 128) * 128, 1)
+            c = _kpack_or_uniform_cost(key, merged)
+            gain = costs[i] + costs[i + 1] - c
+            if gain > 1e-9 and (best is None or gain > best[0]):
+                best = (gain, i, key, merged, c)
+        if best is None:
+            break
+        _, i, key, merged, c = best
+        groups[i:i + 2] = [(key, merged)]
+        costs[i:i + 2] = [c]
+    return groups
+
+
 def bucket_residues(times_per_residue: Dict[str, np.ndarray],
                     floor: Optional[int] = None,
                     pack_small: bool = True,
@@ -431,6 +519,8 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
         floor = 128
     if packing and consolidate:
         groups = _dp_layout(items)
+        if mixed_pack:
+            groups = _merge_adjacent(groups)
     else:
         buckets: Dict[Tuple[int, int], list] = {}
         for name, v, c in items:
@@ -446,21 +536,22 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
     out = []
     for (V, pack), group in groups:
         bounds, phys_rows = None, 0
-        if mixed_pack and packing and pack <= 2 and len(group) > 1:
+        if mixed_pack and packing and consolidate and len(group) > 1:
             # mixed-width post-pass: the DP partitions under its uniform
-            # width classes (upper bounds); per-pair boundaries then
+            # width classes (upper bounds); k-way per-lane widths then
             # shrink a bucket's physical rows wherever member sizes vary
             # (the uniform 64-column split makes a V=385 member walk its
-            # V=768 partner's 12 rows; mixed pairing fits both in 10).
-            # Adopted when the calibrated cost model says the pairing
-            # beats the bucket's uniform class — including converting
-            # unpacked buckets whose heterogeneity the DP could not see.
-            m_members, m_bounds, m_rows = _mixed_pairing(group)
-            if (_mixed_cost(m_members, m_bounds, m_rows)
+            # V=768 partner's 12 rows; and a lane can hold up to 8 small
+            # members instead of 2). Adopted when the calibrated cost
+            # model says the packing beats the bucket's uniform class —
+            # including converting unpacked buckets whose heterogeneity
+            # the DP could not see.
+            m_members, m_widths, m_rows = _mixed_kpack(group)
+            if (_mixed_cost(m_members, m_widths, m_rows)
                     < _bucket_cost(group, V, pack)):
                 group = m_members
-                bounds, phys_rows = m_bounds, m_rows
-                pack = 2
+                bounds, phys_rows = m_widths, m_rows
+                pack = int(m_widths.shape[1])
                 V = max(len(v) for _, v, _ in group)
         B = len(group)
         values = np.zeros((B, V), np.float64)
@@ -625,30 +716,43 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         checkpoint_path += ".npz"
     B = batch.size
     pack = batch.pack
-    # pad lanes to a multiple of the lane-shard count (and of the packing
-    # factor, so each shard reshapes whole physical lanes); padded lanes
-    # carry zero counts (no events) and are sliced off the results
-    Bs = -(-B // (n_lanes * pack)) * (n_lanes * pack)
-    values_np = np.ones((Bs, batch.values.shape[1]), np.float32)
-    values_np[:B] = batch.values
-    counts_np = np.zeros((Bs, batch.counts.shape[1]), np.float32)
-    counts_np[:B] = batch.counts
     tiers = batch.tiers
     mixed = batch.bounds is not None and engine == "pallas"
     seg_mask = None
+    slot_take = None                # mixed: member <- kernel-slot gather
     if mixed:
-        # mixed-width packed bucket: pack physical (Bph, SL, 128) layouts
-        # on the host (per-lane boundaries make this a per-pair reshape no
-        # static device op expresses) and hand the kernel the ownership
-        # mask; tiers become physical-row tiers
-        bounds_s = np.full((Bs // 2,), 64, np.int64)
-        bounds_s[:len(batch.bounds)] = batch.bounds
-        v_ph, c_ph, seg_mask_np = _pack_mixed(values_np, counts_np,
-                                              bounds_s, batch.phys_rows)
+        # mixed-width k-way packed bucket: pack physical (Bph, SL, 128)
+        # layouts on the host (per-lane widths make this a per-member
+        # reshape no static device op expresses) and hand the kernel the
+        # segment-id tile; tiers become physical-row tiers. The kernel's
+        # state/outputs are SLOT-ordered (Bph * pack logical rows, empty
+        # slots included), so results gather through slot_take.
+        widths = np.asarray(batch.bounds, np.int64)
+        Bph = widths.shape[0]
+        # pad whole physical lanes so each lane shard gets whole lanes;
+        # all-zero width rows are pure padding lanes (no live columns)
+        Bph_s = -(-Bph // n_lanes) * n_lanes
+        widths_s = np.zeros((Bph_s, pack), np.int64)
+        widths_s[:Bph] = widths
+        v_ph, c_ph, seg_id, slot_np = _pack_mixed(
+            np.asarray(batch.values, np.float32),
+            np.asarray(batch.counts, np.float32),
+            widths_s, batch.phys_rows)
         mixed_tiers = _mixed_row_tiers(c_ph)
-        values_np = v_ph.reshape(len(bounds_s), -1)
-        counts_np = c_ph.reshape(len(bounds_s), -1)
-        seg_mask = jnp.asarray(seg_mask_np)
+        values_np = v_ph.reshape(Bph_s, -1)
+        counts_np = c_ph.reshape(Bph_s, -1)
+        seg_mask = jnp.asarray(seg_id)
+        slot_take = jnp.asarray(slot_np)
+        Bs = Bph_s * pack           # logical slots incl. empties
+    else:
+        # pad lanes to a multiple of the lane-shard count (and of the
+        # packing factor, so each shard reshapes whole physical lanes);
+        # padded lanes carry zero counts and are sliced off the results
+        Bs = -(-B // (n_lanes * pack)) * (n_lanes * pack)
+        values_np = np.ones((Bs, batch.values.shape[1]), np.float32)
+        values_np[:B] = batch.values
+        counts_np = np.zeros((Bs, batch.counts.shape[1]), np.float32)
+        counts_np[:B] = batch.counts
     n_events_shards = 1
     if (mesh is not None and engine == "xla"
             and mesh.shape.get("events", 1) > 1
@@ -700,10 +804,10 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
     if pack > 1:
         ckpt_engine += f"-p{pack}"
     if mixed:
-        # the boundary layout reshuffles which uniform feeds which draw,
+        # the width layout reshuffles which uniform feeds which draw,
         # so checkpoints never resume across mixed/uniform layouts
         import zlib as _zlib
-        ckpt_engine += f"-mx{_zlib.crc32(bounds_s.tobytes()) & 0xffff:04x}"
+        ckpt_engine += f"-mx{_zlib.crc32(widths_s.tobytes()) & 0xffff:04x}"
     Ws, Rs = [], []
     done = 0
     seg_idx = 0
@@ -711,13 +815,23 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         resumed = load_checkpoint(checkpoint_path, batch, cfg, ckpt_engine)
         if resumed is not None:
             done, seg_idx, ck_state, Ws, Rs = resumed
-            # checkpoints store the true-B state; re-pad to the shard count
-            pad = Bs - ck_state.weights.shape[0]
-            state = MixtureState(
-                jnp.pad(ck_state.weights, ((0, pad), (0, 0)),
-                        constant_values=1.0),
-                jnp.pad(ck_state.rates, ((0, pad), (0, 0)),
-                        constant_values=1.0))
+            if mixed:
+                # checkpoints store the true-B member state; scatter it
+                # back into the kernel's slot-ordered layout
+                state = MixtureState(
+                    jnp.ones((Bs, cfg.ncomp), jnp.float32)
+                       .at[slot_take].set(ck_state.weights),
+                    jnp.ones((Bs, cfg.ncomp), jnp.float32)
+                       .at[slot_take].set(ck_state.rates))
+            else:
+                # checkpoints store the true-B state; re-pad to the
+                # shard count
+                pad = Bs - ck_state.weights.shape[0]
+                state = MixtureState(
+                    jnp.pad(ck_state.weights, ((0, pad), (0, 0)),
+                            constant_values=1.0),
+                    jnp.pad(ck_state.rates, ((0, pad), (0, 0)),
+                            constant_values=1.0))
             if state_sharding is not None:
                 state = MixtureState(
                     jax.device_put(state.weights, state_sharding),
@@ -777,6 +891,11 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         nb = min(segment_blocks, total_blocks - done)
         if engine == "pallas":
             state, W, R = run_segment(done * cfg.g, state, nb)
+            if mixed:
+                # slot-ordered kernel outputs -> true members (the
+                # downstream [:B] slices then see exactly B member rows)
+                W = jnp.take(W, slot_take, axis=0)
+                R = jnp.take(R, slot_take, axis=0)
         else:
             seg_keys = jax.vmap(
                 lambda k: jax.random.fold_in(k, seg_idx))(lane_keys)
@@ -802,11 +921,14 @@ def run_batch(batch: ResidueBatch, cfg: GibbsConfig,
         done += nb
         seg_idx += 1
         if checkpoint_path is not None:
+            if mixed:
+                ck = MixtureState(np.asarray(state.weights)[slot_np],
+                                  np.asarray(state.rates)[slot_np])
+            else:
+                ck = MixtureState(np.asarray(state.weights)[:B],
+                                  np.asarray(state.rates)[:B])
             save_checkpoint(checkpoint_path, batch, cfg, done, seg_idx,
-                            MixtureState(
-                                np.asarray(state.weights)[:B],
-                                np.asarray(state.rates)[:B]),
-                            Ws, Rs, ckpt_engine)
+                            ck, Ws, Rs, ckpt_engine)
         if checkpoint_cb is not None:
             checkpoint_cb(seg_idx, state, (Ws, Rs))
         if progress_cb is not None:

@@ -528,12 +528,14 @@ def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
     binomial chain the whole row then shares. The (N_k, T_k) reductions
     split per segment the same way. Returns (ns, ts), each (pack, G, K).
 
-    ``seg_masks`` (mixed-width buckets, pack=2 only): a list of ``pack``
+    ``seg_masks`` (mixed-width buckets, any pack >= 2): a list of ``pack``
     (G, 128) f32 ownership masks replacing the uniform 128//pack split —
-    each physical lane puts its boundary where its own pair of residues
-    needs it (batch._mixed_pairing), so a V=700 residue shares a lane
-    with a V=380 one without either paying phantom rows. Broadcast
-    semantics are identical to the (1, 128) static masks.
+    each physical lane draws its segment boundaries where its own members
+    need them (batch._mixed_kpack bin-packs members of different widths
+    into each lane), so a V=700 residue shares a lane with a V=380 one
+    without either paying phantom rows, and up to ``pack`` small residues
+    tile one lane. Broadcast semantics are identical to the (1, 128)
+    static masks; empty slots own no columns and draw zero statistics.
 
     Small residues are where the padding waste lived: a V<=16 residue in
     the 128-column floor bucket paid a full head-tier row for 16 live
@@ -544,11 +546,14 @@ def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
     _suffix_sums_packed(v, w_pgk, r_pgk, z_scr, K, masks)
 
     def seg_sums(draw3, vals3):
-        # (rows, G, 128) draws -> per-segment (pack, G) count / time sums
-        ns = jnp.stack([jnp.sum(draw3 * m[None], axis=(0, 2))
-                        for m in masks])
-        ts = jnp.stack([jnp.sum(vals3 * draw3 * m[None], axis=(0, 2))
-                        for m in masks])
+        # (rows, G, 128) draws -> per-segment (pack, G) count / time sums.
+        # Row-reduce ONCE, then mask per segment: O(rows + pack) tile
+        # passes instead of O(rows * pack) — the difference between pack=2
+        # and the k-way mixed layouts (pack up to 8) being free
+        rn = jnp.sum(draw3, axis=0)                       # (G, 128)
+        rt = jnp.sum(vals3 * draw3, axis=0)               # (G, 128)
+        ns = jnp.stack([jnp.sum(rn * m, axis=-1) for m in masks])
+        ts = jnp.stack([jnp.sum(rt * m, axis=-1) for m in masks])
         return ns, ts
 
     if SL > small_rows:
@@ -686,13 +691,15 @@ def _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
         nodes = nxt
 
     if pack > 1:
+        # row-reduce once per node, then mask per segment (cf. seg_sums)
+        rns = [jnp.sum(n, axis=0) for _, _, n in nodes[:K]]      # (G, 128)
+        rts = [jnp.sum(v * n, axis=0) for _, _, n in nodes[:K]]
         ns = jnp.stack(
-            [jnp.stack([jnp.sum(n * m[None], axis=(0, 2)) for m in masks])
-             for _, _, n in nodes[:K]], axis=-1)             # (pack, G, K)
+            [jnp.stack([jnp.sum(rn * m, axis=-1) for m in masks])
+             for rn in rns], axis=-1)                         # (pack, G, K)
         ts = jnp.stack(
-            [jnp.stack([jnp.sum(v * n * m[None], axis=(0, 2))
-                        for m in masks])
-             for _, _, n in nodes[:K]], axis=-1)
+            [jnp.stack([jnp.sum(rt * m, axis=-1) for m in masks])
+             for rt in rts], axis=-1)
         return ns, ts
     ns = jnp.stack([jnp.sum(n, axis=(0, 2)) for _, _, n in nodes[:K]],
                    axis=-1)                                  # (G, K)
@@ -759,13 +766,15 @@ def transcendentals_per_sweep(B: int, V: int, pack: int,
     update adds ~3 transcendentals per Marsaglia-Tsang round over the
     (pack, G, K) state tile.
 
-    ``phys``: explicit (SL, head_rows, small_rows) physical-row layout for
-    mixed-width buckets (batch._mixed_row_tiers), where V/tiers are
-    logical and cannot reproduce the packing.
+    ``phys``: explicit (SL, head_rows, small_rows[, Bph]) physical-row
+    layout for mixed-width buckets (batch._mixed_row_tiers), where
+    V/tiers are logical and cannot reproduce the packing; the optional
+    4th element gives the true physical lane count (k-way layouts fill
+    lanes variably, so ceil(B / pack) undercounts them).
     """
     if phys is not None:
-        SL, head, small = phys
-        Bph = -(-B // pack)
+        SL, head, small = phys[:3]
+        Bph = phys[3] if len(phys) > 3 else -(-B // pack)
     elif pack > 1:
         W = _LANES // pack
         SL = V // W
@@ -904,8 +913,11 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
     index), so chains are reproducible for any segmentation of the run —
     a preempted run resumes bit-exactly (cf. batch.run_batch checkpoints).
 
-    ``mixed`` inserts a (1, G, 128) segment-ownership mask input after
-    c_ref (mixed-width pack=2 buckets; see :func:`_suff_stats_packed`).
+    ``mixed`` inserts a (1, G, 128) segment-ID tile input after c_ref
+    (mixed-width buckets, any pack >= 2): per column, the f32 slot index
+    in [0, pack) of the logical lane owning it (see
+    :func:`_suff_stats_packed`); ownership masks are rebuilt in-kernel by
+    equality against each slot index.
     """
     if mixed:
         (seed_ref, w0_ref, r0_ref, v_ref, c_ref, m_ref,
@@ -920,8 +932,9 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
     v = v_ref[0]
     c = c_ref[0]
     if m_ref is not None:
-        mA = m_ref[0]                                # (G, 128) f32
-        seg_masks = [mA, 1.0 - mA]
+        sid = m_ref[0]                               # (G, 128) f32 slot ids
+        seg_masks = [(sid == float(s)).astype(jnp.float32)
+                     for s in range(pack)]
     else:
         seg_masks = None
 
@@ -1009,13 +1022,14 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
             :func:`packed_row_tiers`; consecutive groups of ``pack``
             logical lanes share one physical lane across SL rows (see
             :func:`_suff_stats_packed`).
-        seg_mask: mixed-width packing (requires pack=2): (Bph, 128) f32
-            ownership mask of each PHYSICAL lane's first segment, 1.0 on
-            columns owned by logical lane 2*g and 0.0 on those of 2*g+1.
+        seg_mask: mixed-width packing (pack >= 2): (Bph, 128) f32
+            SEGMENT-ID tile — per column, the slot index in [0, pack) of
+            the logical lane owning it (lane g's slot s is logical lane
+            g * pack + s; slots may be empty and own no columns).
             ``values``/``counts`` are then PHYSICAL (Bph, SL * 128) row
-            layouts (host-packed by batch.run_batch with the per-pair
-            boundary from batch._mixed_pairing), ``state`` stays logical
-            (2 * Bph, K), and ``tiers`` are physical-row tiers.
+            layouts (host-packed by batch run_batch from the per-lane
+            widths of batch._mixed_kpack), ``state`` stays logical
+            (pack * Bph, K), and ``tiers`` are physical-row tiers.
     Returns:
         (state, W, R) with W/R (B, n_blocks, K) thinned samples.
     """
@@ -1023,10 +1037,10 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
     B, V = values.shape
     head_rows, small_rows = tiers
     if seg_mask is not None:
-        if pack != 2 or V % _LANES or state.weights.shape[0] != 2 * B:
+        if pack < 2 or V % _LANES or state.weights.shape[0] != pack * B:
             raise ValueError(
-                f"mixed-width packing needs pack=2, physical (Bph, SL*128) "
-                f"values and a (2*Bph, K) state; got pack={pack}, "
+                f"mixed-width packing needs pack>=2, physical (Bph, SL*128)"
+                f" values and a (pack*Bph, K) state; got pack={pack}, "
                 f"values {values.shape}, state {state.weights.shape}")
         return _segment_pallas_packed(seed, sweep_offset, state, values,
                                       counts, cfg, n_blocks, head_rows,

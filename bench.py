@@ -460,11 +460,12 @@ def main():
             def _phys(b):
                 if b.bounds is None:
                     return None
-                _, c_ph, _ = _pack_mixed(
+                _, c_ph, _, _ = _pack_mixed(
                     np.asarray(b.values, np.float32),
                     np.asarray(b.counts, np.float32), b.bounds,
                     b.phys_rows)
-                return (b.phys_rows, *_mixed_row_tiers(c_ph))
+                return (b.phys_rows, *_mixed_row_tiers(c_ph),
+                        len(b.bounds))
 
             per_sweep = sum(transcendentals_per_sweep(
                 b.size, b.values.shape[1], b.pack, b.tiers, cfg.ncomp,

@@ -67,17 +67,14 @@ def _build_runs(batches, cfg, n_blocks):
         B = b.size
         if b.bounds is not None:
             Bph = len(b.bounds)
-            B = 2 * Bph
-            v_np = np.ones((B, b.values.shape[1]), np.float32)
-            v_np[:b.size] = b.values
-            c_np = np.zeros_like(v_np)
-            c_np[:b.size] = b.counts
-            v_ph, c_ph, mask_np = _pack_mixed(v_np, c_np, b.bounds,
-                                              b.phys_rows)
+            B = Bph * b.pack          # slot-ordered logical lanes
+            v_ph, c_ph, seg_id, _ = _pack_mixed(
+                np.asarray(b.values, np.float32),
+                np.asarray(b.counts, np.float32), b.bounds, b.phys_rows)
             tiers = _mixed_row_tiers(c_ph)
             values = jnp.asarray(v_ph.reshape(Bph, -1))
             counts = jnp.asarray(c_ph.reshape(Bph, -1))
-            seg_mask = jnp.asarray(mask_np)
+            seg_mask = jnp.asarray(seg_id)
         else:
             if b.pack > 1:
                 seg_w = 128 // b.pack

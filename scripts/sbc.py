@@ -64,8 +64,8 @@ def run_sbc(M=64, n_events=2000, ncomp=5, niter=20_000, g=100,
         n_m = n_events
         if mixed_sizes:
             # heterogeneous replicate sizes force the mixed-width packed
-            # layout (per-lane boundary columns, batch._mixed_pairing):
-            # rank uniformity then certifies the seg_mask kernel path on
+            # layout (per-lane slot widths, batch._mixed_kpack):
+            # rank uniformity then certifies the seg-id kernel path on
             # the whole posterior, not just moments
             n_m = int(10 ** rng.uniform(np.log10(n_events / 4),
                                         np.log10(n_events)))

@@ -369,60 +369,79 @@ class TestPackedBuckets:
             mt_x = (rx.mcweights[j][b0:] / rx.mcrates[j][b0:]).sum(-1)
             assert mt_p.mean() == pytest.approx(mt_x.mean(), rel=0.05)
 
-    def test_mixed_pairing_layout(self, rng):
-        """_mixed_pairing: head-tail pairs, per-pair boundaries, and every
-        member fitting its segment capacity on random size mixes."""
-        from basicrta_tpu.sampler.batch import _mixed_pairing
+    def test_mixed_kpack_layout(self, rng):
+        """_mixed_kpack: every member fits its slot capacity, lane widths
+        sum within 128 columns, members come back lane-major exactly
+        once, on random size mixes."""
+        from basicrta_tpu.sampler.batch import _mixed_kpack
         for trial in range(20):
             sizes = rng.integers(5, 900, rng.integers(2, 15))
             group = [(f"R{i}", np.arange(1, s + 1, dtype=float),
                       np.ones(s)) for i, s in enumerate(sizes)]
-            members, bounds, SL = _mixed_pairing(group)
+            members, widths, SL = _mixed_kpack(group)
             assert sorted(n for n, _, _ in members) == sorted(
                 f"R{i}" for i in range(len(sizes)))
-            assert len(bounds) == -(-len(sizes) // 2)
-            for g in range(len(bounds)):
-                b = int(bounds[g])
-                assert 1 <= b <= 128
-                Va = len(members[2 * g][1])
-                assert Va <= SL * b, (Va, SL, b)
-                if 2 * g + 1 < len(members):
-                    Vb = len(members[2 * g + 1][1])
-                    assert Vb <= SL * (128 - b), (Vb, SL, b)
-                    assert Vb <= Va  # big first in each pair
+            Bph, pack = widths.shape
+            assert 2 <= pack <= 8 or len(sizes) == 1
+            assert (widths.sum(axis=1) <= 128).all()
+            assert (widths >= 0).all()
+            # lane-major member order: the j-th member owns the j-th
+            # nonzero width, and fits its SL x width slot
+            ws = widths[widths > 0]
+            assert len(ws) == len(members)
+            for (name, v, _), w in zip(members, ws):
+                assert len(v) <= SL * int(w), (name, len(v), SL, int(w))
 
     def test_pack_mixed_roundtrip(self, rng):
-        """_pack_mixed places every logical lane's cells exactly in its
-        own segment (mask-consistent, count-preserving, value-aligned)."""
+        """_pack_mixed places every member's cells exactly in its own
+        segment (seg-id-consistent, count-preserving, value-aligned),
+        with variable fill and empty slots."""
         from basicrta_tpu.sampler.batch import _pack_mixed
         for trial in range(10):
             Bph = int(rng.integers(1, 6))
             SL = int(rng.integers(1, 5))
-            bounds = rng.integers(1, 128, Bph)
-            B = 2 * Bph
+            pack = int(rng.integers(2, 9))
+            # random widths: each lane gets 0..pack members whose widths
+            # sum <= 128 (leading slots filled first, like _mixed_kpack)
+            widths = np.zeros((Bph, pack), np.int64)
+            for g in range(Bph):
+                free = 128
+                for s in range(int(rng.integers(0, pack + 1))):
+                    if free <= 0:
+                        break
+                    w = int(rng.integers(1, free + 1))
+                    widths[g, s] = w
+                    free -= w
+            B = int((widths > 0).sum())
             V = SL * 128
             values = np.ones((B, V), np.float32)
             counts = np.zeros((B, V), np.float32)
+            ws = widths[widths > 0]
             for i in range(B):
-                w = (int(bounds[i // 2]) if i % 2 == 0
-                     else 128 - int(bounds[i // 2]))
-                live = int(rng.integers(0, SL * w + 1))
+                live = int(rng.integers(0, SL * int(ws[i]) + 1))
                 values[i, :live] = rng.uniform(0.1, 9.0, live)
                 counts[i, :live] = rng.integers(1, 50, live)
-            v_ph, c_ph, mask = _pack_mixed(values, counts, bounds, SL)
-            assert mask.shape == (Bph, 128)
+            v_ph, c_ph, seg_id, slot_idx = _pack_mixed(values, counts,
+                                                       widths, SL)
+            assert seg_id.shape == (Bph, 128)
+            assert len(slot_idx) == B
+            i = 0
             for g in range(Bph):
-                b = int(bounds[g])
-                assert np.array_equal(mask[g], (np.arange(128) < b))
-                for off, w, i in ((0, b, 2 * g), (b, 128 - b, 2 * g + 1)):
+                off = 0
+                for s in range(pack):
+                    w = int(widths[g, s])
                     if w == 0:
                         continue
+                    assert slot_idx[i] == g * pack + s
+                    assert (seg_id[g, off:off + w] == s).all()
                     seg_c = c_ph[g, :, off:off + w].reshape(-1)
                     seg_v = v_ph[g, :, off:off + w].reshape(-1)
                     live = int((counts[i] > 0).sum())
                     assert np.array_equal(seg_c[:live], counts[i, :live])
                     assert np.array_equal(seg_v[:live], values[i, :live])
                     assert not seg_c[live:].any()
+                    off += w
+                    i += 1
             # count mass is conserved exactly
             assert c_ph.sum() == counts.sum()
 
@@ -443,7 +462,7 @@ class TestPackedBuckets:
         cfg = GibbsConfig(ncomp=4, niter=1600, g=10, seed=9)
         b0 = 60
         for batch in batches:
-            assert batch.pack == 2
+            assert batch.pack >= 2
             rp = run_batch(batch, cfg, engine="pallas")
             rx = run_batch(batch, cfg, engine="xla")
             for i, name in enumerate(rp.names):
@@ -518,13 +537,16 @@ class TestPackedBuckets:
                 if b.pack > 1 and b.bounds is None:
                     assert b.values.shape[1] % (128 // b.pack) == 0
                 if b.bounds is not None:
-                    # every member fits its own segment's capacity
-                    assert b.pack == 2 and b.phys_rows >= 1
+                    # every member fits its own slot's capacity (k-way
+                    # layout: b.bounds is the (Bph, pack) slot-width
+                    # table, members lane-major in slot order)
+                    assert b.pack >= 2 and b.phys_rows >= 1
+                    assert (b.bounds.sum(axis=1) <= 128).all()
+                    ws = b.bounds[b.bounds > 0]
+                    assert len(ws) == b.size
                     for i in range(b.size):
-                        w = (int(b.bounds[i // 2]) if i % 2 == 0
-                             else 128 - int(b.bounds[i // 2]))
                         live = int((b.counts[i] > 0).sum())
-                        assert live <= b.phys_rows * w
+                        assert live <= b.phys_rows * int(ws[i])
 
     @pytest.mark.slow
     def test_packed_checkpoint_resume_exact(self, rng, tmp_path):
