@@ -212,10 +212,14 @@ def modeled_work_waste(batches: Sequence["ResidueBatch"]) -> float:
     return 1.0 - live / padded if padded > 0 else 0.0
 
 
-def _mixed_kpack(group, kmax: int = 8):
+def _mixed_kpack(group, kmax: int = 12):
     """Mixed-width k-way layout of one bucket: bin-pack members into
     128-column physical lanes, member i owning ceil(V_i / SL) columns of
-    all SL rows, up to ``kmax`` members per lane.
+    all SL rows, up to ``kmax`` members per lane (default 12 — the
+    measured on-chip plateau: the canonical 300-residue workload runs
+    uniform 927k / kmax2 950k / kmax4 1.111M / kmax8 1.148M / kmax12
+    1.190M agg sweeps/s in the interleaved abench sweep, and the
+    modeled layout for kmax=16 is identical to kmax=12).
 
     For every candidate (SL, k) the members are packed best-fit in
     decreasing width order (BFD sits within 11/9 of the optimal lane
@@ -426,18 +430,18 @@ def _dp_layout(items) -> List[Tuple[Tuple[int, int], list]]:
     return groups
 
 
-def _kpack_or_uniform_cost(key, group) -> float:
+def _kpack_or_uniform_cost(key, group, kmax: int = 12) -> float:
     """Modeled cost of a bucket under its best layout: the uniform
     (width, pack) class or the k-way mixed packing, whichever is
     cheaper (mirrors the adoption rule in bucket_residues)."""
     c = _bucket_cost(group, key[0], key[1])
     if len(group) > 1:
-        m, w, sl = _mixed_kpack(group)
+        m, w, sl = _mixed_kpack(group, kmax=kmax)
         c = min(c, _mixed_cost(m, w, sl))
     return c
 
 
-def _merge_adjacent(groups):
+def _merge_adjacent(groups, kmax: int = 12):
     """Greedy merge pass over the DP partition under the k-way cost.
 
     The DP partitions under UNIFORM width classes (its per-bucket cost
@@ -450,14 +454,14 @@ def _merge_adjacent(groups):
     300-residue workload.
     """
     groups = list(groups)
-    costs = [_kpack_or_uniform_cost(k, g) for k, g in groups]
+    costs = [_kpack_or_uniform_cost(k, g, kmax) for k, g in groups]
     while len(groups) > 1:
         best = None
         for i in range(len(groups) - 1):
             merged = groups[i][1] + groups[i + 1][1]
             Vm = max(len(v) for _, v, _ in merged)
             key = (-(-Vm // 128) * 128, 1)
-            c = _kpack_or_uniform_cost(key, merged)
+            c = _kpack_or_uniform_cost(key, merged, kmax)
             gain = costs[i] + costs[i + 1] - c
             if gain > 1e-9 and (best is None or gain > best[0]):
                 best = (gain, i, key, merged, c)
@@ -474,7 +478,8 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
                     pack_small: bool = True,
                     ladder: Optional[str] = None,
                     consolidate: bool = True,
-                    mixed_pack: bool = True) -> List[ResidueBatch]:
+                    mixed_pack: bool = True,
+                    kmax: int = 12) -> List[ResidueBatch]:
     """Group residues into 128-column-quantized unique-count buckets.
 
     Residence times are multiples of the trajectory interval, so the unique
@@ -520,7 +525,7 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
     if packing and consolidate:
         groups = _dp_layout(items)
         if mixed_pack:
-            groups = _merge_adjacent(groups)
+            groups = _merge_adjacent(groups, kmax=kmax)
     else:
         buckets: Dict[Tuple[int, int], list] = {}
         for name, v, c in items:
@@ -546,7 +551,7 @@ def bucket_residues(times_per_residue: Dict[str, np.ndarray],
             # model says the packing beats the bucket's uniform class —
             # including converting unpacked buckets whose heterogeneity
             # the DP could not see.
-            m_members, m_widths, m_rows = _mixed_kpack(group)
+            m_members, m_widths, m_rows = _mixed_kpack(group, kmax=kmax)
             if (_mixed_cost(m_members, m_widths, m_rows)
                     < _bucket_cost(group, V, pack)):
                 group = m_members

@@ -66,15 +66,16 @@ def make_workload(n_residues=N_RESIDUES, seed=0):
     return residues
 
 
-# regression floors: pallas raised after the round-3 calibrated DP
-# layout (measured 987-994k over interleaved reps); xla/flagship are
+# regression floors: pallas raised after the round-4 k-way mixed-width
+# layout (measured 1.244M on-chip 2026-08-20; r03 mixed layout measured
+# 1.15M — floor ~0.8x the current measurement); xla/flagship are
 # round-2 floors (measured 626-650k/179k/32k); warn loudly on regression.
 # contacts floor raised after the 2026-08-20 host-layout + jitted-pass
 # redesign (measured 78-138 f/s across sessions; the tunnel's share of
 # the wall-clock swings ~2x with ambient load — see the breakdown's
 # upload_s_per_frame — so the floor sits at ~0.6x the low end rather
 # than 0.8x the mean).
-_GUARDS = {"pallas": 800_000.0, "xla": 140_000.0, "flagship": 25_000.0,
+_GUARDS = {"pallas": 1_000_000.0, "xla": 140_000.0, "flagship": 25_000.0,
            "contacts": 45.0}
 
 

@@ -48,10 +48,24 @@ VARIANTS = {
     # BTRD with native ratio logs (GOF-gated; see _binom_btrs)
     "btrd_nat": dict(early_exit=(False, "btrd_nat", True)),
     "btrd_nat_sl": dict(early_exit=(False, "btrd_nat_sl", True)),
-    # layout A/B: mixed per-pair boundaries vs uniform 64-col segments
+    # layout A/B: k-way mixed-width bin-packing vs uniform 64-col
+    # segments; kmaxN caps members per physical lane (kmax2 ~ the
+    # round-3 pairwise layout's class, kmax8 the production default)
     "mixed": dict(layout="mixed", early_exit=(False, True, True)),
     "uniform": dict(layout="uniform", early_exit=(False, True, True)),
+    "kmax2": dict(layout="kmax2", early_exit=(False, True, True)),
+    "kmax4": dict(layout="kmax4", early_exit=(False, True, True)),
+    "kmax6": dict(layout="kmax6", early_exit=(False, True, True)),
+    "kmax8": dict(layout="kmax8", early_exit=(False, True, True)),
 }
+
+
+def _layout_batches(residues, lay):
+    if lay == "uniform":
+        return bucket_residues(residues, mixed_pack=False)
+    if lay.startswith("kmax"):
+        return bucket_residues(residues, kmax=int(lay[4:]))
+    return bucket_residues(residues)
 
 
 def _build_runs(batches, cfg, n_blocks):
@@ -119,14 +133,17 @@ def main():
     cfg = GibbsConfig(ncomp=15, niter=args.sweeps, g=args.g)
     n_blocks = args.sweeps // args.g
     variants = args.variants.split(",")
-    vkw = {v: dict(VARIANTS[v]) for v in variants}
+    # any kmaxN is a valid layout variant even if not pre-listed
+    vkw = {v: dict(VARIANTS.get(v, dict(layout=v,
+                                        early_exit=(False, True, True))))
+           for v in variants}
     vlayout = {v: vkw[v].pop("layout", args.layout) for v in variants}
 
     np.asarray(jnp.ones((8,)) * 2)  # absorb tunnel warm-up
 
     layouts = {}
     for lay in set(vlayout.values()):
-        batches = bucket_residues(residues, mixed_pack=lay == "mixed")
+        batches = _layout_batches(residues, lay)
         print(f"[{lay}] buckets:",
               [(b.values.shape, b.pack,
                 b.phys_rows if b.bounds is not None else "-")

@@ -1,31 +1,46 @@
 #!/bin/bash
-# On-chip measurement queue for the late-round-3 changes (run when the
-# axon tunnel is up; each step logs to /tmp/q_*.log).
+# On-chip measurement queue (run when the axon tunnel is up; each step
+# logs to /tmp/q_*.log). Round-4 pending items after the kmax=12 layout
+# default landed:
 #
-#  1. interleaved A/B of the accept-test forms and bucket layouts
-#  2. device PRNG GOF battery incl. the btrd / btrd_nat modes
-#  3. (manual) flip the pallas early_exit default to the A/B winner
-#  4. headline bench
+#  1. recovery spot-check of run_residues on a heterogeneous workload
+#     (interrupted by the 2026-08-20 tunnel outage; the canonical
+#     300-residue workload itself is already bench-verified at kmax=12)
+#  2. device PRNG GOF battery (periodic re-certification)
+#  3. headline bench
 #
 # Steps are independent logs so a tunnel drop mid-queue loses one step,
 # not the session.
 set -x
 cd "$(dirname "$0")/.."
 
-timeout 5400 python scripts/abench.py \
-  --variants base,btrd,btrd_sl,btrd_nat,btrd_nat_sl,tree,tree_sl,mixed,uniform \
-  2>&1 | tee /tmp/q_abench.log
+timeout 1800 python - <<'EOF' 2>&1 | tee /tmp/q_recovery.log
+import numpy as np, time
+from basicrta_tpu import GibbsConfig
+from basicrta_tpu.ops import simulate_hyperexp
+from basicrta_tpu.ops.surv import discretize_times
+from basicrta_tpu.sampler.batch import run_residues
+
+rng = np.random.default_rng(3)
+residues = {}
+for i, n in enumerate([300, 800, 1500, 2500, 4000, 7000, 12000, 20000,
+                       500, 900, 3000, 6000, 1100, 250, 15000]):
+    residues[f'R{i}'] = discretize_times(
+        simulate_hyperexp(n, [0.75, 0.2, 0.05], [3.0, 0.3, 0.03], rng), 0.1)
+cfg = GibbsConfig(ncomp=8, niter=11000, g=100, burnin=1000, gmm_n_init=16)
+t0 = time.time()
+out = run_residues(residues, cfg, engine='pallas')
+print(f'ran {len(out)} residues in {time.time()-t0:.1f}s')
+ok = 0
+for name, (w, r) in out.items():
+    rmin = np.sort(r[0][10:], axis=-1)[:, 0]
+    med = np.median(rmin[rmin > 0]) if (rmin > 0).any() else np.nan
+    ok += 0.01 < med < 0.09
+print(f'recovery: {ok}/{len(out)} (expect 15/15)')
+EOF
 
 timeout 3600 python scripts/device_prng.py 2>&1 | tee /tmp/q_prng.log
 
-# contacts A/B: adaptive prefilter cap vs pinned static vs dense
-timeout 1800 python scripts/cbench.py 2>&1 | tee /tmp/q_cbench.log
-
-# safety capture: a headline number with the CURRENT default, so a
-# brief unattended tunnel window still records a bench even before any
-# default flip
 timeout 3600 python bench.py 2>&1 | tee /tmp/q_bench.log
 
-echo "QUEUE DONE — review /tmp/q_abench.log and /tmp/q_prng.log, flip the"
-echo "segment_pallas early_exit default if a btrd form wins, then rerun"
-echo "python bench.py (pre-flip number is in /tmp/q_bench.log)."
+echo "QUEUE DONE — expect recovery 15/15, GOF ALL PASS, bench >= 1.0M."
