@@ -382,7 +382,7 @@ class TestPackedBuckets:
             assert sorted(n for n, _, _ in members) == sorted(
                 f"R{i}" for i in range(len(sizes)))
             Bph, pack = widths.shape
-            assert 2 <= pack <= 8 or len(sizes) == 1
+            assert 2 <= pack <= 12 or len(sizes) == 1
             assert (widths.sum(axis=1) <= 128).all()
             assert (widths >= 0).all()
             # lane-major member order: the j-th member owns the j-th
@@ -391,6 +391,30 @@ class TestPackedBuckets:
             assert len(ws) == len(members)
             for (name, v, _), w in zip(members, ws):
                 assert len(v) <= SL * int(w), (name, len(v), SL, int(w))
+
+    def test_kmax_knob_monotone_and_complete(self, rng):
+        """bucket_residues(kmax=...): every member appears exactly once
+        at every kmax, slot widths respect the cap, and the endpoint
+        kmax=12 layout models no more work than kmax=2 (per-group k-way
+        cost is non-increasing in kmax; the greedy merge pass makes
+        strict per-step monotonicity theoretical, so only the endpoints
+        are asserted)."""
+        from basicrta_tpu.sampler.batch import modeled_work_waste
+        residues = {f"R{i}": self._small_residue(
+            rng, int(10 ** rng.uniform(2.3, 4.0)),
+            max(int(10 ** rng.uniform(1.0, 2.8)), 8))
+            for i in range(40)}
+        waste = {}
+        for kmax in (2, 4, 8, 12):
+            batches = bucket_residues(residues, kmax=kmax)
+            names = sorted(n for b in batches for n in b.names)
+            assert names == sorted(residues)
+            for b in batches:
+                if b.bounds is not None:
+                    assert b.bounds.shape[1] <= kmax
+                    assert (b.bounds.sum(axis=1) <= 128).all()
+            waste[kmax] = modeled_work_waste(batches)
+        assert waste[12] <= waste[2] + 1e-9, waste
 
     def test_pack_mixed_roundtrip(self, rng):
         """_pack_mixed places every member's cells exactly in its own
