@@ -455,8 +455,21 @@ class MapContacts:
                 ext = positions.max(axis=1, keepdims=True) - lo
                 step = np.maximum(ext / 65535.0,
                                   1e-12).astype(np.float32)
-                q = np.clip(np.rint((positions - lo) * (1.0 / step)),
-                            0, 65535).astype(np.uint16)
+                # fused grid mapping: x*inv + (0.5 - lo*inv), truncated by
+                # the u16 cast — round-half-up instead of rint's ties-to-
+                # even (half a grid step, below the format's error bound).
+                # No clip pass needed: x >= lo gives x*inv + off >= 0.5 -
+                # 65535*eps > 0, and the <= 1-ulp overshoot of
+                # inv=fl(1/step) bounds the top at 65535*(1+~3e-7)+0.5 <
+                # 65536, so the cast cannot wrap (tests:
+                # test_u16_extremes_never_wrap). Two elementwise passes +
+                # the cast instead of subtract/multiply/rint/clip/cast;
+                # the remaining cost is memory bandwidth (this runs per
+                # frame on the prefetch thread — BENCH r04
+                # contacts_large_prep_s_per_frame attributes it).
+                inv = (1.0 / step).astype(np.float32)
+                off = 0.5 - lo * inv
+                q = (positions * inv + off).astype(np.uint16)
                 pos = jnp.asarray(q)
                 # one (F, 2, 3) buffer: row 0 the grid step, row 1 the
                 # offset — the device dequant is pos * step + lo

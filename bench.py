@@ -277,11 +277,12 @@ def _bd_prepare(b, cfg, host_only=False):
     quantized = cfg.upload_dtype == "u16"
     scale = None
     if quantized:
+        # same fused two-pass grid mapping as MapContacts.run's prepare
         lo = positions.min(axis=1, keepdims=True)
         step = np.maximum((positions.max(axis=1, keepdims=True) - lo)
                           / 65535.0, 1e-12).astype(np.float32)
-        positions = np.clip(np.rint((positions - lo) * (1.0 / step)),
-                            0, 65535).astype(np.uint16)
+        inv = (1.0 / step).astype(np.float32)
+        positions = (positions * inv + (0.5 - lo * inv)).astype(np.uint16)
         scale = np.concatenate([step, lo.astype(np.float32)], axis=1)
     else:
         positions = positions.astype(np.float32)
@@ -579,9 +580,19 @@ def main():
         bdl = bench_contacts_breakdown(large=True, upload="u16")
         for k, v in bdl.items():
             extras[f"contacts_large_{k}"] = round(v, 5)
+        # local-attach projection from the f32 wire: a PCIe-attached host
+        # moves the f32 buffer in ~0.1 ms/frame, so the right production
+        # choice there is f32 (no quantization prep at all) — u16 exists
+        # for thin host links. Projection = slowest non-link phase.
+        bdl32 = bench_contacts_breakdown(reps=2, large=True, upload="f32")
+        extras["contacts_large_f32_prep_s_per_frame"] = round(
+            bdl32["prep_s_per_frame"], 5)
+        extras["contacts_large_f32_device_s_per_frame"] = round(
+            bdl32["device_s_per_frame"], 5)
         extras["contacts_large_localattach_fps_proj"] = round(
-            1.0 / max(bdl["device_s_per_frame"], bdl["prep_s_per_frame"],
-                      bdl["host_s_per_frame"]), 1)
+            1.0 / max(bdl32["device_s_per_frame"],
+                      bdl32["prep_s_per_frame"],
+                      bdl32["host_s_per_frame"]), 1)
     except Exception as e:  # noqa: BLE001
         print(f"contacts breakdown failed: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -909,6 +909,36 @@ class TestUploadLayout:
         tol = float(np.sqrt(3) * ext / 65535.0)
         np.testing.assert_allclose(b.min_dist, a.min_dist, atol=tol)
 
+    def test_u16_extremes_never_wrap(self):
+        """The fused quantizer (x*inv + off, cast-truncated, no clip pass)
+        must keep the exact per-frame min/max atoms on the grid: a cast
+        wrap at either end (max -> 0 or a negative rounding -> 65535)
+        would move an atom by the full axis extent and blow the distance
+        by tens of angstroms. Exercised with negative coordinates and an
+        axis whose extremes belong to the two selections."""
+        i1 = np.array([0, 1])
+        r1 = np.array([1, 1])
+        i2 = np.array([2, 3])
+        r2 = np.array([9, 9])
+        # frame 1 shifts everything negative; extremes sit on sel1/sel2
+        base = np.array([[[-61.5, 0.0, 0.0], [-59.0, 1.0, 1.0],
+                          [-58.0, 2.0, 0.5], [4.25, 3.0, 1.5]]],
+                        np.float32)
+        pos = np.concatenate([base, base - 100.0])
+        F = pos.shape[0]
+        mc_kw = dict(indices1=i1, resids1=r1, indices2=i2, resids2=r2,
+                     meta=ContactMeta(ts=0.1))
+        batches = lambda: [FrameBatch(np.arange(F), np.arange(F) * 0.1,  # noqa: E731
+                                      pos)]
+        a = MapContacts(cfg=ContactConfig(use_pbc=False, map_cutoff=70.0),
+                        **mc_kw).run(batches())
+        b = MapContacts(cfg=ContactConfig(use_pbc=False, map_cutoff=70.0,
+                                          upload_dtype="u16"),
+                        **mc_kw).run(batches())
+        assert len(b.frames) == len(a.frames) == F  # one pair-row per frame
+        tol = float(np.sqrt(3) * (pos.max() - pos.min()) / 65535.0)
+        np.testing.assert_allclose(b.min_dist, a.min_dist, atol=tol)
+
     def test_u16_preserves_pruned_path_on_straddling_residues(self):
         """Residues straddling the periodic boundary must keep tight
         bounding spheres under u16 — the affine offset does not wrap, so
