@@ -1,13 +1,14 @@
 #!/bin/bash
 # On-chip measurement queue (run when the axon tunnel is up; each step
-# logs to /tmp/q_*.log). Round-4 pending items after the kmax=12 layout
-# default landed:
+# logs to /tmp/q_*.log). All round-4 items are DONE (2026-08-20 session:
+# recovery 15/15, GOF battery, headline bench 1.30M — see CHANGELOG).
+# This file stays as the re-verification recipe: run it after any
+# sampler/kernel change or tunnel outage to re-certify the three
+# on-chip invariants.
 #
 #  1. recovery spot-check of run_residues on a heterogeneous workload
-#     (interrupted by the 2026-08-20 tunnel outage; the canonical
-#     300-residue workload itself is already bench-verified at kmax=12)
-#  2. device PRNG GOF battery (periodic re-certification)
-#  3. headline bench
+#  2. device PRNG GOF battery (hardware-PRNG path re-certification)
+#  3. headline bench (regression guards built in)
 #
 # Steps are independent logs so a tunnel drop mid-queue loses one step,
 # not the session.
