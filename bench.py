@@ -611,6 +611,12 @@ def main():
         if guard < _GUARDS[key]:
             print(f"REGRESSION: {key} {guard:,.0f} < round-2 floor "
                   f"{_GUARDS[key]:,.0f} sweeps/s", file=sys.stderr)
+    # post-processing is a time (lower is better): ceiling at ~2x the
+    # r03/r04 measurements (0.047/0.063 s/residue warm)
+    if extras.get("post_warm_s_per_residue", 0.0) > 0.13:
+        print(f"REGRESSION: post_warm_s_per_residue "
+              f"{extras['post_warm_s_per_residue']} > 0.13 ceiling",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "gibbs_sweeps_per_sec_per_chip",
