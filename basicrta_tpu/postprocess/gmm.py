@@ -102,8 +102,8 @@ def _em_single(key, X, sw, n_components, max_iter, tol, reg_covar):
     means, chols, log_w = _m_step(X, sw, resp0, reg_covar)
     total_w = jnp.sum(sw)
 
-    def em_iter(carry, _):
-        means, chols, log_w, prev_lb, done = carry
+    def em_iter(carry):
+        i, means, chols, log_w, prev_lb, done = carry
         logp = _component_log_prob(X, means, chols) + log_w[None, :]
         lse = jax.scipy.special.logsumexp(logp, axis=1)
         lb = jnp.sum(sw * lse) / total_w
@@ -111,14 +111,22 @@ def _em_single(key, X, sw, n_components, max_iter, tol, reg_covar):
         n_means, n_chols, n_log_w = _m_step(X, sw, resp, reg_covar)
         now_done = done | (jnp.abs(lb - prev_lb) < tol)
         keep = lambda new, old: jnp.where(done, old, new)
-        carry = (keep(n_means, means), keep(n_chols, chols),
-                 keep(n_log_w, log_w), jnp.where(done, prev_lb, lb), now_done)
-        return carry, None
+        return (i + 1, keep(n_means, means), keep(n_chols, chols),
+                keep(n_log_w, log_w), jnp.where(done, prev_lb, lb),
+                now_done)
 
-    init = (means, chols, log_w, jnp.asarray(-jnp.inf, X.dtype),
-            jnp.asarray(False))
-    (means, chols, log_w, lb, _), _ = jax.lax.scan(
-        em_iter, init, None, length=max_iter)
+    # while_loop instead of a fixed-length scan: the freeze logic above
+    # makes post-convergence iterations pure no-ops, so exiting early is
+    # bitwise identical — and under vmap the loop runs only until EVERY
+    # restart in the batch has converged (a NaN lower bound never
+    # converges and runs to max_iter, as before). Measured on the
+    # canonical post-processing workload the restarts' EM typically
+    # converges far before sklearn's max_iter=100 parity bound, and the
+    # GMM stage is ~70% of warm post-processing time (design.md).
+    init = (jnp.asarray(0, jnp.int32), means, chols, log_w,
+            jnp.asarray(-jnp.inf, X.dtype), jnp.asarray(False))
+    (_, means, chols, log_w, lb, _) = jax.lax.while_loop(
+        lambda c: (c[0] < max_iter) & ~c[-1], em_iter, init)
     lb = jnp.where(jnp.isnan(lb), -jnp.inf, lb)
     return GMMParams(means, chols, log_w, lb)
 
