@@ -31,6 +31,7 @@ from basicrta_tpu.contacts.distances import (compact_contacts,
                                              min_dist_per_residue_pair,
                                              min_dist_pruned)
 from basicrta_tpu.contacts.events import merge_events
+from basicrta_tpu.contacts.quantize import quantize_u16
 from basicrta_tpu.contacts.records import (ContactEvents, ContactMeta,
                                            ContactRecords)
 
@@ -438,43 +439,17 @@ class MapContacts:
                             [boxarr, np.repeat(boxarr[-1:], fpad, axis=0)])
             use_pbc = self.cfg.use_pbc and boxarr is not None
             triclinic = use_pbc and boxarr.ndim == 3
-            # u16 wire format: per-frame affine quantization onto the
-            # 16-bit grid spanning each axis's coordinate extent — HALF
-            # the upload bytes for a coordinate error <= extent/65535/2
-            # (~0.002 A for a 240 A box; XTC itself stores a 0.01 A grid,
-            # reference trajectories carry no finer information). The
-            # affine offset preserves atom locality — wrapping into
-            # [0, box) instead would split boundary-straddling residues
-            # and blow their bounding spheres up to box scale, silently
-            # defeating the pruned kernel. Geometry-independent: works
-            # with orthorhombic, triclinic, or no box.
+            # u16 wire format: shared shifted-domain quantizer (see
+            # contacts/quantize.py for the wire format and the |lo|-
+            # independent wrap-safety bound)
             quantized = self.cfg.upload_dtype == "u16"
             scale = None
             if quantized:
-                lo = positions.min(axis=1, keepdims=True)      # (F, 1, 3)
-                ext = positions.max(axis=1, keepdims=True) - lo
-                step = np.maximum(ext / 65535.0,
-                                  1e-12).astype(np.float32)
-                # fused grid mapping: x*inv + (0.5 - lo*inv), truncated by
-                # the u16 cast — round-half-up instead of rint's ties-to-
-                # even (half a grid step, below the format's error bound).
-                # No clip pass needed: x >= lo gives x*inv + off >= 0.5 -
-                # 65535*eps > 0, and the <= 1-ulp overshoot of
-                # inv=fl(1/step) bounds the top at 65535*(1+~3e-7)+0.5 <
-                # 65536, so the cast cannot wrap (tests:
-                # test_u16_extremes_never_wrap). Two elementwise passes +
-                # the cast instead of subtract/multiply/rint/clip/cast;
-                # the remaining cost is memory bandwidth (this runs per
-                # frame on the prefetch thread — BENCH r04
-                # contacts_large_prep_s_per_frame attributes it).
-                inv = (1.0 / step).astype(np.float32)
-                off = 0.5 - lo * inv
-                q = (positions * inv + off).astype(np.uint16)
+                q, scale_np = quantize_u16(positions)
                 pos = jnp.asarray(q)
                 # one (F, 2, 3) buffer: row 0 the grid step, row 1 the
                 # offset — the device dequant is pos * step + lo
-                scale = jnp.asarray(
-                    np.concatenate([step, lo.astype(np.float32)], axis=1))
+                scale = jnp.asarray(scale_np)
             else:
                 pos = jnp.asarray(positions, jnp.float32)
             box = jnp.asarray(boxarr, jnp.float32) if use_pbc else None

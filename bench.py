@@ -277,13 +277,10 @@ def _bd_prepare(b, cfg, host_only=False):
     quantized = cfg.upload_dtype == "u16"
     scale = None
     if quantized:
-        # same fused two-pass grid mapping as MapContacts.run's prepare
-        lo = positions.min(axis=1, keepdims=True)
-        step = np.maximum((positions.max(axis=1, keepdims=True) - lo)
-                          / 65535.0, 1e-12).astype(np.float32)
-        inv = (1.0 / step).astype(np.float32)
-        positions = (positions * inv + (0.5 - lo * inv)).astype(np.uint16)
-        scale = np.concatenate([step, lo.astype(np.float32)], axis=1)
+        # the exact production quantizer (shared helper; wrap-safety
+        # bound lives with it in contacts/quantize.py)
+        from basicrta_tpu.contacts.quantize import quantize_u16
+        positions, scale = quantize_u16(positions)
     else:
         positions = positions.astype(np.float32)
     boxarr = boxarr.astype(np.float32)
@@ -589,10 +586,17 @@ def main():
             bdl32["prep_s_per_frame"], 5)
         extras["contacts_large_f32_device_s_per_frame"] = round(
             bdl32["device_s_per_frame"], 5)
-        extras["contacts_large_localattach_fps_proj"] = round(
+        # both wire formats' projections under explicit keys so
+        # round-over-round comparisons stay like-for-like (the r04
+        # contacts_large_localattach_fps_proj silently switched from the
+        # u16- to the f32-derived figure; the ambiguous key is retired)
+        extras["contacts_large_localattach_f32_fps_proj"] = round(
             1.0 / max(bdl32["device_s_per_frame"],
                       bdl32["prep_s_per_frame"],
                       bdl32["host_s_per_frame"]), 1)
+        extras["contacts_large_localattach_u16_fps_proj"] = round(
+            1.0 / max(bdl["device_s_per_frame"], bdl["prep_s_per_frame"],
+                      bdl["host_s_per_frame"]), 1)
     except Exception as e:  # noqa: BLE001
         print(f"contacts breakdown failed: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -939,6 +939,50 @@ class TestUploadLayout:
         tol = float(np.sqrt(3) * (pos.max() - pos.min()) / 65535.0)
         np.testing.assert_allclose(b.min_dist, a.min_dist, atol=tol)
 
+    def test_u16_far_from_origin_never_wraps(self):
+        """Unwrapped/drifted trajectories put coordinates thousands of
+        angstroms from the origin with a small axis extent — the regime
+        where the retired fused absolute-coordinate quantizer
+        (x*inv + (0.5 - lo*inv)) accumulates float32 rounding that
+        scales with |lo|/extent, reaches 65536.0 pre-cast, and wraps the
+        frame's max atom to grid 0 (a silent full-axis-extent position
+        error). The shifted-domain quantizer's bound is independent of
+        |lo|; this exercises lo ~ -10000 A with 1.5-15 A extents, plus
+        the direct grid-endpoint property on the raw helper."""
+        from basicrta_tpu.contacts.quantize import quantize_u16
+        rng = np.random.default_rng(7)
+        for lo0, ext in [(-10000.0, 1.5), (-9973.25, 15.0),
+                         (10000.0, 4.0), (-65000.0, 2.0)]:
+            raw = lo0 + rng.random((4, 64, 3), np.float32) * ext
+            # pin exact per-axis extremes so the endpoints are exercised
+            raw[:, 0, :] = lo0
+            raw[:, 1, :] = lo0 + ext
+            q, scale = quantize_u16(raw)
+            assert q[:, 0, :].max() == 0          # min atom on grid 0
+            assert q[:, 1, :].min() == 65535      # max atom on grid end
+            deq = q * scale[:, :1] + scale[:, 1:]
+            tol = ext / 65535.0 * 0.51 + 1e-3
+            np.testing.assert_allclose(deq, raw, atol=tol)
+        # end-to-end: distances through MapContacts survive the shift
+        i1, r1 = np.array([0, 1]), np.array([1, 1])
+        i2, r2 = np.array([2, 3]), np.array([9, 9])
+        base = np.array([[[0.0, 0.0, 0.0], [2.5, 1.0, 1.0],
+                          [3.5, 2.0, 0.5], [9.0, 3.0, 1.5]]], np.float32)
+        pos = np.concatenate([base - 10000.0, base - 9973.25])
+        F = pos.shape[0]
+        mc_kw = dict(indices1=i1, resids1=r1, indices2=i2, resids2=r2,
+                     meta=ContactMeta(ts=0.1))
+        batches = lambda: [FrameBatch(np.arange(F), np.arange(F) * 0.1,  # noqa: E731
+                                      pos)]
+        a = MapContacts(cfg=ContactConfig(use_pbc=False, map_cutoff=70.0),
+                        **mc_kw).run(batches())
+        b = MapContacts(cfg=ContactConfig(use_pbc=False, map_cutoff=70.0,
+                                          upload_dtype="u16"),
+                        **mc_kw).run(batches())
+        assert len(b.frames) == len(a.frames) == F
+        tol = float(np.sqrt(3) * 9.0 / 65535.0) + 1e-3
+        np.testing.assert_allclose(b.min_dist, a.min_dist, atol=tol)
+
     def test_u16_preserves_pruned_path_on_straddling_residues(self):
         """Residues straddling the periodic boundary must keep tight
         bounding spheres under u16 — the affine offset does not wrap, so
