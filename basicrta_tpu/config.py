@@ -47,7 +47,15 @@ class GibbsConfig:
     gmm_n_init: int = 117             # GMM restarts during clustering
     gmm_max_iter: int = 100           # EM iterations per restart
     gmm_tol: float = 1e-3             # EM convergence tolerance
-    n_chains: int = 1                 # independent chains per residue
+    # Independent chains per residue. The LIBRARY default is 1 — exact
+    # reference semantics (the reference runs one chain per residue,
+    # gibbs.py:191) so `Gibbs(x).run()` matches it sample-for-sample in
+    # distribution. The shipping CLI default is 2 (`--nchains`,
+    # cli.py): production runs want split-R-hat/ESS convergence
+    # diagnostics, which need >= 2 chains; extra chains ride the
+    # sweep's serial latency chain at ~12% wall-clock (BENCH
+    # agg_sweeps_2chain measures the shipping default).
+    n_chains: int = 1
     seed: int = 0
 
     @property

