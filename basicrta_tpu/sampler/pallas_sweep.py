@@ -214,9 +214,16 @@ def _binom_btrs(rng, n, p, mode=True):
         interleaved A/B (scripts/abench.py) measured +9.9% aggregate
         throughput over the precise-log early-exit form."""
     q = 1.0 - p
-    btrd = mode in ("btrd", "btrd_sl", "btrd_nat", "btrd_nat_sl")
-    rlog = jnp.log if mode in ("btrd_nat", "btrd_nat_sl") else _log_f32
-    early_exit = mode in (True, "btrd", "btrd_nat")
+    btrd = mode in ("btrd", "btrd_sl", "btrd_nat", "btrd_nat_sl",
+                    "btrd_nat_h4")
+    rlog = (jnp.log if mode in ("btrd_nat", "btrd_nat_sl", "btrd_nat_h4")
+            else _log_f32)
+    early_exit = mode in (True, "btrd", "btrd_nat", "btrd_nat_h4")
+    # hybrid: unroll the first rounds straight-line (a large tile almost
+    # never finishes in < 4 rounds, so the while_loop's per-round
+    # full-tile min-reduction + scalar branch is pure overhead there),
+    # then early-exit rounds for the stragglers
+    unroll = 4 if mode == "btrd_nat_h4" else 0
     spq = jnp.sqrt(n * p * q)
     b = 1.15 + 2.53 * spq
     a = -0.0873 + 0.0248 * b + 0.01 * p
@@ -263,8 +270,10 @@ def _binom_btrs(rng, n, p, mode=True):
         return k_acc, jnp.maximum(done, ok)
 
     if early_exit:
-        # acceptance is ~80-95% per round, so nearly all tiles finish in
-        # 1-2 rounds instead of paying all _BTRS_ROUNDS
+        k_acc, done = m, jnp.zeros(n.shape, jnp.float32)
+        for t in range(unroll):
+            k_acc, done = round_step(t, k_acc, done)
+
         def cond(carry):
             t, _, done = carry
             return (t < _BTRS_ROUNDS) & (jnp.min(done) < 0.5)
@@ -275,7 +284,7 @@ def _binom_btrs(rng, n, p, mode=True):
             return t + 1, k_acc, done
 
         _, k_acc, _ = jax.lax.while_loop(
-            cond, body, (0, m, jnp.zeros(n.shape, jnp.float32)))
+            cond, body, (unroll, k_acc, done))
         return k_acc
     k_acc, done = m, jnp.zeros(n.shape, jnp.float32)
     for t in range(_BTRS_ROUNDS):
@@ -283,18 +292,29 @@ def _binom_btrs(rng, n, p, mode=True):
     return k_acc
 
 
-def _binom_full(rng, n, p, ee_inv=True, ee_btrs=True):
-    """General exact binomial: symmetry fold, inversion / BTRS select."""
+def _binom_full(rng, n, p, ee_inv=True, ee_btrs=True, skip_inv=False,
+                skip_btrs=False):
+    """General exact binomial: symmetry fold, inversion / BTRS select.
+
+    ``skip_inv`` / ``skip_btrs`` ablate one arm for the critical-path
+    attribution harness (scripts/ablate runs; NOT statistically exact —
+    the skipped arm is replaced by its deterministic mode)."""
     p = jnp.clip(p, 0.0, 1.0)
     flip = p > 0.5
     p_eff = jnp.where(flip, 1.0 - p, p)
     small = n * p_eff <= 10.0
-    u = rng.uniform(n.shape)
-    m_inv = _binom_inversion(u, n, jnp.where(small, p_eff, 0.0), _INV_FULL,
-                             ee_inv)
-    n_b = jnp.where(small, 100.0, n)
-    p_b = jnp.where(small, 0.3, p_eff)
-    m_btrs = _binom_btrs(rng, n_b, p_b, ee_btrs)
+    if skip_inv:
+        m_inv = jnp.floor(n * p_eff)            # mode stand-in, 2 ops
+    else:
+        u = rng.uniform(n.shape)
+        m_inv = _binom_inversion(u, n, jnp.where(small, p_eff, 0.0),
+                                 _INV_FULL, ee_inv)
+    if skip_btrs:
+        m_btrs = jnp.floor((n + 1.0) * p_eff)
+    else:
+        n_b = jnp.where(small, 100.0, n)
+        p_b = jnp.where(small, 0.3, p_eff)
+        m_btrs = _binom_btrs(rng, n_b, p_b, ee_btrs)
     m = jnp.where(small, m_inv, m_btrs)
     m = jnp.where(flip, n - m, m)
     m = jnp.where((p <= 0.0) | (n <= 0.0), 0.0, m)
@@ -342,10 +362,16 @@ def _normal_icdf(p):
 _MT_ROUNDS = 8
 
 
-def _gamma_mt(rng, a):
-    """Gamma(a, 1) via Marsaglia-Tsang squeeze with early-exit rejection
-    rounds; shapes a < 1 boosted through Gamma(a+1) * U^(1/a). Matches
-    ops.random.gamma (same algorithm) with the kernel RNG."""
+def _gamma_mt(rng, a, early_exit: bool = False):
+    """Gamma(a, 1) via Marsaglia-Tsang squeeze rejection rounds; shapes
+    a < 1 boosted through Gamma(a+1) * U^(1/a). Matches ops.random.gamma
+    (same algorithm) with the kernel RNG.
+
+    ``early_exit`` runs the rounds as a while_loop leaving when every
+    element has accepted (~97% acceptance -> ~2-4 rounds over the state
+    tile) instead of _MT_ROUNDS straight-line; identical in distribution
+    (post-acceptance rounds never update v_acc; the RNG tap order
+    differs, as with every early-exit sampler in this kernel)."""
     boost = jnp.where(a < 1.0, 1.0, 0.0)
     a_eff = a + boost
     d = a_eff - 1.0 / 3.0
@@ -362,11 +388,22 @@ def _gamma_mt(rng, a):
         v_acc = v_acc * (1.0 - upd) + v * upd
         return v_acc, jnp.maximum(done, ok)
 
-    # straight-line rounds (the state tile is tiny; loop machinery would
-    # dominate); fallback after all rounds (prob < 1e-10 per draw): mode v=1
+    # fallback after all rounds (prob < 1e-10 per draw): mode v=1
     v_acc, done = jnp.ones_like(a), jnp.zeros_like(a)
-    for t in range(_MT_ROUNDS):
-        v_acc, done = round_step(t, v_acc, done)
+    if early_exit:
+        def cond(carry):
+            t, _, done = carry
+            return (t < _MT_ROUNDS) & (jnp.min(done) < 0.5)
+
+        def body(carry):
+            t, v_acc, done = carry
+            v_acc, done = round_step(t, v_acc, done)
+            return t + 1, v_acc, done
+
+        _, v_acc, done = jax.lax.while_loop(cond, body, (0, v_acc, done))
+    else:
+        for t in range(_MT_ROUNDS):
+            v_acc, done = round_step(t, v_acc, done)
     sample = d * v_acc
     ub = rng.uniform(a.shape)
     boosted = sample * _exp_f32(_log_f32(ub) / jnp.maximum(a, _TINY))
@@ -374,24 +411,75 @@ def _gamma_mt(rng, a):
     return jnp.maximum(out, 1e-30)
 
 
-def _conjugate_in_kernel(rng, ns, ts, alpha: float, ga: float, gb: float):
+def _conjugate_in_kernel(rng, ns, ts, alpha: float, ga: float, gb: float,
+                         kfirst: bool = False, early_exit: bool = False):
     """Dirichlet/Gamma conjugate posterior draw on the (G, K) state tile
     (reference gibbs.py:210-211), fully inside VMEM.
 
     The weight- and rate-posterior Gamma draws are independent, so they
-    stack into ONE Marsaglia-Tsang call on a (2, ...) tile: the state tile
-    is tiny (K = 15 of 128 lanes live), so the ~8 x 60-op rejection chain
-    is pure serial latency — halving the number of sequential ops halves
-    its contribution to the per-sweep critical path."""
-    g2 = _gamma_mt(rng, jnp.stack([alpha + ns, ga + ns]))
+    stack into ONE Marsaglia-Tsang call on a (2, ...) tile.
+
+    ``kfirst`` moves K off the 128-lane axis before the Gamma draws (the
+    natural (.., G, K) orientation leaves K = 15 of 128 lanes live). The
+    round-5 on-chip ablation measured the conjugate at 21-55 us/sweep —
+    the largest single stage of the sweep's critical path — and this
+    transposed variant was the first attack; interleaved A/B showed the
+    two moveaxis relayouts COST MORE than the dead-lane waste they
+    recover on shallow buckets (b0 64 -> 78 us/sweep) and roughly wash
+    on deep ones (b1 160 -> 156), so the production default is False.
+    Kept as a measured option (scripts/abench.py 'conj_gk'/'prod5');
+    draws are identical in distribution either way (same RNG tap order,
+    element mapping is a bijection)."""
+    if kfirst:
+        nsT = jnp.moveaxis(ns, -1, 0)            # (K, ..., G)
+        tsT = jnp.moveaxis(ts, -1, 0)
+        g2 = _gamma_mt(rng, jnp.stack([alpha + nsT, ga + nsT]), early_exit)
+        w = g2[0] / jnp.sum(g2[0], axis=0, keepdims=True)
+        r = g2[1] / (gb + tsT)
+        return jnp.moveaxis(w, 0, -1), jnp.moveaxis(r, 0, -1)
+    g2 = _gamma_mt(rng, jnp.stack([alpha + ns, ga + ns]), early_exit)
     w = g2[0] / jnp.sum(g2[0], axis=-1, keepdims=True)
     r = g2[1] / (gb + ts)
     return w, r
 
 
+class _Ablate:
+    """Cumulative critical-path ablation ladder (scripts/ablate runs; the
+    attribution behind docs/design.md's per-stage decomposition). Each
+    level adds one pipeline stage to the previous, so adjacent timing
+    differences attribute that stage's serial cost. NOT statistically
+    exact below "" — ablated samplers are replaced by their 2-op
+    deterministic modes so tile shapes and the rem chain stay realistic.
+
+    empty < suffix < suffix_conj < chain_single < chain_small
+          < chain_inv < "" (full production kernel)
+    """
+
+    LEVELS = ("empty", "suffix", "suffix_conj", "chain_single",
+              "chain_small", "chain_inv", "")
+
+    def __init__(self, ablate: str):
+        if ablate not in self.LEVELS:
+            raise ValueError(f"unknown ablate level {ablate!r}; "
+                             f"one of {self.LEVELS}")
+        i = self.LEVELS.index(ablate)
+        self.empty = i == 0
+        self.fake_stats = i in (1, 2)        # suffix sums only, no chain
+        self.conj = i >= 2
+        self.head_det = 2 < i < 5            # head tier -> 2-op mode
+        self.small_det = i == 3              # small tier -> 2-op mode
+        self.skip_btrs = i == 5              # head inversion real, no BTRS
+
+
+def _det_binom(n, p):
+    """2-op deterministic stand-in for an ablated tier sampler."""
+    return jnp.floor(n * jnp.clip(p, 0.0, 1.0))
+
+
 def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
                 small_rows: int,
-                early_exit: Tuple[bool, bool, bool] = (True, True, True)):
+                early_exit: Tuple[bool, bool, bool] = (True, True, True),
+                abl: Optional[_Ablate] = None):
     """Sufficient statistics (N_k, T_k) of one collapsed sweep for a group
     of G lanes laid out as (SL, G, 128); tier slices along the leading
     (untiled) axis keep every VPU instruction on full (G, 128) tiles.
@@ -430,19 +518,8 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
             nxt = z_scr[k + 1][:small_rows]
             pcond = jnp.clip((suffix - nxt) / jnp.maximum(suffix, _TINY),
                              0.0, 1.0)
-            parts = []
-            if head_rows > 0:
-                parts.append(_binom_full(rng, rem[:head_rows],
-                                         pcond[:head_rows], early_exit[0],
-                                         early_exit[1]))
-            if small_rows > head_rows:
-                u = rng.uniform((small_rows - head_rows, G, _LANES))
-                parts.append(_binom_inversion(u, rem[head_rows:],
-                                              pcond[head_rows:],
-                                              _INV_SMALL, early_exit[2],
-                                              nmax_bits=5))
-            draw = (parts[0] if len(parts) == 1
-                    else jnp.concatenate(parts, axis=0))
+            draw = _chain_tier_draw(rng, rem, pcond, head_rows,
+                                    small_rows, G, early_exit, abl)
             ns_k = ns_k + jnp.sum(draw, axis=(0, 2))     # (G,)
             ts_k = ts_k + jnp.sum(v_hs * draw, axis=(0, 2))
             rem = rem - draw
@@ -466,6 +543,31 @@ def _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K: int, head_rows: int,
     ns_list.append(ns_K)
     ts_list.append(ts_K)
     return jnp.stack(ns_list, axis=-1), jnp.stack(ts_list, axis=-1)
+
+
+def _chain_tier_draw(rng, rem, pcond, head_rows: int, small_rows: int,
+                     G: int, early_exit, abl: Optional[_Ablate]):
+    """One stage's tier-dispatched binomial draw over the head + small
+    rows (shared by the uniform and packed stats bodies); ``abl``
+    substitutes ablated tiers with their 2-op deterministic modes."""
+    parts = []
+    if head_rows > 0:
+        if abl is not None and abl.head_det:
+            parts.append(_det_binom(rem[:head_rows], pcond[:head_rows]))
+        else:
+            parts.append(_binom_full(
+                rng, rem[:head_rows], pcond[:head_rows], early_exit[0],
+                early_exit[1],
+                skip_btrs=abl is not None and abl.skip_btrs))
+    if small_rows > head_rows:
+        if abl is not None and abl.small_det:
+            parts.append(_det_binom(rem[head_rows:], pcond[head_rows:]))
+        else:
+            u = rng.uniform((small_rows - head_rows, G, _LANES))
+            parts.append(_binom_inversion(u, rem[head_rows:],
+                                          pcond[head_rows:], _INV_SMALL,
+                                          early_exit[2], nmax_bits=5))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _suffix_sums(v, w_gk, r_gk, z_scr, K: int):
@@ -517,7 +619,7 @@ def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
                        head_rows: int, small_rows: int, pack: int,
                        early_exit: Tuple[bool, bool, bool] = (True, True,
                                                               True),
-                       seg_masks=None):
+                       seg_masks=None, abl: Optional[_Ablate] = None):
     """Segmented sufficient statistics: every physical lane of the
     (SL, G, 128) tile carries ``pack`` independent logical lanes side by
     side in 128//pack-column segments, each with its own (w, r) chain.
@@ -573,19 +675,8 @@ def _suff_stats_packed(rng, v, c, w_pgk, r_pgk, z_scr, K: int,
             nxt = z_scr[k + 1][:small_rows]
             pcond = jnp.clip((suffix - nxt) / jnp.maximum(suffix, _TINY),
                              0.0, 1.0)
-            parts = []
-            if head_rows > 0:
-                parts.append(_binom_full(rng, rem[:head_rows],
-                                         pcond[:head_rows], early_exit[0],
-                                         early_exit[1]))
-            if small_rows > head_rows:
-                u = rng.uniform((small_rows - head_rows, G, _LANES))
-                parts.append(_binom_inversion(u, rem[head_rows:],
-                                              pcond[head_rows:],
-                                              _INV_SMALL, early_exit[2],
-                                              nmax_bits=5))
-            draw = (parts[0] if len(parts) == 1
-                    else jnp.concatenate(parts, axis=0))
+            draw = _chain_tier_draw(rng, rem, pcond, head_rows,
+                                    small_rows, G, early_exit, abl)
             dns, dts = seg_sums(draw, v_hs)
             ns_k = ns_k + dns
             ts_k = ts_k + dts
@@ -800,11 +891,12 @@ def transcendentals_per_sweep(B: int, V: int, pack: int,
 
 
 def _group_layout(state: MixtureState, values, counts, K: int,
-                  rows_per_lane: int):
+                  rows_per_lane: int, group_cap: Optional[int] = None):
     """Lay the batch out as lane groups: pad B to a multiple of G (chosen
     to fit ~12 MB of VMEM given ``rows_per_lane`` live (SL, G, 128) rows per
-    lane, capped by _GROUP and by the batch size — a small B inside a big
-    group is pure padding work) and reshape to grouped (NG, ...) tensors.
+    lane, capped by ``group_cap`` (default _GROUP) and by the batch size —
+    a small B inside a big group is pure padding work) and reshape to
+    grouped (NG, ...) tensors.
 
     Returns (G, NG, Bp, w3, r3, v4, c4).
     """
@@ -813,7 +905,7 @@ def _group_layout(state: MixtureState, values, counts, K: int,
     budget = 12 * 2 ** 20
     g_fit = budget // max(1, rows_per_lane * SL * _LANES * 4)
     g_fit = max(8, (g_fit // 8) * 8)   # whole sublane tiles
-    cap = int(min(_GROUP, g_fit))
+    cap = int(min(group_cap or _GROUP, g_fit))
     # minimize padded lanes: fix the grid length NG implied by the cap,
     # then shrink G to the smallest sublane-tile multiple covering B in
     # NG programs (B=75 runs as 2 groups of 40 = 10 sublane tiles/op,
@@ -897,7 +989,8 @@ def sweep_stats(seed: jax.Array, state: MixtureState, values: jax.Array,
 def _segment_kernel(K: int, head_rows: int, small_rows: int,
                     use_hash_rng: bool, g: int, n_blocks: int,
                     alpha: float, ga: float, gb: float, early_exit,
-                    pack: int, tree: bool, mixed: bool, *refs):
+                    pack: int, tree: bool, mixed: bool, ablate: str,
+                    conj_kfirst: bool, *refs):
     """Run ``n_blocks * g`` whole Gibbs sweeps for one group of G lanes with
     the (w, r) chain state resident in VMEM, writing the thinned state after
     every g-th sweep.
@@ -938,6 +1031,8 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
     else:
         seg_masks = None
 
+    abl = _Ablate(ablate)
+
     def sweep_body(i, carry):
         w_gk, r_gk = carry
         sweep_abs = offset + i
@@ -948,18 +1043,41 @@ def _segment_kernel(K: int, head_rows: int, small_rows: int,
         if not use_hash_rng:
             pltpu.prng_seed(seed_sweep, group)
         rng = _Rng(use_hash_rng, seed_sweep, group)
-        if tree:
+        if abl.empty:
+            # loop/seed/thinned-write floor: no stats, no conjugate
+            ns = ts = None
+        elif abl.fake_stats:
+            # suffix pass only; stats stand-in from one cheap reduction
+            if pack > 1:
+                _suffix_sums_packed(v, w_gk, r_gk, z_scr, K,
+                                    _segment_masks(pack, seg_masks))
+                shp = (pack, v.shape[1], K)
+            else:
+                _suffix_sums(v, w_gk, r_gk, z_scr, K)
+                shp = (v.shape[1], K)
+            tot = jnp.sum(c) / (K * shp[-2])
+            ns = jnp.broadcast_to(tot, shp)
+            ts = jnp.broadcast_to(tot * 3.0, shp)
+        elif tree:
             ns, ts = _suff_stats_tree(rng, v, c, w_gk, r_gk, z_scr, K,
                                       head_rows, small_rows, early_exit,
                                       pack, seg_masks)
         elif pack == 1:
             ns, ts = _suff_stats(rng, v, c, w_gk, r_gk, z_scr, K,
-                                 head_rows, small_rows, early_exit)
+                                 head_rows, small_rows, early_exit, abl)
         else:
             ns, ts = _suff_stats_packed(rng, v, c, w_gk, r_gk, z_scr, K,
                                         head_rows, small_rows, pack,
-                                        early_exit, seg_masks)
-        w_new, r_new = _conjugate_in_kernel(rng, ns, ts, alpha, ga, gb)
+                                        early_exit, seg_masks, abl)
+        if abl.empty or not abl.conj:
+            # keep an i-dependence so the loop body cannot fold away
+            eps = (jnp.float32(1e-12)
+                   * (sweep_abs % 2).astype(jnp.float32))
+            w_new, r_new = w_gk + eps, r_gk
+        else:
+            w_new, r_new = _conjugate_in_kernel(
+                rng, ns, ts, alpha, ga, gb, conj_kfirst,
+                early_exit[3] if len(early_exit) > 3 else False)
 
         blk = (i + 1) // g - 1
 
@@ -994,15 +1112,17 @@ def _use_hash_rng(interpret: bool) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_blocks", "tiers", "interpret",
-                                    "early_exit", "pack", "tree"))
+                                    "early_exit", "pack", "tree", "ablate",
+                                    "group_cap", "conj_kfirst"))
 def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
                    state: MixtureState, values: jax.Array,
                    counts: jax.Array, cfg: GibbsConfig, n_blocks: int,
                    tiers: Tuple[int, int], interpret: bool = False,
-                   early_exit: Tuple[bool, bool, bool] = (False, "btrd_nat",
-                                                          True),
+                   early_exit: Tuple = (False, "btrd_nat_h4", False, True),
                    pack: int = 1, tree: bool = False,
-                   seg_mask: Optional[jax.Array] = None):
+                   seg_mask: Optional[jax.Array] = None,
+                   ablate: str = "", group_cap: Optional[int] = None,
+                   conj_kfirst: bool = False):
     """Advance all lanes by ``n_blocks`` thinning blocks in ONE fused
     ``pallas_call``: every sweep's sufficient statistics AND the conjugate
     Dirichlet/Gamma update run in VMEM; nothing touches HBM between sweeps
@@ -1045,7 +1165,8 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
         return _segment_pallas_packed(seed, sweep_offset, state, values,
                                       counts, cfg, n_blocks, head_rows,
                                       small_rows, interpret, early_exit,
-                                      pack, tree, seg_mask)
+                                      pack, tree, seg_mask, ablate,
+                                      group_cap, conj_kfirst)
     if pack > 1:
         if B % pack or (V * pack) % _LANES:
             raise ValueError(
@@ -1054,19 +1175,21 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
         return _segment_pallas_packed(seed, sweep_offset, state, values,
                                       counts, cfg, n_blocks, head_rows,
                                       small_rows, interpret, early_exit,
-                                      pack, tree)
+                                      pack, tree, None, ablate, group_cap,
+                                      conj_kfirst)
     SL = V // _LANES
     # VMEM: z_scr (K rows) + the chain's per-stage temporaries; the tree
     # formulation stacks up to Kp/2 nodes x ~5 live tensors at its last
     # level, so it budgets ~3x more rows per lane
     G, NG, Bp, w3, r3, v4, c4 = _group_layout(state, values, counts, K,
-                                              3 * K + 12 if tree else K + 12)
+                                              3 * K + 12 if tree else K + 12,
+                                              group_cap)
 
     kernel = functools.partial(_segment_kernel, K, head_rows, small_rows,
                                _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
                                cfg.gamma_rate, early_exit, 1, bool(tree),
-                               False)
+                               False, ablate, conj_kfirst)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),
@@ -1115,7 +1238,9 @@ def segment_pallas(seed: jax.Array, sweep_offset: jax.Array,
 def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
                            n_blocks, head_rows, small_rows, interpret,
                            early_exit, pack, tree: bool = False,
-                           seg_mask=None):
+                           seg_mask=None, ablate: str = "",
+                           group_cap: Optional[int] = None,
+                           conj_kfirst: bool = False):
     """segment_pallas for packed buckets: ``pack`` consecutive logical
     lanes of width W = 128 // pack share one physical lane, each owning
     the fixed column range [s*W, (s+1)*W) of every one of the lane's
@@ -1157,7 +1282,7 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
     rows_budget = 3 * K + 12 if tree else K + 12
     per_lane = rows_budget * SL * _LANES * 4 + 2 * n_blocks * pack * K * 4
     g_fit = max(8, (budget // max(1, per_lane)) // 8 * 8)
-    cap = int(min(_GROUP, g_fit))
+    cap = int(min(group_cap or _GROUP, g_fit))
     NG = -(-Bph // cap)
     G = max(8, (-(-Bph // NG) + 7) // 8 * 8)
     Bpp = NG * G
@@ -1201,7 +1326,7 @@ def _segment_pallas_packed(seed, sweep_offset, state, values, counts, cfg,
                                _use_hash_rng(interpret), cfg.g, n_blocks,
                                cfg.alpha_eff, cfg.gamma_shape,
                                cfg.gamma_rate, early_exit, pack, bool(tree),
-                               mixed)
+                               mixed, ablate, conj_kfirst)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NG,),

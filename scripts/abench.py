@@ -57,6 +57,38 @@ VARIANTS = {
     "kmax4": dict(layout="kmax4", early_exit=(False, True, True)),
     "kmax6": dict(layout="kmax6", early_exit=(False, True, True)),
     "kmax8": dict(layout="kmax8", early_exit=(False, True, True)),
+    # critical-path attribution ladder (round-5): production kernel with
+    # cumulative stage ablations (pallas_sweep._Ablate); all at the
+    # production early_exit default, adjacent differences attribute one
+    # stage's serial cost
+    "full": dict(),
+    "abl_empty": dict(ablate="empty"),
+    "abl_suffix": dict(ablate="suffix"),
+    "abl_sconj": dict(ablate="suffix_conj"),
+    "abl_single": dict(ablate="chain_single"),
+    "abl_small": dict(ablate="chain_small"),
+    "abl_inv": dict(ablate="chain_inv"),
+    # lane-group width: fewer, wider sequential grid programs
+    "g96": dict(group_cap=96),
+    "g128": dict(group_cap=128),
+    # binary-splitting multinomial at the production accept test
+    "tree_nat": dict(tree=True),
+    # small-tier inversion unrolled straight-line (vs early-exit default)
+    "smallsl": dict(early_exit=(False, "btrd_nat", False)),
+    # conjugate state orientation: legacy (.., G, K) lanes-on-K layout
+    "conj_gk": dict(conj_kfirst=False),
+    # round-5 production candidate: K-first conjugate + straight-line
+    # small tier (both bitwise/distributionally safe)
+    "prod5": dict(early_exit=(False, "btrd_nat", False)),
+    "c_gk_ssl": dict(early_exit=(False, "btrd_nat", False),
+                     conj_kfirst=False),
+    # early-exit conjugate Gamma rounds (4th early_exit slot)
+    "conj_ee": dict(early_exit=(False, "btrd_nat", False, True)),
+    # BTRS round-loop shape at the new production base
+    "btrs_h4": dict(early_exit=(False, "btrd_nat_h4", False, True)),
+    "btrs_sl2": dict(early_exit=(False, "btrd_nat_sl", False, True)),
+    # K-first conjugate retried on top of the early-exit rounds
+    "kf_ee": dict(conj_kfirst=True),
 }
 
 
