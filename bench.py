@@ -165,6 +165,98 @@ def bench_contacts(large=False, upload="f32"):
     return n_frames / elapsed, len(rec.frames), n_frames
 
 
+def _bilayer_xtc_path(n_frames=48):
+    """Write (once, cached) the bilayer workload as a real XTC file: the
+    decode-inclusive stage-1 measurement the reference pays inline
+    (reference contacts.py:100-132 iterates the trajectory reader in the
+    hot loop). 101,400 atoms x n_frames through the native C codec."""
+    from basicrta_tpu.io.native import XTCWriter
+    path = os.path.join("/tmp", f"basicrta_bench_bilayer_{n_frames}.xtc")
+    if os.path.exists(path):
+        return path
+    batches, _, _, _ = make_membrane_frames_large(n_frames=n_frames)
+    tmp = path + ".tmp"
+    w = XTCWriter(tmp)                # subsequent write() calls append
+    for b in batches:
+        w.write(np.asarray(b.positions, np.float32),
+                np.asarray(b.times, np.float64),
+                np.asarray(b.box, np.float32),
+                steps=np.asarray(b.frame_ids, np.int32))
+    os.replace(tmp, path)
+    return path
+
+
+def _file_batches(path, batch=16):
+    """FrameBatch generator decoding an XTC chunk-by-chunk — the exact
+    shape MapContacts.run consumes from Universe.iter_batches, so decode
+    lands on the pipeline's main thread and overlaps device compute."""
+    from basicrta_tpu.contacts.mapper import FrameBatch
+    from basicrta_tpu.io.native import XTCReader
+
+    rd = XTCReader(path)
+    for lo in range(0, rd.nframes, batch):
+        idx = np.arange(lo, min(lo + batch, rd.nframes))
+        coords, times, box, _ = rd.read(idx)
+        yield FrameBatch(idx, times,
+                         coords, box=np.stack([np.diag(b) for b in box]))
+
+
+def bench_contacts_e2e_file(n_frames=48, upload="u16"):
+    """End-to-end frames/s from a real trajectory FILE at bilayer scale
+    (round-5 VERDICT item 2): XTC decode + host layout/quantize + upload
+    + device kernel + transfer + host assembly, nothing composed from
+    parts. Returns (fps, decode_s_per_frame, rows).
+
+    ``upload='u16'`` is what the CLI auto-selects for XTC input (the
+    file's native storage grid is 0.01 A, so quantization adds nothing).
+    """
+    from basicrta_tpu.config import ContactConfig
+    from basicrta_tpu.contacts.mapper import MapContacts
+    from basicrta_tpu.contacts.records import ContactMeta
+
+    path = _bilayer_xtc_path(n_frames)
+    _, resids1, resids2, A1 = make_membrane_frames_large(n_frames=16)
+    A2 = len(resids2)
+    mc = MapContacts(indices1=np.arange(A1), resids1=resids1,
+                     indices2=np.arange(A1, A1 + A2), resids2=resids2,
+                     cfg=ContactConfig(upload_dtype=upload),
+                     meta=ContactMeta(ts=0.1))
+    # decode share: a dedicated pass through the reader alone
+    t0 = time.time()
+    for b in _file_batches(path):
+        pass
+    decode_s = (time.time() - t0) / n_frames
+    mc.run(_file_batches(path))                  # cold (compiles)
+    t0 = time.time()
+    rec = mc.run(_file_batches(path))            # warm
+    fps = n_frames / (time.time() - t0)
+    return fps, decode_s, len(rec.frames)
+
+
+def bench_contacts_e2e_file_cpu(n_frames=8):
+    """File-driven CPU baseline: same XTC, native decode + the
+    reference-semantics cKDTree contact search inline per frame (the
+    shape of the reference's single-core stage 1). Few frames — the
+    point is a per-frame rate."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from cpu_contacts_baseline import cpu_contacts
+    _, resids1, resids2, A1 = make_membrane_frames_large(n_frames=16)
+    path = _bilayer_xtc_path()
+    t0 = time.time()
+    done = 0
+    for b in _file_batches(path, batch=4):
+        take = min(len(b.frame_ids), n_frames - done)
+        b.positions = b.positions[:take]
+        b.frame_ids, b.times = b.frame_ids[:take], b.times[:take]
+        b.box = b.box[:take]
+        cpu_contacts([b], resids1, resids2, A1)
+        done += take
+        if done >= n_frames:
+            break
+    return done / (time.time() - t0)
+
+
 def bench_contacts_breakdown(reps=3, large=False, upload="f32"):
     """Attribute the contacts wall-clock (round-3 VERDICT item 5): the
     production device pass (MapContacts._device_pass — dense+compact at
@@ -573,6 +665,23 @@ def main():
             fps_lq / BASELINE_CONTACTS_LARGE_FPS, 2)
     except Exception as e:  # noqa: BLE001
         print(f"large contacts timing failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # end-to-end FILE-driven contacts at bilayer scale (round-5 VERDICT
+    # item 2): decode-inclusive, nothing composed from parts; the CPU
+    # row is the same XTC through native decode + the cKDTree
+    # reference-semantics search (the reference's single-core stage-1
+    # shape, contacts.py:100-132)
+    try:
+        fps_e2e, dec_s, rows_e2e = bench_contacts_e2e_file()
+        extras["contacts_e2e_file_fps"] = round(fps_e2e, 1)
+        extras["contacts_e2e_decode_s_per_frame"] = round(dec_s, 5)
+        extras["contacts_e2e_rows"] = int(rows_e2e)
+        cpu_fps = bench_contacts_e2e_file_cpu()
+        extras["contacts_e2e_file_cpu_fps"] = round(cpu_fps, 2)
+        extras["contacts_e2e_file_vs_cpu"] = round(fps_e2e / cpu_fps, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"file e2e contacts failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # wall-clock attribution of the contacts stage (round-3 VERDICT
