@@ -180,7 +180,7 @@ def select_chain(mcweights: np.ndarray, mcrates: np.ndarray, chain,
 def process_residues_batched(
         items: Dict[str, tuple], cfg: GibbsConfig,
         chain=0, progress_cb=None,
-        sharding=None) -> Dict[str, ClusterResult]:
+        sharding=None, timings=None) -> Dict[str, ClusterResult]:
     """Post-process many residues' chains with bucketed device batching.
 
     Args:
@@ -195,7 +195,22 @@ def process_residues_batched(
 
     Returns:
         {residue: ClusterResult} (sorted labels, pindicator, presorts).
+
+    ``timings``: optional dict; filled with per-stage wall seconds
+    (host_prep_s / gmm_s / votes_s / finish_s, device work synced at
+    stage boundaries) for the warm-path attribution behind BENCH's
+    ``post_warm_s_per_residue`` (scripts/postbench.py).
     """
+    import time as _time
+    t_mark = _time.time() if timings is not None else 0.0
+
+    def _lap(key):
+        nonlocal t_mark
+        if timings is not None:
+            now = _time.time()
+            timings[key] = timings.get(key, 0.0) + (now - t_mark)
+            t_mark = now
+
     n_shards = _n_shards0(sharding)
     b = cfg.burnin_samples
     prepared = {}
@@ -214,6 +229,7 @@ def process_residues_batched(
                               counts=np.asarray(counts), lmode=lmode,
                               data=data, inds=inds, train=train)
 
+    _lap("host_prep_s")
     # ---- stage 1: bucketed GMM fits ---------------------------------- #
     buckets: Dict[tuple, list] = {}
     for name, p in prepared.items():
@@ -256,6 +272,7 @@ def process_residues_batched(
         if progress_cb is not None:
             progress_cb(done, total)
 
+    _lap("gmm_s")
     # ---- stage 2: bucketed vote accumulation -------------------------- #
     vbuckets: Dict[tuple, list] = {}
     for name, p in prepared.items():
@@ -281,8 +298,9 @@ def process_residues_batched(
         keys = jnp.stack([residue_key(n, salt=1) for n in names])
         keys, Wb, Rb, Vb, Cb, Lb = _pad_lanes([keys, Wb, Rb, Vb, Cb, Lb],
                                               _lane_target(Bk, n_shards))
-        votes = _votes_bucket(keys, Wb, Rb, Vb, Cb, Lb, lmode,
-                              sharding=sharding)[:Bk]
+        votes = np.asarray(_votes_bucket(keys, Wb, Rb, Vb, Cb, Lb, lmode,
+                                         sharding=sharding))[:Bk]
+        _lap("votes_s")
         for i, name in enumerate(names):
             p = prepared[name]
             v = votes[i, :len(p["values"])]
@@ -294,4 +312,5 @@ def process_residues_batched(
             done += 1
         if progress_cb is not None:
             progress_cb(done, total)
+        _lap("finish_s")
     return results

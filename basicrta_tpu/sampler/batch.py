@@ -93,22 +93,25 @@ def _pack_choice(V: int):
     return (-(-V // 128) * 128, 1)
 
 
-# Calibrated per-sweep cost model [us/sweep on v5e], least-squares fit
-# (R^2 = 0.84) to 26 per-bucket wall-time measurements across both the
-# greedy and DP layouts of the canonical 300-residue workload. The
-# dominant term is the per-BUCKET constant: every bucket's sweep pays
-# the full dependency-chain latency of the K-1 conditional-binomial
-# steps (~30 us -- BTRS rounds and inversion scans are serial vector
-# ops whose latency more lanes simply hide under), so fewer/larger
-# buckets win until the extra padded rows outweigh 30 us. Row terms:
-# every physical (G, 128) row pays the K-exp suffix pass; head rows add
-# the BTRS/gammaln premium, small rows the 17-step inversion premium;
-# the conjugate update scales with logical lanes.
-_COST_PER_BUCKET = 30.5     # us/sweep: serial critical path per dispatch
-_COST_ROW = 0.080           # us/sweep per padded physical row (K exps)
-_COST_HEAD_PREM = 0.608     # extra per head-tier row (BTRS + gammaln)
-_COST_SMALL_PREM = 0.276    # extra per small-tier row (table inversion)
-_COST_LANE_LOG = 0.061      # per logical lane (conjugate Gamma/Dirichlet)
+# Calibrated per-sweep cost model [us/sweep on v5e], re-fit for the
+# round-5 kernel (scripts/calibrate_layout.py: NNLS over 16 per-bucket
+# slope timings across 6 layouts, R^2 = 0.995; slope of T(8000 sweeps)
+# vs T(2000) cancels the fixed per-call cost). THE REGIME FLIPPED vs
+# round 4: the ~30 us per-dispatch serial-latency constant that made
+# few/deep buckets optimal measured ZERO after the round-5 loop-shape
+# changes (straight-line small tier, hybrid BTRS, early-exit
+# conjugate) — cost now scales with padded LANES times per-row work,
+# i.e. the kernel moved from latency- to throughput-bound and padding
+# is no longer nearly-free. _COST_PER_BUCKET now charges only the
+# measured ~38 ms fixed per-call (tunnel dispatch + transfer) overhead
+# amortized over the production 10k-sweep segment; _COST_ROW keeps a
+# small floor (the fit assigns singleton rows ~0, but a free-rows model
+# lets the DP pad rows without bound).
+_COST_PER_BUCKET = 3.8      # us/sweep: per-call overhead / segment len
+_COST_ROW = 0.020           # us/sweep per padded physical row (floor)
+_COST_HEAD_PREM = 0.635     # per head-tier row x lane (BTRS + inversion)
+_COST_SMALL_PREM = 0.109    # per small-tier row x lane (table inversion)
+_COST_LANE_LOG = 0.120      # per logical lane (conjugate Gamma/Dirichlet)
 
 
 def _phys_groups(Bph: int, SL: int, pack: int) -> Tuple[int, int]:

@@ -139,7 +139,8 @@ def main():
 
     rows = []
     if args.fit_only:
-        rows = json.load(open(args.json))
+        for p in args.json.split(","):
+            rows.extend(json.load(open(p)))
     else:
         from bench import make_workload
         residues = make_workload(args.residues)
@@ -190,7 +191,11 @@ def main():
                   lanes * (r["small"] - r["head"]), lanes * r["pack"]])
         y.append(r["us_per_sweep"])
     A, y = np.asarray(A), np.asarray(y)
-    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    # nonnegative least squares: the terms are physical costs, and the
+    # plain lstsq goes unphysical (negative dispatch constant) when the
+    # sampled shapes leave features collinear
+    from scipy.optimize import nnls
+    coef, _ = nnls(A, y)
     pred = A @ coef
     ss_res = float(((y - pred) ** 2).sum())
     ss_tot = float(((y - y.mean()) ** 2).sum())
