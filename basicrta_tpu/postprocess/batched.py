@@ -75,19 +75,41 @@ def _votes_bucket_core(keys, W, R, values, counts, L, n_clusters: int,
                        tiers: Optional[Tuple[int, int]]):
     def one(key, w_s, r_s, v, c, lab):
         S = w_s.shape[0]
+        # chunk the sample axis: the S multinomial draws are independent
+        # given their per-sample keys, so CH of them batch into one
+        # vmapped call per scan step — 1/CH the serial steps (the scan
+        # was latency-bound on small (V, K) tiles; round-5 postbench).
+        # The vote accumulation stays in original sample order (the fori
+        # below) and per-sample keys are unchanged, so results are
+        # bitwise identical to the unchunked scan
+        # (tests/test_postprocess_batched).
+        CH = 1
+        for cand in (16, 15, 12, 10, 9, 8, 6, 5, 4, 3, 2):
+            if S % cand == 0:
+                CH = cand
+                break
 
-        def step(votes, xs):
-            key_j, w, r, lb = xs
+        def draw(key_j, w, r, lb):
             logz = (jnp.log(w)[None, :] + jnp.log(r)[None, :]
                     - v[:, None] * r[None, :])
             m = _tiered_multinomial(key_j, c, jax.nn.softmax(logz, axis=-1),
                                     tiers)
             onehot = jax.nn.one_hot(lb, n_clusters, dtype=m.dtype)
-            return votes + m @ onehot, None
+            return m @ onehot
+
+        def step(votes, xs):
+            key_j, w, r, lb = xs
+            mv = jax.vmap(draw)(key_j, w, r, lb)          # (CH, V, L)
+            votes = jax.lax.fori_loop(
+                0, CH, lambda j, acc: acc + mv[j], votes)
+            return votes, None
 
         sub = jax.random.split(key, S)
         votes0 = jnp.zeros((v.shape[0], n_clusters), jnp.float32)
-        votes, _ = jax.lax.scan(step, votes0, (sub, w_s, r_s, lab))
+        chunk = lambda a: a.reshape((S // CH, CH) + a.shape[1:])  # noqa: E731
+        votes, _ = jax.lax.scan(step, votes0,
+                                (chunk(sub), chunk(w_s), chunk(r_s),
+                                 chunk(lab)))
         return votes
 
     return jax.vmap(one)(keys, W, R, values, counts, L)
@@ -137,6 +159,34 @@ def _quantize_tier(n: int, cap: int) -> int:
     return min(_next_pow2(n, floor=16), cap) if n > 0 else 0
 
 
+def _votes_bucket_async(keys, W, R, values, counts, L, n_clusters: int,
+                        sharding=None):
+    """Dispatch one bucket's vote program; returns (device votes, order)
+    for :func:`_votes_bucket_collect` — split so callers can dispatch
+    every bucket before syncing any (stage pipelining in
+    process_residues_batched)."""
+    counts_np = np.asarray(counts, np.float64)
+    order, (head_end, single_start) = compute_tiers(counts_np)
+    V_p = counts_np.shape[-1]
+    head_end = _quantize_tier(head_end, V_p)
+    single_start = max(_quantize_tier(single_start, V_p), head_end)
+    values_s = np.take_along_axis(np.asarray(values, np.float64), order, -1)
+    counts_s = np.take_along_axis(counts_np, order, -1)
+    dev = _votes_bucket_core(
+        _put(keys, sharding), _put(W, sharding), _put(R, sharding),
+        _put(jnp.asarray(values_s, jnp.float32), sharding),
+        _put(jnp.asarray(counts_s, jnp.float32), sharding),
+        _put(L, sharding), n_clusters, (head_end, single_start))
+    return dev, order
+
+
+def _votes_bucket_collect(dev, order):
+    votes_s = np.asarray(dev)
+    votes = np.empty_like(votes_s)
+    np.put_along_axis(votes, order[..., None], votes_s, axis=1)
+    return votes
+
+
 def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int,
                   sharding=None):
     """Vmapped per-residue vote accumulation (clustering
@@ -146,21 +196,9 @@ def _votes_bucket(keys, W, R, values, counts, L, n_clusters: int,
     skew exploitation as the sampler hot loop — with shared (max-over-lane)
     tier boundaries quantized for compile-key reuse. ``sharding`` splits
     the residue axis over a device mesh (collective-free)."""
-    counts_np = np.asarray(counts, np.float64)
-    order, (head_end, single_start) = compute_tiers(counts_np)
-    V_p = counts_np.shape[-1]
-    head_end = _quantize_tier(head_end, V_p)
-    single_start = max(_quantize_tier(single_start, V_p), head_end)
-    values_s = np.take_along_axis(np.asarray(values, np.float64), order, -1)
-    counts_s = np.take_along_axis(counts_np, order, -1)
-    votes_s = np.asarray(_votes_bucket_core(
-        _put(keys, sharding), _put(W, sharding), _put(R, sharding),
-        _put(jnp.asarray(values_s, jnp.float32), sharding),
-        _put(jnp.asarray(counts_s, jnp.float32), sharding),
-        _put(L, sharding), n_clusters, (head_end, single_start)))
-    votes = np.empty_like(votes_s)
-    np.put_along_axis(votes, order[..., None], votes_s, axis=1)
-    return votes
+    return _votes_bucket_collect(
+        *_votes_bucket_async(keys, W, R, values, counts, L, n_clusters,
+                             sharding))
 
 
 def select_chain(mcweights: np.ndarray, mcrates: np.ndarray, chain,
@@ -247,6 +285,10 @@ def process_residues_batched(
 
     done = 0
     total = 2 * len(prepared)
+    # dispatch every bucket program before syncing any: per-bucket device
+    # round-trips cost ~10s of ms fixed on tunnel-attached hosts and
+    # overlap once dispatched (schedule-only; results unchanged)
+    pending = []
     for (lmode, Mt_p, M_p), names in buckets.items():
         Bk = len(names)
         train = np.zeros((Bk, Mt_p, 2), np.float64)
@@ -261,10 +303,12 @@ def process_residues_batched(
         keys = jnp.stack([residue_key(n) for n in names])
         keys, train, train_w, data = _pad_lanes(
             [keys, train, train_w, data], _lane_target(Bk, n_shards))
-        labels = np.asarray(_gmm_bucket(
+        pending.append((names, Bk, _gmm_bucket(
             _put(keys, sharding), _put(train, sharding),
             _put(train_w, sharding), _put(data, sharding),
-            lmode, cfg))[:Bk]
+            lmode, cfg)))
+    for names, Bk, dev in pending:
+        labels = np.asarray(dev)[:Bk]
         for i, name in enumerate(names):
             p = prepared[name]
             p["labels"] = labels[i, :len(p["data"])].astype(np.int32)
@@ -281,6 +325,7 @@ def process_residues_batched(
         vbuckets.setdefault(key, []).append(name)
 
     results: Dict[str, ClusterResult] = {}
+    vpending = []
     for (lmode, V_p, w_shape), names in vbuckets.items():
         Bk = len(names)
         S, K = w_shape
@@ -298,8 +343,10 @@ def process_residues_batched(
         keys = jnp.stack([residue_key(n, salt=1) for n in names])
         keys, Wb, Rb, Vb, Cb, Lb = _pad_lanes([keys, Wb, Rb, Vb, Cb, Lb],
                                               _lane_target(Bk, n_shards))
-        votes = np.asarray(_votes_bucket(keys, Wb, Rb, Vb, Cb, Lb, lmode,
-                                         sharding=sharding))[:Bk]
+        vpending.append((lmode, names, Bk, _votes_bucket_async(
+            keys, Wb, Rb, Vb, Cb, Lb, lmode, sharding=sharding)))
+    for lmode, names, Bk, (dev, order) in vpending:
+        votes = _votes_bucket_collect(dev, order)[:Bk]
         _lap("votes_s")
         for i, name in enumerate(names):
             p = prepared[name]

@@ -42,29 +42,41 @@ def _component_log_prob(X, means, chols):
 
 
 def _kmeanspp_init(key, X, sw, n_components, lloyd_iters=10):
-    """kmeans++ seeding + Lloyd refinement; returns centers (C, D)."""
+    """kmeans++ seeding + Lloyd refinement; returns centers (C, D).
+
+    Round-5 schedule notes (both bitwise-identical to the original
+    full-matrix formulation, tests/test_gmm.py):
+
+    - seeding carries the running min distance-to-chosen-centers and
+      updates it against only the NEWEST center per step — O(C N)
+      instead of O(C^2 N); min is associative/exact, and the per-center
+      distances are computed by the same expression.
+    - Lloyd runs as a while_loop that freezes once the assignment stops
+      changing (the center update is then a fixed point, so further
+      iterations were already no-ops); under the restart vmap it exits
+      when EVERY restart's assignment has settled.
+    """
     N = X.shape[0]
     k0, key = jax.random.split(key)
     first = jax.random.choice(k0, N, p=sw / jnp.sum(sw))
     centers0 = jnp.tile(X[first], (n_components, 1))
+    d2min0 = jnp.sum((X - X[first][None, :]) ** 2, axis=-1)       # (N,)
 
     def seed_step(carry, key_c):
-        centers, c_idx = carry
-        d2 = jnp.min(
-            jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
-            + jnp.where(jnp.arange(n_components)[None, :] < c_idx, 0.0,
-                        jnp.inf),
-            axis=1)
-        p = sw * d2
+        centers, d2min, c_idx = carry
+        p = sw * d2min
         p = jnp.where(jnp.isfinite(p), p, 0.0)
         nxt = jax.random.choice(key_c, N, p=p / jnp.maximum(jnp.sum(p), 1e-30))
         centers = centers.at[c_idx].set(X[nxt])
-        return (centers, c_idx + 1), None
+        d2new = jnp.sum((X - X[nxt][None, :]) ** 2, axis=-1)
+        return (centers, jnp.minimum(d2min, d2new), c_idx + 1), None
 
     keys = jax.random.split(key, n_components - 1)
-    (centers, _), _ = jax.lax.scan(seed_step, (centers0, 1), keys)
+    (centers, _, _), _ = jax.lax.scan(seed_step, (centers0, d2min0, 1),
+                                      keys)
 
-    def lloyd(centers, _):
+    def lloyd_body(carry):
+        i, centers, prev_assign, _ = carry
         d2 = jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
         assign = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(assign, n_components, dtype=X.dtype)
@@ -73,9 +85,12 @@ def _kmeanspp_init(key, X, sw, n_components, lloyd_iters=10):
         new = (onehot.T @ X) / Nk[:, None]
         # keep old center for empty clusters
         new = jnp.where(jnp.sum(onehot, axis=0)[:, None] > 0, new, centers)
-        return new, None
+        return i + 1, new, assign, jnp.all(assign == prev_assign)
 
-    centers, _ = jax.lax.scan(lloyd, centers, None, length=lloyd_iters)
+    init = (jnp.asarray(0, jnp.int32), centers,
+            jnp.full((N,), -1, jnp.int32), jnp.asarray(False))
+    _, centers, _, _ = jax.lax.while_loop(
+        lambda c: (c[0] < lloyd_iters) & ~c[-1], lloyd_body, init)
     return centers
 
 
@@ -109,7 +124,15 @@ def _em_single(key, X, sw, n_components, max_iter, tol, reg_covar):
         lb = jnp.sum(sw * lse) / total_w
         resp = jnp.exp(logp - lse[:, None])
         n_means, n_chols, n_log_w = _m_step(X, sw, resp, reg_covar)
-        now_done = done | (jnp.abs(lb - prev_lb) < tol)
+        # a NaN lower bound also ends the restart: NaN propagates (every
+        # later iteration stays NaN) and the final NaN maps to -inf below,
+        # so the restart can never win the argmax — continuing to
+        # max_iter only forced the WHOLE vmapped bucket to keep
+        # iterating for a loser (round-5: one degenerate restart dragged
+        # every bucket to the 100-iteration cap; labels are identical as
+        # long as any restart converges finite, which non-degenerate
+        # data always provides)
+        now_done = done | (jnp.abs(lb - prev_lb) < tol) | jnp.isnan(lb)
         keep = lambda new, old: jnp.where(done, old, new)
         return (i + 1, keep(n_means, means), keep(n_chols, chols),
                 keep(n_log_w, log_w), jnp.where(done, prev_lb, lb),
@@ -118,8 +141,7 @@ def _em_single(key, X, sw, n_components, max_iter, tol, reg_covar):
     # while_loop instead of a fixed-length scan: the freeze logic above
     # makes post-convergence iterations pure no-ops, so exiting early is
     # bitwise identical — and under vmap the loop runs only until EVERY
-    # restart in the batch has converged (a NaN lower bound never
-    # converges and runs to max_iter, as before). Measured on the
+    # restart in the batch has converged or gone NaN. Measured on the
     # canonical post-processing workload the restarts' EM typically
     # converges far before sklearn's max_iter=100 parity bound, and the
     # GMM stage is ~70% of warm post-processing time (design.md).

@@ -32,13 +32,21 @@ from basicrta_tpu.sampler.batch import bucket_residues, run_batch  # noqa: E402
 
 
 def make_items(n_residues, seed=0):
+    """The exact residue subset BENCH's post_warm_s_per_residue uses
+    (bench.py: first n of the workload dict, collected from whichever
+    bucket they land in). Sampler outputs are cached on disk so repeated
+    profiling runs skip the sampling pass."""
     from bench import make_workload, TIMED_SWEEPS
-    residues = make_workload(300)
     cfg = GibbsConfig(ncomp=15, niter=TIMED_SWEEPS, g=100)
-    batches = bucket_residues(residues)
+    cache = f"/tmp/postbench_items_{n_residues}_{TIMED_SWEEPS}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=True)
+        return {k: tuple(v) for k, v in z["items"].item().items()}, cfg
+    residues = make_workload(300)
+    sub_names = set(list(residues)[:n_residues])
     items = {}
-    for b in batches:
-        picked = list(range(min(b.size, n_residues - len(items))))
+    for b in bucket_residues(residues):
+        picked = [i for i, n in enumerate(b.names) if n in sub_names]
         if not picked:
             continue
         res = run_batch(b, cfg, engine="pallas")
@@ -47,8 +55,7 @@ def make_items(n_residues, seed=0):
             items[b.names[i]] = (res.mcweights[i][None],
                                  res.mcrates[i][None],
                                  b.values[i][live], b.counts[i][live])
-        if len(items) >= n_residues:
-            break
+    np.savez(cache, items=np.array(items, dtype=object))
     return items, cfg
 
 

@@ -61,3 +61,59 @@ def test_gmm_sample_weights(rng):
                                 jnp.asarray(X), n_components=3, n_init=8,
                                 train_weights=jnp.asarray(w))
     assert _label_agreement(np.asarray(labels), y, 3) > 0.98
+
+
+def test_kmeanspp_bitwise_matches_original_schedule(rng):
+    """Round-5 schedule changes (incremental seeding min-distance, Lloyd
+    while_loop freeze) must be BITWISE no-ops vs the original
+    full-matrix seeding + fixed-length Lloyd formulation."""
+    import jax
+    import jax.numpy as jnp
+    from basicrta_tpu.postprocess.gmm import _kmeanspp_init
+
+    def original(key, X, sw, n_components, lloyd_iters=10):
+        N = X.shape[0]
+        k0, key = jax.random.split(key)
+        first = jax.random.choice(k0, N, p=sw / jnp.sum(sw))
+        centers0 = jnp.tile(X[first], (n_components, 1))
+
+        def seed_step(carry, key_c):
+            centers, c_idx = carry
+            d2 = jnp.min(
+                jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2,
+                        axis=-1)
+                + jnp.where(jnp.arange(n_components)[None, :] < c_idx,
+                            0.0, jnp.inf), axis=1)
+            p = sw * d2
+            p = jnp.where(jnp.isfinite(p), p, 0.0)
+            nxt = jax.random.choice(key_c, N,
+                                    p=p / jnp.maximum(jnp.sum(p), 1e-30))
+            centers = centers.at[c_idx].set(X[nxt])
+            return (centers, c_idx + 1), None
+
+        keys = jax.random.split(key, n_components - 1)
+        (centers, _), _ = jax.lax.scan(seed_step, (centers0, 1), keys)
+
+        def lloyd(centers, _):
+            d2 = jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2,
+                         axis=-1)
+            assign = jnp.argmin(d2, axis=1)
+            onehot = jax.nn.one_hot(assign, n_components, dtype=X.dtype)
+            onehot = onehot * sw[:, None]
+            Nk = jnp.maximum(jnp.sum(onehot, axis=0), 1e-12)
+            new = (onehot.T @ X) / Nk[:, None]
+            new = jnp.where(jnp.sum(onehot, axis=0)[:, None] > 0, new,
+                            centers)
+            return new, None
+
+        centers, _ = jax.lax.scan(lloyd, centers, None,
+                                  length=lloyd_iters)
+        return centers
+
+    X, _ = _blobs(rng)
+    X = jnp.asarray(X)
+    sw = jnp.ones(X.shape[0], X.dtype)
+    for seed in (0, 3, 11):
+        a = np.asarray(_kmeanspp_init(jax.random.key(seed), X, sw, 4))
+        b = np.asarray(original(jax.random.key(seed), X, sw, 4))
+        np.testing.assert_array_equal(a, b)

@@ -137,3 +137,41 @@ def test_pooled_chain_selection():
     b = _CFG.burnin_samples
     # pooled: burn-in prefix + 2x post-burn-in samples survive filtering
     assert len(res.data) == 2 * 2 * (S - b)
+
+
+@pytest.mark.slow
+def test_votes_chunking_bitwise_matches_sequential():
+    """The round-5 chunked vote scan (CH samples batched per step, adds
+    kept in sample order) must reproduce the sequential per-sample scan
+    BITWISE — same per-sample keys, same accumulation order."""
+    import jax
+    import jax.numpy as jnp
+    from basicrta_tpu.postprocess.batched import _votes_bucket_core
+    from basicrta_tpu.sampler.kernels import _tiered_multinomial
+
+    rng = np.random.default_rng(5)
+    B, S, K, V, L = 2, 30, 5, 64, 3     # S=30 -> CH=15 path
+    W = rng.dirichlet(np.ones(K), (B, S)).astype(np.float32)
+    R = rng.gamma(2.0, 1.0, (B, S, K)).astype(np.float32)
+    values = np.sort(rng.uniform(0.1, 50, (B, V))).astype(np.float32)
+    counts = rng.integers(0, 30, (B, V)).astype(np.float32)
+    labels = rng.integers(0, L, (B, S, K)).astype(np.int32)
+    keys = jnp.stack([jax.random.key(7 + i) for i in range(B)])
+    tiers = (16, 32)
+    got = np.asarray(_votes_bucket_core(
+        keys, jnp.asarray(W), jnp.asarray(R), jnp.asarray(values),
+        jnp.asarray(counts), jnp.asarray(labels), L, tiers))
+
+    # sequential reference: the original CH=1 scan, written as a loop
+    for b in range(B):
+        votes = np.zeros((V, L), np.float32)
+        sub = jax.random.split(keys[b], S)
+        for s in range(S):
+            logz = (np.log(W[b, s])[None, :] + np.log(R[b, s])[None, :]
+                    - values[b][:, None] * R[b, s][None, :])
+            z = jax.nn.softmax(jnp.asarray(logz), axis=-1)
+            m = np.asarray(_tiered_multinomial(
+                sub[s], jnp.asarray(counts[b]), z, tiers))
+            onehot = np.eye(L, dtype=np.float32)[labels[b, s]]
+            votes = votes + m @ onehot
+        np.testing.assert_array_equal(got[b], votes)
