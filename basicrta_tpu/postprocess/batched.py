@@ -78,16 +78,23 @@ def _votes_bucket_core(keys, W, R, values, counts, L, n_clusters: int,
         # chunk the sample axis: the S multinomial draws are independent
         # given their per-sample keys, so CH of them batch into one
         # vmapped call per scan step — 1/CH the serial steps (the scan
-        # was latency-bound on small (V, K) tiles; round-5 postbench).
-        # The vote accumulation stays in original sample order (the fori
-        # below) and per-sample keys are unchanged, so results are
-        # bitwise identical to the unchunked scan
-        # (tests/test_postprocess_batched).
-        CH = 1
-        for cand in (16, 15, 12, 10, 9, 8, 6, 5, 4, 3, 2):
-            if S % cand == 0:
-                CH = cand
-                break
+        # was latency-bound on small (V, K) tiles; round-5 on-chip A/B:
+        # CH=90 41 ms vs CH=15 52 ms vs CH=1 ~61 ms on the canonical
+        # bucket, all bitwise-equal). The vote accumulation stays in
+        # original sample order (the fori below) and per-sample keys are
+        # unchanged, so results are bitwise identical to the unchunked
+        # scan (tests/test_postprocess_batched). Whole-batch CH = S
+        # unless the multinomial's (terms, CH, V) inversion tables would
+        # get large; then the largest divisor <= 32.
+        if S * v.shape[0] <= 4_000_000:
+            CH = S
+        else:
+            CH = 1
+            for cand in (32, 30, 24, 20, 18, 16, 15, 12, 10, 9, 8, 6, 5,
+                         4, 3, 2):
+                if S % cand == 0:
+                    CH = cand
+                    break
 
         def draw(key_j, w, r, lb):
             logz = (jnp.log(w)[None, :] + jnp.log(r)[None, :]

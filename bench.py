@@ -75,7 +75,9 @@ def make_workload(n_residues=N_RESIDUES, seed=0):
 # the wall-clock swings ~2x with ambient load — see the breakdown's
 # upload_s_per_frame — so the floor sits at ~0.6x the low end rather
 # than 0.8x the mean).
-_GUARDS = {"pallas": 1_000_000.0, "xla": 140_000.0, "flagship": 25_000.0,
+# regression floors: ~78% of each metric's round-5 measured value
+# (pallas 2.0M after the critical-path work, design.md round-5 section)
+_GUARDS = {"pallas": 1_550_000.0, "xla": 140_000.0, "flagship": 30_000.0,
            "contacts": 45.0}
 
 

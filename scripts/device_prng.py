@@ -75,11 +75,12 @@ def draw_binom(seed, n, p, interpret=False, btrs_mode=True):
     return _call(body, seed, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("a", "interpret"))
-def draw_gamma(seed, a, interpret=False):
+@functools.partial(jax.jit, static_argnames=("a", "interpret",
+                                             "early_exit"))
+def draw_gamma(seed, a, interpret=False, early_exit=False):
     def body(rng):
         return _gamma_mt(rng, jnp.full((_ROWS, _LANES), float(a),
-                                       jnp.float32))
+                                       jnp.float32), early_exit)
     return _call(body, seed, interpret)
 
 
@@ -115,10 +116,13 @@ def main():
     # see sampler/pallas_sweep._binom_btrs) ----
     cases = [(16, 0.35, (True,)),        # small-count inversion (np <= 10)
              (100, 0.02, (True,)),       # inversion, long n
-             (50, 0.3, (True, "btrd")),  # BTRS (n*p = 15)
+             # BTRS (n*p = 15) incl. the round-5 hybrid round shape
+             (50, 0.3, (True, "btrd", "btrd_nat_h4")),
              # BTRS, large n: the worst case for amplified log error —
-             # both BTRD forms plus the native-ratio-log candidate
-             (5000, 0.47, (True, "btrd", "btrd_sl", "btrd_nat")),
+             # both BTRD forms, the native-ratio-log production form and
+             # its round-5 hybrid (4 unrolled rounds + straggler while)
+             (5000, 0.47, (True, "btrd", "btrd_sl", "btrd_nat",
+                           "btrd_nat_h4")),
              (40, 0.9, (True, "btrd"))]  # symmetry fold (p > 0.5)
     for n, p, modes in cases:
       for mode in modes:
@@ -177,6 +181,27 @@ def main():
               f"mean_z={mz:.2f}")
         if ks.pvalue < 1e-3 or abs(mz) > 5:
             failures.append(f"gamma({a})")
+
+    # round-5 early-exit conjugate rounds (production default for the
+    # in-kernel Dirichlet/Gamma update): same algorithm, while_loop
+    # round shape — distribution must be unchanged
+    for a in [0.0667, 3.7]:
+        x = collect(draw_gamma, 4, a=a, interpret=interpret,
+                    early_exit=True)
+        mz = (x.mean() - a) / (np.sqrt(a) / np.sqrt(len(x)))
+        if a < 1.0:
+            t0 = 1e-25
+            p_below = stats.gamma.cdf(t0, a)
+            xs = x[x > t0]
+            ks = stats.kstest(
+                xs, lambda v: ((stats.gamma.cdf(v, a) - p_below)
+                               / (1.0 - p_below)))
+        else:
+            ks = stats.kstest(x, "gamma", args=(a,))
+        print(f"[gamma a={a} early-exit] n={len(x)} KS p={ks.pvalue:.3g} "
+              f"mean_z={mz:.2f}")
+        if ks.pvalue < 1e-3 or abs(mz) > 5:
+            failures.append(f"gamma_ee({a})")
 
     if failures:
         print(f"FAILED: {failures}")
