@@ -44,12 +44,17 @@ def quantize_u16(positions: np.ndarray):
     thread (BENCH contacts_large_prep_s_per_frame attributes it).
     """
     lo = positions.min(axis=1, keepdims=True)           # (F, 1, 3)
-    shifted = positions - lo                            # >= 0 exactly
+    shifted = (positions - lo).astype(np.float32, copy=False)  # >= 0 exact
     ext = shifted.max(axis=1, keepdims=True)
     step = np.maximum(ext / 65535.0, 1e-12).astype(np.float32)
     inv = (1.0 / step).astype(np.float32)
     # round-half-up via +0.5 and the truncating cast (vs rint's
-    # ties-to-even: half a grid step, below the format's error bound)
-    q = (shifted.astype(np.float32) * inv + 0.5).astype(np.uint16)
+    # ties-to-even: half a grid step, below the format's error bound).
+    # In-place on the shifted temp: the (F, A, 3) buffers are tens of MB
+    # at bilayer scale and this runs per batch on the prefetch thread —
+    # two allocations total instead of one per elementwise op
+    np.multiply(shifted, inv, out=shifted)
+    np.add(shifted, np.float32(0.5), out=shifted)
+    q = shifted.astype(np.uint16)
     scale = np.concatenate([step, lo.astype(np.float32)], axis=1)
     return q, scale

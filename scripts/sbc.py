@@ -120,9 +120,14 @@ def main():
     ap.add_argument("--mixed-sizes", action="store_true",
                     help="heterogeneous replicate sizes: calibrates the "
                          "mixed-width packed kernel path")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="prior/data/sampler seed: a borderline fixed-"
+                         "seed p-value is one random instance — check "
+                         "uniformity ACROSS seeds before reading it as "
+                         "miscalibration")
     args = ap.parse_args()
     pvals, _ = run_sbc(M=args.replicates, n_events=args.events,
-                       ncomp=args.ncomp, niter=args.niter,
+                       ncomp=args.ncomp, niter=args.niter, seed=args.seed,
                        engine=args.engine, mixed_sizes=args.mixed_sizes)
     ok = all(p > 0.01 for p in pvals.values())
     print("SBC:", "PASS" if ok else "FAIL", pvals)
