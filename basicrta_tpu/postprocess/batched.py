@@ -285,10 +285,23 @@ def process_residues_batched(
     base_key = jax.random.key(cfg.seed + 1)
     import zlib
 
-    def residue_key(name, salt=0):
-        return jax.random.fold_in(
-            jax.random.fold_in(base_key, salt),
-            zlib.crc32(str(name).encode()) & 0x7FFFFFFF)
+    # derive every residue's per-stage key in ONE vmapped fold_in per
+    # salt: the per-residue scalar fold_in calls were ~256 tiny device
+    # dispatches per protein — several hundred ms of pure round-trip
+    # latency on tunnel-attached hosts (round-5 postbench attribution).
+    # fold_in under vmap computes the identical key values.
+    all_names = list(prepared)
+    _name_ix = {n: i for i, n in enumerate(all_names)}
+    crcs = jnp.asarray([zlib.crc32(str(n).encode()) & 0x7FFFFFFF
+                        for n in all_names], jnp.uint32)
+    _keys_by_salt = {
+        salt: jax.vmap(lambda c, s=salt: jax.random.fold_in(
+            jax.random.fold_in(base_key, s), c))(crcs)
+        for salt in (0, 1)}
+
+    def residue_keys(names, salt=0):
+        return _keys_by_salt[salt][
+            np.asarray([_name_ix[n] for n in names])]
 
     done = 0
     total = 2 * len(prepared)
@@ -307,7 +320,7 @@ def process_residues_batched(
             train[i, len(p["train"]):] = train[i, 0]  # benign pad location
             train_w[i, :len(p["train"])] = 1.0
             data[i, :len(p["data"])] = np.log(p["data"])
-        keys = jnp.stack([residue_key(n) for n in names])
+        keys = residue_keys(names)
         keys, train, train_w, data = _pad_lanes(
             [keys, train, train_w, data], _lane_target(Bk, n_shards))
         pending.append((names, Bk, _gmm_bucket(
@@ -347,7 +360,7 @@ def process_residues_batched(
             Vb[i, :len(p["values"])] = p["values"]
             Cb[i, :len(p["counts"])] = p["counts"]
             Lb[i] = _label_matrix(p["inds"], p["labels"], (S, K))
-        keys = jnp.stack([residue_key(n, salt=1) for n in names])
+        keys = residue_keys(names, salt=1)
         keys, Wb, Rb, Vb, Cb, Lb = _pad_lanes([keys, Wb, Rb, Vb, Cb, Lb],
                                               _lane_target(Bk, n_shards))
         vpending.append((lmode, names, Bk, _votes_bucket_async(
