@@ -1,10 +1,11 @@
 #!/bin/bash
 # On-chip measurement queue (run when the axon tunnel is up; each step
-# logs to /tmp/q_*.log). All round-4 items are DONE (2026-08-20 session:
-# recovery 15/15, GOF battery, headline bench 1.30M — see CHANGELOG).
-# This file stays as the re-verification recipe: run it after any
-# sampler/kernel change or tunnel outage to re-certify the three
-# on-chip invariants.
+# logs to /tmp/q_*.log). All round-5 items are DONE (2026-08-21 session,
+# after the critical-path kernel changes: recovery 15/15 in 87 s, GOF
+# battery ALL PASS incl. the new btrd_nat_h4/early-exit-gamma cases,
+# headline bench 1.87-2.07M — see CHANGELOG). This file stays as the
+# re-verification recipe: run it after any sampler/kernel change or
+# tunnel outage to re-certify the three on-chip invariants.
 #
 #  1. recovery spot-check of run_residues on a heterogeneous workload
 #  2. device PRNG GOF battery (hardware-PRNG path re-certification)
@@ -44,4 +45,4 @@ timeout 3600 python scripts/device_prng.py 2>&1 | tee /tmp/q_prng.log
 
 timeout 3600 python bench.py 2>&1 | tee /tmp/q_bench.log
 
-echo "QUEUE DONE — expect recovery 15/15, GOF ALL PASS, bench >= 1.0M."
+echo "QUEUE DONE — expect recovery 15/15, GOF ALL PASS, bench >= 1.55M."
