@@ -508,14 +508,16 @@ class TestPackedBuckets:
         """A mixed-bucket run is bit-exact under any segmentation (the
         RNG is seeded per absolute sweep index, so checkpoint/resume and
         progress segmentation cannot perturb the chain)."""
-        residues = {}
-        for i in range(5):
-            residues[f"A{i}"] = self._small_residue(rng, 5000, 290 + 4 * i,
-                                                    rate=2.0)
-            residues[f"B{i}"] = self._small_residue(rng, 5000, 80 + 4 * i,
-                                                    rate=0.3)
-        batch = bucket_residues(residues)[0]
-        assert batch.bounds is not None
+        # widths heterogeneous enough that the (round-5 re-calibrated)
+        # cost model still adopts the mixed k-way packing (the dryrun's
+        # mixed-workload shape); the narrower round-4 fixture now lands
+        # in a uniform pack-2 class instead
+        residues = {f"M{i}": 0.1 * rng.integers(1, 60 + 200 * (i % 2), 800)
+                    for i in range(24)}
+        batches = bucket_residues(residues)
+        batch = next((b for b in batches if b.bounds is not None), None)
+        assert batch is not None, [
+            (b.values.shape, b.pack, b.bounds is not None) for b in batches]
         cfg = GibbsConfig(ncomp=3, niter=400, g=10, seed=3)
         whole = run_batch(batch, cfg, engine="pallas")
         seg = run_batch(batch, cfg, engine="pallas", segment_blocks=13)
