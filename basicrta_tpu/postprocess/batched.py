@@ -338,15 +338,24 @@ def process_residues_batched(
 
     _lap("gmm_s")
     # ---- stage 2: bucketed vote accumulation -------------------------- #
+    # residues of DIFFERENT lmode share one vote program: the one-hot /
+    # vote matrix is built at the full static width K and each residue's
+    # columns [:lmode] sliced out afterwards — label values never reach
+    # lmode, so the extra columns accumulate exactly zero and every kept
+    # column's arithmetic is unchanged (a (V, L) tile occupies one
+    # 128-lane tile for any L <= K, so the width costs nothing). This
+    # collapses ~#lmodes x #shapes vote buckets to #shapes — each
+    # avoided bucket was a full program dispatch (round-5 postbench:
+    # ~27 ms of scale-independent floor per call on tunnel hosts).
     vbuckets: Dict[tuple, list] = {}
     for name, p in prepared.items():
-        key = (p["lmode"], _pad_size(len(p["values"])),
-               p["W"].shape)
+        key = (_pad_size(len(p["values"])), p["W"].shape)
         vbuckets.setdefault(key, []).append(name)
 
+    K_full = cfg.ncomp
     results: Dict[str, ClusterResult] = {}
     vpending = []
-    for (lmode, V_p, w_shape), names in vbuckets.items():
+    for (V_p, w_shape), names in vbuckets.items():
         Bk = len(names)
         S, K = w_shape
         Wb = np.empty((Bk, S, K), np.float32)
@@ -363,16 +372,16 @@ def process_residues_batched(
         keys = residue_keys(names, salt=1)
         keys, Wb, Rb, Vb, Cb, Lb = _pad_lanes([keys, Wb, Rb, Vb, Cb, Lb],
                                               _lane_target(Bk, n_shards))
-        vpending.append((lmode, names, Bk, _votes_bucket_async(
-            keys, Wb, Rb, Vb, Cb, Lb, lmode, sharding=sharding)))
-    for lmode, names, Bk, (dev, order) in vpending:
+        vpending.append((names, Bk, _votes_bucket_async(
+            keys, Wb, Rb, Vb, Cb, Lb, K_full, sharding=sharding)))
+    for names, Bk, (dev, order) in vpending:
         votes = _votes_bucket_collect(dev, order)[:Bk]
         _lap("votes_s")
         for i, name in enumerate(names):
             p = prepared[name]
-            v = votes[i, :len(p["values"])]
+            v = votes[i, :len(p["values"]), :p["lmode"]]
             denom = v.sum(axis=1, keepdims=True)
-            res = ClusterResult(lmode=lmode, labels=p["labels"],
+            res = ClusterResult(lmode=p["lmode"], labels=p["labels"],
                                 inds=p["inds"], data=p["data"])
             res.pindicator_values = v / np.maximum(denom, 1e-30)
             results[name] = sort_labels_by_rate(res, cfg.noise_cutoff)
